@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.Fx._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Gold-layer analytics over the market fact (SURVEY.md §2.4–§2.6, §2.8).
+  *
+  * All aggregations are hash aggregations with map-side partial combine; key
+  * cardinality is tiny relative to input (tickers, weeks), which is exactly
+  * the shape that scales: at 100 TB the shuffle carries only the partial
+  * aggregates, never the fact rows.
+  */
+object Analytics {
+
+  /** A1: weekly volatility — `STDDEV_SAMP(variacao) GROUP BY ticker, week`
+    * (reference `dags/financial_pipeline.py:203-209`). Week buckets are
+    * Monday-start via date_trunc. Returns (symbol, semana: date, vol).
+    */
+  def weeklyVolatility(fact: DataFrame): DataFrame =
+    fact.filter(col("variacao_diaria").isNotNull)
+      .groupBy(col("symbol"), date_trunc("week", col("date")).cast(DateType).as("semana"))
+      .agg(nanToNull(stddev_samp(col("variacao_diaria"))).as("vol"))
+
+  /** A4 + T1/T2: mean weekly volatility per ticker, most-volatile first —
+    * the reference's flagship report query (`dags/financial_pipeline.py:59-66`).
+    * Two-level aggregation: partial/final weekly stddev, then re-agg per ticker.
+    */
+  def avgVolatilityPerTicker(fact: DataFrame): DataFrame =
+    weeklyVolatility(fact)
+      .groupBy("symbol")
+      .agg(rd(avg(col("vol")), 4).as("avg_volatility"))
+      .orderBy(col("avg_volatility").desc, col("symbol").asc)
+
+  /** A2: per-ticker risk profile (reference `README.md:88-97`). */
+  def riskProfile(fact: DataFrame): DataFrame =
+    fact.filter(col("variacao_diaria").isNotNull)
+      .groupBy("symbol")
+      .agg(
+        rd(nanToNull(stddev_samp(col("variacao_diaria"))), 6).as("volatilidade"),
+        rd(avg(col("variacao_diaria")), 6).as("variacao_media"),
+        rd(max(col("variacao_diaria")), 6).as("maior_alta"),
+        rd(min(col("variacao_diaria")), 6).as("maior_queda"))
+      .orderBy(col("volatilidade").desc, col("symbol").asc)
+
+  /** A3: per-ticker liquidity (reference `README.md:108-115`). */
+  def liquidity(bars: DataFrame): DataFrame =
+    bars.groupBy("symbol")
+      .agg(
+        rd(avg(col("volume")), 4).as("volume_medio"),
+        sum(col("volume")).as("volume_total"))
+      .orderBy(col("volume_total").desc, col("symbol").asc)
+
+  /** A9–A12: grand aggregates over the fact (notebook cells 98-100, 426-428). */
+  def globalStats(fact: DataFrame): DataFrame =
+    fact.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("symbol")).as("n_symbols"),
+      countDistinct(col("date")).as("n_days"),
+      dateStr(min(col("date"))).as("first_date"),
+      dateStr(max(col("date"))).as("last_date"),
+      rd(avg(col("close")), 4).as("avg_close"),
+      rd(nanToNull(stddev_samp(col("variacao_diaria"))), 4).as("std_variacao"),
+      rd(avg(col("volume")), 4).as("avg_volume"))
+
+  /** A13 + F1: instrument dimension — distinct tickers with display name
+    * (reference `dags/financial_pipeline.py:149`).
+    */
+  def dimInstrument(bars: DataFrame): DataFrame =
+    bars.select(col("symbol").as("ticker")).distinct()
+      .withColumn("nome", concat(lit("Ativo "), col("ticker")))
+      .orderBy("ticker")
+
+  /** A13 + F2–F4: time dimension with PG DOW convention 0=Sunday…6=Saturday
+    * (reference `dags/financial_pipeline.py:153-161`; Spark dayofweek is
+    * 1=Sunday, hence the -1).
+    */
+  def dimTempo(bars: DataFrame): DataFrame =
+    bars.select(col("date")).distinct()
+      .select(
+        dateStr(col("date")).as("data_id"),
+        year(col("date")).cast("long").as("ano"),
+        month(col("date")).cast("long").as("mes"),
+        (dayofweek(col("date")) - 1).cast("long").as("dia_da_semana"))
+      .orderBy("data_id")
+
+  /** P4/P5/O3: the data-quality gate (reference `dags/financial_pipeline.py:126-136`)
+    * — row count, critical-null count, and key uniqueness in one pass.
+    */
+  def qualityGate(bars: DataFrame): DataFrame =
+    bars.agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("close").isNull || col("date").isNull, 1).otherwise(0))
+        .cast("long").as("null_criticals"),
+      countDistinct(concat_ws("|", col("symbol"), dateStr(col("date")))).as("n_keys"))
+      .select(col("total_rows"), col("null_criticals"),
+        when(col("null_criticals") === 0 && col("n_keys") === col("total_rows"), 1L)
+          .otherwise(0L).as("passed"))
+
+  /** A5/F5/F7: README's rounded weekly volatility variant (`README.md:64-71`). */
+  def weeklyVolatilityRounded(fact: DataFrame): DataFrame =
+    fact.filter(col("variacao_diaria").isNotNull)
+      .groupBy(col("symbol").as("ticker"),
+        date_trunc("week", col("date")).cast(DateType).as("semana"))
+      .agg(rd(nanToNull(stddev_samp(col("variacao_diaria"))), 2).as("vol"))
+      .select(col("ticker"), dateStr(col("semana")).as("semana"), col("vol"))
+      .orderBy("ticker", "semana")
+
+  /** F11/F12: min-max normalized scores + weighted investor profiles
+    * (notebook cells 468-507; weights 0.5/0.3/0.2, 0.35/0.35/0.3, 0.2/0.5/0.3).
+    * The grand min/max row is broadcast-crossed into the 1-row-per-ticker
+    * metrics — a single action, no driver-side loop.
+    */
+  def investorScores(fact: DataFrame): DataFrame = {
+    val metrics = fact.filter(col("variacao_diaria").isNotNull)
+      .groupBy("symbol")
+      .agg(
+        nanToNull(stddev_samp(col("variacao_diaria"))).as("vol"),
+        avg(col("variacao_diaria")).as("vm"),
+        sum(col("volume")).cast("double").as("vt"))
+    val g = metrics.agg(
+      max(col("vol")).as("vol_max"),
+      min(col("vm")).as("vm_min"), max(col("vm")).as("vm_max"),
+      min(col("vt")).as("vt_min"), max(col("vt")).as("vt_max"))
+    val sSeg = lit(100.0) - col("vol") / nullIfZero(col("vol_max")) * 100
+    val sPerf = (col("vm") - col("vm_min")) / nullIfZero(col("vm_max") - col("vm_min")) * 100
+    val sLiq = (col("vt") - col("vt_min")) / nullIfZero(col("vt_max") - col("vt_min")) * 100
+    metrics.crossJoin(broadcast(g))
+      .select(col("symbol"),
+        sSeg.as("s_seg"), sPerf.as("s_perf"), sLiq.as("s_liq"))
+      .select(col("symbol"),
+        rd(col("s_seg"), 4).as("score_seguranca"),
+        rd(col("s_perf"), 4).as("score_performance"),
+        rd(col("s_liq"), 4).as("score_liquidez"),
+        rd(col("s_seg") * 0.5 + col("s_perf") * 0.3 + col("s_liq") * 0.2, 4).as("score_conservador"),
+        rd(col("s_seg") * 0.35 + col("s_perf") * 0.35 + col("s_liq") * 0.3, 4).as("score_moderado"),
+        rd(col("s_seg") * 0.2 + col("s_perf") * 0.5 + col("s_liq") * 0.3, 4).as("score_agressivo"))
+      .orderBy("symbol")
+  }
+
+  /** T3: top-k tickers by mean daily variation (notebook `nlargest(5)` with a
+    * deterministic ticker tie-break).
+    */
+  def topPerformance(fact: DataFrame, k: Int): DataFrame =
+    fact.filter(col("variacao_diaria").isNotNull)
+      .groupBy("symbol")
+      .agg(rd(avg(col("variacao_diaria")), 4).as("variacao_media"))
+      .orderBy(col("variacao_media").desc, col("symbol").asc)
+      .limit(k)
+
+  /** F2/F3 + A7/A8: calendar rollup by (year, month). */
+  def monthlySummary(bars: DataFrame): DataFrame =
+    bars.groupBy(
+        year(col("date")).cast("long").as("ano"),
+        month(col("date")).cast("long").as("mes"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        rd(avg(col("close")), 4).as("avg_close"),
+        sum(col("volume")).as("volume_total"))
+      .orderBy("ano", "mes")
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source layer (SURVEY.md §2.1, S1–S8).
+  *
+  * The reference ingests a 750K-row OHLCV CSV into a Postgres staging table via
+  * `COPY` (reference `dags/financial_pipeline.py:45-49`) and persists derived
+  * tables/materialized views. Here every table is a parquet-backed DataFrame:
+  * the scan is partitioned and parallel, schemas are declared (never inferred),
+  * and filters/column pruning push down to the parquet reader — the properties
+  * that keep this layer viable at 100 TB.
+  */
+object Tables {
+
+  /** Explicit Bronze/staging schema for CSV ingest (S2/S4).
+    * Mirrors reference `sql/setup_staging.sql:4-12`; NUMERIC → DoubleType per
+    * SURVEY.md §1.2 (observable semantics are float64).
+    */
+  val stagingSchema: StructType = StructType(Seq(
+    StructField("date", DateType, nullable = true),
+    StructField("symbol", StringType, nullable = true),
+    StructField("open", DoubleType, nullable = true),
+    StructField("high", DoubleType, nullable = true),
+    StructField("low", DoubleType, nullable = true),
+    StructField("close", DoubleType, nullable = true),
+    StructField("volume", LongType, nullable = true)
+  ))
+
+  /** S1: fail-fast existence check (reference `dags/financial_pipeline.py:20-29`). */
+  def requireExists(path: String): Unit =
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      s"input not found: $path")
+
+  /** S2: bulk CSV ingest with a declared schema — never inferSchema (a schema
+    * inference pass would be a second full scan of 100 TB).
+    */
+  def readStagingCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(stagingSchema).option("header", "true").csv(path)
+
+  /** Parquet table loader for the driver testdata layout (`TESTDATA.md`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` needs nanosecond-timestamp handling: the files carry parquet
+    * INT64 TIMESTAMP(NANOS) which Spark only reads as LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong`. We keep the raw long (`ts_ns`,
+    * exact ordering key — no precision loss) and derive a microsecond
+    * TimestampType `ts` plus event DateType `date` for calendar logic.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      .withColumn("date", col("ts").cast(DateType))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** S3/S6: truncate-and-reload ≡ overwrite; materialized-view refresh ≡
+    * recompute + overwrite (reference `dags/financial_pipeline.py:43,182,203-212`).
+    * `partitionByCols` is the 100 TB lever: facts written partitioned by date
+    * give partition pruning to every downstream time-ranged read.
+    */
+  def overwrite(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
+  }
+}
