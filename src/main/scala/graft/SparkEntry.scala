@@ -114,7 +114,25 @@ object SparkEntry {
       Analytics.investorScores(MarketView.fact(s, dir))),
 
     "q14_monthly_summary" -> ((s, dir) =>
-      Analytics.monthlySummary(MarketView.dailyBars(s, dir)))
+      Analytics.monthlySummary(MarketView.dailyBars(s, dir))),
+
+    // -- star joins over the TPC-H tables (SURVEY §2.3) --
+    "q15_star_revenue" -> ((s, dir) => Stars.revenueByRegionNation(s, dir)),
+    "q16_top_customers" -> ((s, dir) => Stars.topCustomers(s, dir, 10)),
+    "q17_part_type_stats" -> ((s, dir) => Stars.partTypeStats(s, dir)),
+    "q18_semi_join_big_orders" -> ((s, dir) => Stars.customersWithBigOrders(s, dir, 450000.0)),
+    "q19_anti_join_no_big_orders" -> ((s, dir) => Stars.customersWithoutBigOrders(s, dir, 450000.0)),
+    "q20_pricing_summary" -> ((s, dir) => Stars.pricingSummary(s, dir)),
+    "q21_orders_by_month" -> ((s, dir) => Stars.ordersByMonth(s, dir)),
+
+    // -- event-stream shapes in batch (SURVEY §2.9) --
+    "q22_events_weekly" -> ((s, dir) =>
+      EventOps.weeklyTumbling(s, dir)
+        .select(col("event_type"), dateStr(col("semana")).as("semana"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy("event_type", "semana")),
+    "q23_user_sessions" -> ((s, dir) => EventOps.userSessions(s, dir)),
+    "q24_props_rollup" -> ((s, dir) => EventOps.propsRollup(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -224,6 +242,93 @@ SELECT CAST(date_part('year', date) AS BIGINT) AS ano,
        count(*) AS n_bars,
        round(avg(close), 4) + 0 AS avg_close,
        CAST(sum(volume) AS BIGINT) AS volume_total
-FROM bars GROUP BY 1, 2 ORDER BY ano, mes""")
+FROM bars GROUP BY 1, 2 ORDER BY ano, mes"""),
+
+    "q15_star_revenue" -> """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q16_top_customers" -> """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey LIMIT 10""",
+
+    "q17_part_type_stats" -> """
+SELECT p_type, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       round(avg(l_discount), 6) + 0 AS avg_discount,
+       CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type""",
+
+    "q18_semi_join_big_orders" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+ORDER BY c_custkey""",
+
+    "q19_anti_join_no_big_orders" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+ORDER BY c_custkey""",
+
+    "q20_pricing_summary" -> """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 6) + 0 AS avg_qty,
+       round(avg(l_extendedprice), 4) + 0 AS avg_price,
+       round(avg(l_discount), 6) + 0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+    "q21_orders_by_month" -> """
+SELECT strftime(o_orderdate, '%Y-%m') AS mes, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders GROUP BY 1 ORDER BY mes""",
+
+    "q22_events_weekly" -> """
+SELECT event_type,
+       CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS semana,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, semana""",
+
+    "q23_user_sessions" -> """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY user_id ORDER BY user_id""",
+
+    "q24_props_rollup" -> """
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) + 0 AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type"""
   )
 }

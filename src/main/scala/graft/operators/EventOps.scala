@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.Fx._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Event-stream operators in batch form (SURVEY.md §2.9): the reference's
+  * weekly `DATE_TRUNC` aggregation is the batch twin of a 7-day tumbling
+  * window; sessionization is the gap-window twin. The streaming flavors live
+  * in graft.streaming.StreamingOps over the same schema.
+  */
+object EventOps {
+
+  /** Tumbling weekly window per event type — batch equivalent of
+    * `events.withWatermark("ts","...").groupBy(window($"ts","7 days"), $"event_type")`.
+    */
+  def weeklyTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("date")).cast(DateType).as("semana"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy("event_type", "semana")
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. Computed on the raw nanosecond longs — exact, no precision
+    * loss. One shuffle (partition by user), then a window scan.
+    */
+  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** F-ext: JSON props parsing + rollup (`get_json_object`-shaped access on
+    * the `props` column, SURVEY.md §2.8 note).
+    */
+  def propsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        rd(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+}
