@@ -132,7 +132,18 @@ object SparkEntry {
           col("n_events"), col("n_users"), col("sum_value"))
         .orderBy("event_type", "semana")),
     "q23_user_sessions" -> ((s, dir) => EventOps.userSessions(s, dir)),
-    "q24_props_rollup" -> ((s, dir) => EventOps.propsRollup(s, dir))
+    "q24_props_rollup" -> ((s, dir) => EventOps.propsRollup(s, dir)),
+
+    // -- LLM-pipeline text operators over documents (north-star extension) --
+    "q25_dedup_exact" -> ((s, dir) => TextOps.dedupExactProfile(s, dir)),
+    "q26_dedup_normalized" -> ((s, dir) => TextOps.dedupNormalizedProfile(s, dir)),
+    "q27_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir, 20)),
+    "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.0).limit(50)),
+    "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
+    "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
+    "q32_token_counts" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
+    "q33_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -329,6 +340,106 @@ SELECT event_type, count(*) AS n,
 FROM (SELECT event_type,
              TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
       FROM events)
-GROUP BY event_type ORDER BY event_type"""
+GROUP BY event_type ORDER BY event_type""",
+
+    "q25_dedup_exact" -> """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+FROM documents GROUP BY source ORDER BY source""",
+
+    "q26_dedup_normalized" -> """
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm_unique
+FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q27_jaccard_pairs" -> """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) + 0 AS jaccard
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+
+    "q30_lang_id" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id, lang AS lang_claimed,
+    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS hits_en,
+    CAST(len(regexp_extract_all(norm, '\b(der|die|das|und|ist|nicht)\b', 0)) AS BIGINT) AS hits_de,
+    CAST(len(regexp_extract_all(norm, '\b(le|la|les|et|est|une)\b', 0)) AS BIGINT) AS hits_fr,
+    CAST(len(regexp_extract_all(norm, '\b(el|los|las|una|pero|como)\b', 0)) AS BIGINT) AS hits_es
+  FROM d
+)
+SELECT doc_id, lang_claimed, hits_en, hits_de, hits_fr, hits_es,
+  CASE WHEN hits_de > hits_en AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+       WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr >= hits_es THEN 'fr'
+       WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es > hits_fr THEN 'es'
+       ELSE 'en' END AS predicted
+FROM h ORDER BY doc_id""",
+
+    "q31_text_quality" -> """
+WITH d AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS letter_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+    CAST(letter_chars AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS avg_token_len,
+    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
+    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
+  FROM m
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_token_len, 6) + 0 AS avg_token_len,
+       round(punct_ratio, 6) + 0 AS punct_ratio,
+       round(stopword_ratio, 6) + 0 AS stopword_ratio,
+       round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS quality_score
+FROM r ORDER BY doc_id""",
+
+    "q32_token_counts" -> """
+SELECT source, count(*) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '[^\s]+', 0))) AS BIGINT) AS n_tokens_ws,
+  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0))) AS BIGINT) AS n_tokens_bpe
+FROM documents GROUP BY source ORDER BY source""",
+
+    "q33_fingerprints" -> """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(norm) - 6), i -> md5(substr(norm, i, 8)))) AS h
+  FROM d WHERE length(norm) >= 8
+)
+SELECT doc_id, min(h) AS fingerprint, count(*) AS n_windows
+FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }

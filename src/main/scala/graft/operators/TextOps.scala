@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.functions.Fx._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text-pipeline operators over `documents` (the LLM-training-data
+  * extension surface from BASELINE.json's north star): exact + near dedup,
+  * MinHash/LSH, SimHash, n-gram Jaccard, language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Scale design: every operator is expressed as narrow transforms + hash
+  * aggregations. The only quadratic-looking step — candidate-pair generation —
+  * is always bounded by a bucketing key (LSH band, SimHash chunk, or an
+  * explicit corpus bucket), never a full cross join: at 100 TB the pair space
+  * must come from equi-joins on short keys so the shuffle stays proportional
+  * to data size, not to its square.
+  */
+object TextOps {
+
+  /** Canonical normalization: lowercase, non-alphanumerics → single space, trim.
+    * (Kept regex-simple so the DuckDB oracle states the identical transform.)
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** 3-word shingles (empty array below 3 tokens). */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** doc_id + exploded DISTINCT shingle set (the base relation for Jaccard,
+    * MinHash, and any set-similarity op).
+    */
+  def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(shingles(tokens(col("text")))).as("sg"))
+      .distinct()
+
+  /** Exact-hash dedup profile per source: md5 groups (SURVEY extension;
+    * groupBy on a 128-bit digest scales to any corpus size).
+    */
+  def dedupExactProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dups"))
+      .orderBy("source")
+
+  /** Normalized ("fuzzy-exact") dedup per lang: same corpus hashed after
+    * canonical normalization.
+    */
+  def dedupNormalizedProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(normText(col("text")))).as("n_norm_unique"))
+      .orderBy("lang")
+
+  /** Deduplicated corpus: keep the lowest doc_id per exact text hash.
+    * min-by on the digest key — one shuffle, no window-sort needed.
+    */
+  def dedupByText(docs: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .drop("h")
+
+  /** n-gram Jaccard near-dup pairs within (lang, source) corpus buckets:
+    * explode distinct shingles, equi-join on (bucket, shingle), count
+    * intersections, Jaccard = |∩| / (|A| + |B| - |∩|). Top-k pairs.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir)).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("lang", "source", "sg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        rd(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  private val NumPerms = 32
+  private val BandRows = 4
+  private val NumBands = NumPerms / BandRows // 8
+
+  /** MinHash signatures: one row per doc with `minhash` array(32). Each
+    * permutation is xxhash64 seeded by the permutation index — a single pass
+    * over the exploded shingle set with 32 min-aggregates (map-side combined).
+    */
+  def minHashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("sg"))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"mh_$i")): _*).as("minhash"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    * 8 bands × 4 rows: docs sharing any band bucket become candidate pairs
+    * (equi-join on the band key — the scale path; candidate count is tied to
+    * true similarity, not corpus²), then candidates are verified against the
+    * exact shingle sets. Returns (doc_a, doc_b, jaccard) above `threshold`.
+    */
+  def minHashLshPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir)).cache()
+    val sig = minHashSignatures(sh)
+    val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map { b =>
+          xxhash64((Seq(lit(b)) ++ (0 until BandRows).map(r => element_at(col("minhash"), b * BandRows + r + 1))): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sg")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .filter(col("sg") === col("sg_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        rd(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** 64-bit SimHash per doc: per distinct token, hash once; 64 signed bit
+    * counters as plain aggregates (no row explosion); sign → bit. Single pass,
+    * whole-stage-codegen friendly.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      .withColumn("h", xxhash64(col("tok")))
+    val counters = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(counters.head, counters.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk banding (any pair within Hamming
+    * distance 3 shares a chunk), verified by bit_count(xor) ≤ maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simHash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v")))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  private val StopEn = "\\b(the|a|and|of|to|in|is)\\b"
+  private val StopDe = "\\b(der|die|das|und|ist|nicht)\\b"
+  private val StopFr = "\\b(le|la|les|et|est|une)\\b"
+  private val StopEs = "\\b(el|los|las|una|pero|como)\\b"
+
+  private def hits(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  /** Language ID by stopword-hit heuristic (n-gram-free variant; determinism
+    * over accuracy — ties resolve en > de > fr > es).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val n = normText(col("text"))
+    docs.select(col("doc_id"), col("lang").as("lang_claimed"),
+        hits(n, StopEn).as("hits_en"), hits(n, StopDe).as("hits_de"),
+        hits(n, StopFr).as("hits_fr"), hits(n, StopEs).as("hits_es"))
+      .withColumn("predicted",
+        when(col("hits_de") > col("hits_en") && col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
+          .when(col("hits_fr") > col("hits_en") && col("hits_fr") > col("hits_de") && col("hits_fr") >= col("hits_es"), "fr")
+          .when(col("hits_es") > col("hits_en") && col("hits_es") > col("hits_de") && col("hits_es") > col("hits_fr"), "es")
+          .otherwise("en"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc quality metrics + composite score (length / punctuation /
+    * stopword-density heuristics of a training-data filter).
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long")
+    val letterChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val alnumSpace = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("long")
+    val punct = (nChars - alnumSpace).cast("double") / nullIfZero(nChars.cast("double"))
+    val stopHits = hits(normText(col("text")), StopEn)
+    val stopRatio = stopHits.cast("double") / nullIfZero(nTokens.cast("double"))
+    val score = least(lit(1.0), nTokens.cast("double") / 100.0) * 0.4 +
+      (lit(1.0) - punct) * 0.3 + least(lit(1.0), stopRatio * 5.0) * 0.3
+    docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        rd(letterChars.cast("double") / nullIfZero(nTokens.cast("double")), 6).as("avg_token_len"),
+        rd(punct, 6).as("punct_ratio"),
+        rd(stopRatio, 6).as("stopword_ratio"),
+        rd(score, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per source: whitespace tokens + a BPE-ish lexer regex
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))).cast("long").as("n_tokens_ws"),
+        sum(size(regexp_extract_all(col("text"), lit(bpe), lit(0)))).cast("long").as("n_tokens_bpe"))
+      .orderBy("source")
+  }
+
+  /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
+    * text (winnowing-style rolling signature; the min over a hash family is
+    * order-independent and distributes as a plain min-aggregate).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val n = normText(col("text"))
+    docs.select(col("doc_id"), n.as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("norm")) - 7)).as("i"),
+        col("norm"))
+      .select(col("doc_id"), md5(col("norm").substr(col("i"), lit(8))).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_windows"))
+      .orderBy("doc_id")
+  }
+}
