@@ -143,7 +143,13 @@ object SparkEntry {
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
     "q32_token_counts" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
-    "q33_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir)))
+    "q33_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+
+    // -- similarity search over embeddings (north-star extension) --
+    "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
+    "q35_knn_lsh" -> ((s, dir) => Similarity.lshKnn(s, dir, 5, 3)),
+    "q36_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    "q37_centroid_similarity" -> ((s, dir) => Similarity.centroidSimilarity(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,6 +446,52 @@ WITH d AS (
   FROM d WHERE length(norm) >= 8
 )
 SELECT doc_id, min(h) AS fingerprint, count(*) AS n_windows
-FROM g GROUP BY doc_id ORDER BY doc_id"""
+FROM g GROUP BY doc_id ORDER BY doc_id""",
+
+    "q34_knn_brute" -> """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+), s AS (
+  SELECT q_id, neighbor_id,
+         list_dot_product(qe, ce)
+           / nullif(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)), 0) AS sim
+  FROM q, c WHERE q_id <> neighbor_id
+), r AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
+FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "q36_label_centroids" -> """
+WITH x AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       round(avg(v), 6) + 0 AS centroid
+FROM x GROUP BY 1, 2 ORDER BY label, pos""",
+
+    "q37_centroid_similarity" -> """
+WITH x AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+), c AS (
+  SELECT label, pos, avg(v) AS c FROM x GROUP BY 1, 2
+), vecs AS (
+  SELECT label, list(c ORDER BY pos) AS vec FROM c GROUP BY label
+)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       round(list_dot_product(a.vec, b.vec)
+             / nullif(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)), 0),
+             6) + 0 AS sim
+FROM vecs a JOIN vecs b ON a.label < b.label
+ORDER BY label_a, label_b"""
   )
 }

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst vector expressions with whole-stage codegen.
+  *
+  * Spark's built-in path for an embedding dot product is the higher-order
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), ...)`, which allocates a zipped
+  * array per row and is interpreted (HigherOrderFunction has no doGenCode).
+  * These expressions compile to a tight primitive loop inside whole-stage
+  * codegen — the difference between "works" and "works on 10^11 rows" for
+  * brute-force similarity scans.
+  *
+  * Accumulation is a strict ascending-index left fold in double, matching the
+  * DuckDB oracle's list_dot_product semantics for hash-exact comparison.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  /** Java getter snippet for codegen, by element type. */
+  protected def getter(v: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $v.getFloat($i)"
+    case _ => s"$v.getDouble($i)"
+  }
+}
+
+/** dot(a, b) = Σ a_i * b_i over the common prefix length. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (tl, tr) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(x, i, tl) * get(y, i, tr); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (${getter(a, i, elemType(left))}) * (${getter(b, i, elemType(right))});
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))); NULL on zero norm
+  * (mirrors the SQL `nullif(denominator, 0)` guard).
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (tl, tr) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = get(x, i, tl); val yv = get(y, i, tr)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${getter(a, i, elemType(left))};
+         |  double $yv = ${getter(b, i, elemType(right))};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API and SQL-registry front doors. */
+object VectorFunctions {
+  import org.apache.spark.sql.graft.SqlShim.{column, expression}
+
+  def vecDot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def cosineSim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Register `vec_dot` / `cosine_sim` for SQL callers on a live session
+    * (SparkSessionExtensions isn't an option when the session is built by the
+    * harness, so registration is runtime + idempotent).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graft.SqlShim.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "internal")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.Fx._
+import graft.functions.VectorFunctions.{cosineSim, vecDot}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star extension).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - `bruteKnn`: exact top-k — broadcast the (small) query set against the
+  *    full corpus; one scan, no shuffle of the corpus, codegen'd cosine. At
+  *    100 TB this is the "small query batch × huge corpus" shape: corpus stays
+  *    partition-local, per-partition top-k folds into a global
+  *    TakeOrderedAndProject.
+  *  - `lshKnn`: approximate — random-hyperplane signatures bucket the corpus;
+  *    queries probe their own bucket plus all Hamming-1 neighbors (multi-probe)
+  *    so candidate count ~ corpus/2^bits × (bits+1), independent of corpus².
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector (`vec_id < nQueries`). */
+  def bruteKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("ce"))
+    val sim = vecDot(col("qe"), col("ce")) /
+      nullIfZero(sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
+        rd(col("sim"), 6).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val NumPlanes = 8
+
+  /** Deterministic random hyperplanes (fixed seed, fixed dim). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(NumPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Signature = sign-bit pattern of the vector against each hyperplane. */
+  private def signature(vec: org.apache.spark.sql.Column, dim: Int) = {
+    val ps = planes(dim)
+    (0 until NumPlanes).map { p =>
+      when(vecDot(vec, typedlit(ps(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: LSH-bucketed with Hamming-1 multi-probe. */
+  def lshKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("sig", signature(col("e"), dim))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("sig"))
+    // query probes its own bucket + every bucket at Hamming distance 1
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(array((Seq(col("sig")) ++
+          (0 until NumPlanes).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)).as("sig"))
+    val sim = vecDot(col("qe"), col("ce")) /
+      nullIfZero(sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(corpus, "sig")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
+        rd(col("sim"), 6).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Per-label centroids in long format (label, pos, centroid) — elementwise
+    * mean via posexplode + hash aggregation; output rows = labels × dims
+    * regardless of corpus size.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(rd(avg(col("v")), 6).as("centroid"))
+      .orderBy("label", "pos")
+
+  /** Global similarity stats between all pairs of label centroids — a compact
+    * all-pairs op on a reduced (labels × dims) relation.
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("vec"))
+    val a = cents.select(col("label").as("label_a"), col("vec").as("va"))
+    val b = cents.select(col("label").as("label_b"), col("vec").as("vb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        rd(cosineSim(col("va"), col("vb")), 6).as("sim"))
+      .orderBy("label_a", "label_b")
+  }
+}
