@@ -138,7 +138,7 @@ object SparkEntry {
     "q25_dedup_exact" -> ((s, dir) => TextOps.dedupExactProfile(s, dir)),
     "q26_dedup_normalized" -> ((s, dir) => TextOps.dedupNormalizedProfile(s, dir)),
     "q27_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir, 20)),
-    "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.0).limit(50)),
+    "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.5)),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),

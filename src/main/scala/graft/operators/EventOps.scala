@@ -31,10 +31,14 @@ object EventOps {
     * inactivity. Computed on the raw nanosecond longs — exact, no precision
     * loss. One shuffle (partition by user), then a window scan.
     */
-  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionize(Tables.events(spark, dir), gapMinutes)
+
+  /** Core sessionization over any (user_id, ts_ns, event_id) relation. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapNs = gapMinutes.toLong * 60L * 1000000000L
     val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L).otherwise(0L))

@@ -35,24 +35,22 @@ object MarketView {
 
   /** OHLCV daily bars, grain (symbol, date) — the Silver fact base.
     *
-    * open/close are first/last intraday value, made deterministic by the
-    * (ts_ns, event_id) total order. Both row_numbers share the same partition
-    * keys, so Catalyst plans ONE shuffle exchange for the two window sorts +
-    * the final aggregation — verified via explain; at 100 TB this is a single
-    * repartition by (symbol, date), no second pass over the data.
+    * open/close are first/last intraday value under the (ts_ns, event_id)
+    * total order, computed as min/max over (ts_ns, event_id, value) structs:
+    * struct comparison is lexicographic, so the extremal struct carries the
+    * first/last value. That makes the whole bar ONE hash aggregation with
+    * map-side partial combine — no window, no per-group sort; at 100 TB the
+    * shuffle carries only one partial state per (symbol, date) per mapper.
     */
   def dailyBars(spark: SparkSession, dir: String): DataFrame = {
-    val e = quotes(spark, dir)
-    val wAsc = Window.partitionBy("symbol", "date").orderBy(col("ts_ns").asc, col("event_id").asc)
-    val wDesc = Window.partitionBy("symbol", "date").orderBy(col("ts_ns").desc, col("event_id").desc)
-    e.withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
+    val ord = struct(col("ts_ns"), col("event_id"), col("value"))
+    quotes(spark, dir)
       .groupBy("symbol", "date")
       .agg(
-        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        min(ord).getField("value").as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max(ord).getField("value").as("close"),
         sum(col("k")).as("volume")
       )
   }

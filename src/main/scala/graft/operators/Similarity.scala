@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector (`vec_id < nQueries`). */
-  def bruteKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def bruteKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame =
+    bruteKnnFrom(Tables.embeddings(spark, dir), nQueries, k)
+
+  def bruteKnnFrom(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qe"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("ce"))
@@ -40,38 +42,64 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  private val NumPlanes = 8
+  /** Multi-table random-hyperplane LSH: L independent tables of B sign bits.
+    * Collision probability per plane is 1 − θ/π, so a pair at cosine s lands
+    * in the same bucket of at least one table with prob 1−(1−p^B)^L — the
+    * standard amplification; Hamming-1 multi-probe on the query side adds
+    * B·p^(B−1)(1−p) per table without growing the corpus index.
+    */
+  private val Tables_L = 8
+  private val Bits_B = 8
 
   /** Deterministic random hyperplanes (fixed seed, fixed dim). */
   private def planes(dim: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(NumPlanes, dim)(rng.nextGaussian())
+    Array.fill(Tables_L * Bits_B, dim)(rng.nextGaussian())
   }
 
-  /** Signature = sign-bit pattern of the vector against each hyperplane. */
-  private def signature(vec: org.apache.spark.sql.Column, dim: Int) = {
+  /** Per-table bucket ids: element t is the B-bit signature under table t's
+    * hyperplanes. One narrow projection — L·B codegen'd dot products per row.
+    */
+  private def buckets(vec: org.apache.spark.sql.Column, dim: Int) = {
     val ps = planes(dim)
-    (0 until NumPlanes).map { p =>
-      when(vecDot(vec, typedlit(ps(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    array((0 until Tables_L).map { t =>
+      (0 until Bits_B).map { r =>
+        when(vecDot(vec, typedlit(ps(t * Bits_B + r).toSeq)) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
   }
 
-  /** Approximate top-k: LSH-bucketed with Hamming-1 multi-probe. */
-  def lshKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Approximate top-k over the testdata embeddings (see `lshKnnFrom`). */
+  def lshKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame =
+    lshKnnFrom(Tables.embeddings(spark, dir), nQueries, k, dim)
+
+  /** Approximate top-k cosine neighbors via multi-table LSH with Hamming-1
+    * multi-probe. The corpus index is n·L rows keyed by (table, bucket); the
+    * join is a plain equi-join on that short key, so candidate volume tracks
+    * true bucket collisions — never corpus². Scale path: the index is built
+    * once per corpus and is reusable across query batches.
+    */
+  def lshKnnFrom(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
+    val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("sig", signature(col("e"), dim))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("sig"))
-    // query probes its own bucket + every bucket at Hamming distance 1
+      .withColumn("bks", buckets(col("e"), dim))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    // query probes: per table, own bucket + all B Hamming-1 neighbors
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
-        explode(array((Seq(col("sig")) ++
-          (0 until NumPlanes).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)).as("sig"))
+        posexplode(col("bks")).as(Seq("tbl", "b0")))
+      .select(col("q_id"), col("qe"), col("tbl"),
+        explode(array((Seq(col("b0")) ++
+          (0 until Bits_B).map(r => col("b0").bitwiseXOR(lit(1L << r)))): _*)).as("bucket"))
+    val cand = probes.join(corpus, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select("q_id", "qe", "neighbor_id", "ce")
+      .dropDuplicates("q_id", "neighbor_id")
     val sim = vecDot(col("qe"), col("ce")) /
       nullIfZero(sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(corpus, "sig")
-      .filter(col("q_id") =!= col("neighbor_id"))
+    cand
       .withColumn("sim", sim)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -40,7 +40,12 @@ object TextOps {
     */
   def shingleSet(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(shingles(tokens(col("text")))).as("sg"))
+        // bind the token array to an attribute BEFORE shingling: transform()
+        // is interpreted, and a lambda referencing the raw split(regexp(...))
+        // expression re-runs the regexp per element access (~3× per shingle)
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(shingles(col("toks"))).as("sg"))
       .distinct()
 
   /** Exact-hash dedup profile per source: md5 groups (SURVEY extension;
@@ -128,10 +133,12 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Intersection size via equi-join on (doc, shingle) both times: candidate
+    // pairs expand to |shingles(a)| rows, then the (doc_b, sg) key joins only
+    // the matching shingles — never the |A|×|B| cartesian per pair.
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
-      .filter(col("sg") === col("sg_b"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sg")), Seq("doc_b", "sg"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("inter"))

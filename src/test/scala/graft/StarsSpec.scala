@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Stars
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class StarsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("semi and anti join partition the customer set") {
+    val semi = Stars.customersWithBigOrders(spark, sf, 450000.0)
+    val anti = Stars.customersWithoutBigOrders(spark, sf, 450000.0)
+    val total = Tables.customer(spark, sf).count()
+    assert(semi.count() + anti.count() == total)
+    assert(semi.join(anti, "c_custkey").count() == 0)
+  }
+
+  test("upsertIfAbsent keeps existing rows, adds only absent keys, dedups incoming") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "B-NEW"), (3L, "c"), (3L, "c2")).toDF("k", "v")
+    val out = Stars.upsertIfAbsent(existing, incoming, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a")
+    assert(out(2L) == "b")        // existing wins (DO NOTHING semantics)
+    assert(Set("c", "c2").contains(out(3L)))
+    assert(out.size == 3)
+  }
+
+  test("star revenue equals the unjoined lineitem revenue total") {
+    // region/nation/customer cover all custkeys, so the star join must not
+    // drop or duplicate lineitem rows: total revenue is invariant.
+    val star = Stars.revenueByRegionNation(spark, sf)
+      .agg(sum("revenue"), sum("n_items")).as[(Double, Long)].head()
+    val li = Tables.lineitem(spark, sf)
+    val base = li.agg(
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,6)")).cast("double"), count(lit(1)))
+      .as[(Double, Long)].head()
+    assert(star._2 == base._2)
+    assert(math.abs(star._1 - base._1) < 1e-3)
+  }
+
+  test("broadcast hints survive into the physical plan") {
+    val plan = Stars.revenueByRegionNation(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+}

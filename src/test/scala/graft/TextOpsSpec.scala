@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+    (2L, "en", "web", "the quick brown fox jumps over the lazy cat"),
+    (3L, "en", "web", "completely different words entirely here now friends"),
+    (4L, "en", "book", "the quick brown fox jumps over the lazy dog"),
+    (5L, "de", "web", "der hund ist nicht schnell und das ist gut")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  test("normText lowercases and collapses non-alphanumerics") {
+    val out = Seq("Hello,   WORLD!! 42").toDF("text")
+      .select(TextOps.normText(col("text"))).as[String].head()
+    assert(out == "hello world 42")
+  }
+
+  test("shingles: below 3 tokens -> empty; else n-2 trigrams") {
+    val out = Seq("a b", "a b c d").toDF("t")
+      .select(TextOps.shingles(split(col("t"), " "))).as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c", "b c d"))
+  }
+
+  test("dedupByText keeps lowest doc_id per exact text") {
+    val kept = TextOps.dedupByText(docs).as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L)) // doc 4 is an exact dup of doc 1
+  }
+
+  test("jaccard via shingle join: near-dup pair scores high, disjoint absent") {
+    val sh = TextOps.shingleSet(docs)
+    // docs 1 and 2 share 6 of 7 trigrams within the (en, web) bucket:
+    // J = 6 / (7 + 7 - 6) = 0.75
+    val a = sh.filter(col("doc_id") === 1L).select("sg").as[String].collect().toSet
+    val b = sh.filter(col("doc_id") === 2L).select("sg").as[String].collect().toSet
+    assert(math.abs(a.intersect(b).size.toDouble / a.union(b).size - 0.75) < 1e-12)
+  }
+
+  test("minHashLshPairs finds the exact-duplicate pair with jaccard 1.0") {
+    // docs 1 and 4 are identical text but different source buckets — LSH here
+    // is bucket-free on shingle sets, so the pair must surface with J=1.
+    val docs2 = Seq(
+      (1L, "en", "web", "one two three four five six seven eight"),
+      (2L, "en", "web", "one two three four five six seven eight"),
+      (3L, "en", "web", "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "lang", "source", "text")
+    docs2.createOrReplaceTempView("dup_docs")
+    val sh = TextOps.shingleSet(docs2)
+    val sig = TextOps.minHashSignatures(sh)
+    val sigs = sig.orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sigs(0)._2 == sigs(1)._2)      // identical docs -> identical signatures
+    assert(sigs(0)._2 != sigs(2)._2)      // different docs -> different signatures
+  }
+
+  test("simHash: identical docs equal, near-dups within small Hamming distance") {
+    val out = TextOps.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(4L)) // identical text
+    val hamming12 = java.lang.Long.bitCount(out(1L) ^ out(2L))
+    val hamming13 = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(hamming12 < hamming13, s"near-dup $hamming12 should beat disjoint $hamming13")
+  }
+
+  test("simHashPairs surfaces only pairs within maxHamming") {
+    val pairs = TextOps.simHashPairs(docs, 0).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("langId: stopword heuristic separates en from de") {
+    val out = TextOps.langId(docs).select("doc_id", "predicted")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("fingerprints: identical docs share a fingerprint; window count = len-7") {
+    val out = TextOps.fingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == byId(4L))
+    val norm = "the quick brown fox jumps over the lazy dog"
+    assert(out.find(_._1 == 1L).get._3 == norm.length - 7)
+  }
+}
