@@ -149,7 +149,13 @@ object SparkEntry {
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
     "q35_knn_lsh" -> ((s, dir) => Similarity.lshKnn(s, dir, 5, 3)),
     "q36_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
-    "q37_centroid_similarity" -> ((s, dir) => Similarity.centroidSimilarity(s, dir))
+    "q37_centroid_similarity" -> ((s, dir) => Similarity.centroidSimilarity(s, dir)),
+    "q38_embedding_neardup" -> ((s, dir) => Similarity.topSimilarPairs(s, dir, 20)),
+    "q39_ivf_knn" -> ((s, dir) => Similarity.ivfKnn(s, dir, 5, 3)),
+
+    // -- multimodal binary-column pipeline (north-star extension; decode stubbed) --
+    "q40_media_profile" -> ((s, dir) =>
+      Multimodal.mediaProfile(s, dir).drop("avg_frame_mean"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -492,6 +498,34 @@ SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
              / nullif(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)), 0),
              6) + 0 AS sim
 FROM vecs a JOIN vecs b ON a.label < b.label
-ORDER BY label_a, label_b"""
+ORDER BY label_a, label_b""",
+
+    "q38_embedding_neardup" -> """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v)
+               / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+               6) + 0 AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM p
+ORDER BY sim DESC, vec_a, vec_b LIMIT 20""",
+
+    "q40_media_profile" -> """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+)
+SELECT media_type,
+       count(*) AS n_media,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       round(avg(64 + byte_len % 512), 4) + 0 AS avg_width,
+       round(avg(64 + (byte_len * 7) % 512), 4) + 0 AS avg_height,
+       CAST(sum(CASE WHEN media_type = 'video' THEN 1 + byte_len % 8 ELSE 1 END) AS BIGINT) AS total_frames
+FROM m GROUP BY media_type ORDER BY media_type"""
   )
 }

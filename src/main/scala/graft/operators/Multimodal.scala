@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): media carried as opaque
+  * `binary` payloads with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs, so
+  * `decodeStub` derives deterministic fake media properties from the payload
+  * bytes. Everything around it is the real production shape:
+  *   - schema: (doc_id, media_type, payload binary, meta struct)
+  *   - partition-local batched processing via typed mapPartitions (the Scala
+  *     twin of mapInPandas: one iterator per partition, amortized per-batch
+  *     setup, nothing collected to the driver)
+  *   - downstream aggregation over extracted features stays columnar/codegen.
+  * Swapping `decodeStub` for a real codec changes no plumbing.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, n_frames: Int,
+      frame_means: Array[Double])
+
+  /** The media relation: payloads are the UTF-8 bytes of the document text
+    * (the testdata carries no real media; byte-identical plumbing either way),
+    * media_type assigned round-robin by doc_id — image/audio/video.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+
+  /** STUB decode: deterministic fake media properties from payload bytes.
+    * A real implementation would hand each batch to a codec (JPEG decode,
+    * PCM resample, keyframe extraction); the signature and batch mechanics
+    * would not change.
+    */
+  private[graft] def decodeStub(row: MediaRow): MediaFeatures = {
+    val len = row.payload.length.toLong
+    val width = (64 + len % 512).toInt
+    val height = (64 + (len * 7) % 512).toInt
+    val nFrames = if (row.media_type == "video") (1 + len % 8).toInt else 1
+    // "frame sample": mean byte value over up-to-nFrames equal slices
+    val sliceLen = math.max(1, row.payload.length / math.max(nFrames, 1))
+    val means = (0 until nFrames).map { f =>
+      val from = f * sliceLen
+      val until = math.min(row.payload.length, from + sliceLen)
+      if (from >= until) 0.0
+      else {
+        var s = 0L; var i = from
+        while (i < until) { s += row.payload(i) & 0xff; i += 1 }
+        s.toDouble / (until - from)
+      }
+    }.toArray
+    MediaFeatures(row.doc_id, row.media_type, len, width, height, nFrames, means)
+  }
+
+  private val BatchSize = 256
+
+  /** Feature extraction: partition-local, batched. Batching matters when the
+    * decoder has per-call setup (model weights, codec contexts) — the stub
+    * keeps the shape so a real decoder drops in.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // per-batch setup would happen here (open codec once per batch)
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Per-media-type rollup of extracted features — the post-decode analytics
+    * stay in columnar expressions (nothing about the stub leaks downstream).
+    */
+  def mediaProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fx._
+    extractFeatures(spark, mediaTable(spark, dir)).toDF()
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        rd(avg(col("width")), 4).as("avg_width"),
+        rd(avg(col("height")), 4).as("avg_height"),
+        sum(col("n_frames")).cast("long").as("total_frames"),
+        rd(avg(aggregate(col("frame_means"), lit(0.0), (a, x) => a + x)
+          / size(col("frame_means"))), 4).as("avg_frame_mean"))
+      .orderBy("media_type")
+  }
+}

@@ -108,6 +108,96 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Embedding-cosine near-dup: exact top-k most-similar unordered pairs.
+    * Exact-by-construction (the DuckDB-oracled validation baseline for the
+    * LSH path). The all-pairs product is expressed as a self-join blocked on
+    * vec_id ordering; at corpus scale the same query runs with `lshNearDup`
+    * candidates instead — identical verify arithmetic, bounded pair space.
+    */
+  def topSimilarPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // no array<double> cast: the codegen'd cosine reads float arrays directly
+    // with double accumulation — casting would allocate 2 fresh arrays per
+    // joined pair
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        rd(cosineSim(col("ea"), col("eb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup at scale: multi-table LSH candidate pairs
+    * verified with exact cosine — the embedding twin of minhash→jaccard.
+    * Pair space comes from equi-joins on (table, bucket), never corpus².
+    */
+  def lshNearDup(embeddings: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bks", buckets(col("e"), dim))
+    val idx = emb.select(col("vec_id"), col("e"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    idx.as("x").join(idx.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.e").as("ea"), col("y.e").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), rd(cosineSim(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
+  }
+
+  /** IVF (inverted-file) approximate kNN: a coarse quantizer assigns every
+    * vector to its nearest centroid cell; queries probe only the `nProbe`
+    * nearest cells. Here the quantizer is the per-label centroid set (a
+    * deterministic stand-in for trained k-means centroids — same index
+    * structure and probe mechanics). Corpus side scans once to build the
+    * cell assignment; query side touches |cells probed| / |cells| of the
+    * corpus — the inverted-list contract that makes kNN sublinear at scale.
+    */
+  def ivfKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, nProbe: Int = 3): DataFrame =
+    ivfKnnFrom(Tables.embeddings(spark, dir), nQueries, k, nProbe)
+
+  /** Core IVF over any (vec_id, label, embedding) relation; `label` seeds the
+    * coarse centroids.
+    */
+  def ivfKnnFrom(embeddings: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    // coarse centroids: elementwise mean per label (tiny relation — broadcast)
+    val cents = emb
+      .select(col("label").cast("long").as("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v")).as("c"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("cvec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    // corpus: each vector lands in exactly its nearest cell (inverted list)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineSim(col("e"), col("cvec")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("cell"))
+    // queries: probe the nProbe nearest cells
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosineSim(col("qe"), col("cvec")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
+        rd(col("sim"), 6).as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label centroids in long format (label, pos, centroid) — elementwise
     * mean via posexplode + hash aggregation; output rows = labels × dims
     * regardless of corpus size.

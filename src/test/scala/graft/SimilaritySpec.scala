@@ -40,6 +40,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"LSH recall $recall too low (approx=$approx exact=$exact)")
   }
 
+  test("ivfKnn: near-perfect recall on clustered vectors where cells match clusters") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(10, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield
+      (c * 20L + m, c.toLong, centers(c).map(x => x + 0.15 * rng.nextGaussian()))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val exact = Similarity.bruteKnnFrom(
+      emb.select(col("vec_id"), col("embedding")), 5, 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnFrom(emb, 5, 3, nProbe = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low")
+  }
+
+  test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
+    val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(out.map(_._3).sliding(2).forall(s => s.head >= s.last))
+  }
+
+  test("lshNearDup finds the planted near-duplicate pair") {
+    val rng = new scala.util.Random(3)
+    val dim = 16
+    val base = Array.fill(dim)(rng.nextGaussian())
+    val rows = Seq(
+      (0L, base),
+      (1L, base.map(_ + 1e-3 * rng.nextGaussian())),  // near-dup of 0
+      (2L, Array.fill(dim)(rng.nextGaussian())),
+      (3L, Array.fill(dim)(rng.nextGaussian()))
+    )
+    val out = Similarity.lshNearDup(rows.toDF("vec_id", "embedding"), 0.99, dim)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
   test("labelCentroids: one row per (label, dim); centroid of a label with one vector is the vector") {
     val out = Similarity.labelCentroids(spark, sf)
     val dims = out.groupBy("label").count().select("count").distinct().as[Long].collect()

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{UserEvent, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("weeklyTumbling: buckets align to Monday and counts match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = StreamingOps.weeklyTumbling(events).writeStream
+      .format("memory").queryName("weekly_out").outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1L, 1.0),  // Mon wk1
+        (ts("2024-01-03 10:00:00"), "click", 2L, 2.0),  // Wed wk1
+        (ts("2024-01-08 10:00:00"), "click", 1L, 4.0))  // Mon wk2
+      q.processAllAvailable()
+      val rows = spark.table("weekly_out")
+        .select(col("semana").cast("string"), col("n_events"), col("sum_value"))
+        .as[(String, Long, Double)].collect()
+      val byWeek = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(byWeek("2024-01-01")._2 == 2L)
+      assert(byWeek("2024-01-01")._3 == 3.0)
+      assert(byWeek("2024-01-08")._2 == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionWindows: 30-min gap splits sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionWindows(events).writeStream
+      .format("memory").queryName("sessions_out").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 1.0),   // same session
+        (ts("2024-01-01 12:00:00"), 1L, 1.0),   // gap > 30min -> new session
+        (ts("2024-01-01 10:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      assert(out(1L) == 2L)
+      assert(out(2L) == 1L)
+    } finally q.stop()
+  }
+
+  test("runningUserStats: state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserStats(spark, input.toDS()).writeStream
+      .format("memory").queryName("running_out").outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, ts("2024-01-01 11:00:00"), 7.0))
+      q.processAllAvailable()
+      val latest = spark.table("running_out").as[UserRunning].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(latest(1L) == UserRunning(1L, 2L, 12.0))
+    } finally q.stop()
+  }
+
+  test("eventStream: batch queries run unchanged on the streaming source") {
+    val stream = StreamingOps.eventStream(spark, sf)
+    assert(stream.isStreaming)
+    val q = StreamingOps.weeklyTumbling(stream).writeStream
+      .format("memory").queryName("file_stream_out").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream_out").count() > 0)
+    } finally q.stop()
+  }
+}
