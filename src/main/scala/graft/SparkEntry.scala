@@ -155,7 +155,30 @@ object SparkEntry {
 
     // -- multimodal binary-column pipeline (north-star extension; decode stubbed) --
     "q40_media_profile" -> ((s, dir) =>
-      Multimodal.mediaProfile(s, dir).drop("avg_frame_mean"))
+      Multimodal.mediaProfile(s, dir).drop("avg_frame_mean")),
+
+    // -- A15: grand mean of per-ticker aggregates (notebook reference lines) --
+    "q41_market_overview" -> ((s, dir) => {
+      val m = MarketView.fact(s, dir)
+        .filter(col("variacao_diaria").isNotNull)
+        .groupBy("symbol")
+        .agg(stddev_samp(col("variacao_diaria")).as("vol"),
+          avg(col("variacao_diaria")).as("vm"))
+      m.agg(count(lit(1)).as("n_tickers"),
+        rd(avg(col("vol")), 6).as("volatilidade_media"),
+        rd(avg(col("vm")), 6).as("variacao_media"))
+    }),
+
+    // -- as-of join: each event joined to the latest strictly-earlier daily close --
+    "q42_asof_prev_close" -> ((s, dir) => {
+      val bars = MarketView.dailyBars(s, dir).select(col("symbol"), col("date"), col("close"))
+      val ev = MarketView.quotes(s, dir)
+        .select(col("symbol"), col("date"), col("event_id"), col("value"))
+      AsOf.asofJoin(ev, bars, "symbol", "date", Seq("close"), strict = true)
+        .select(col("event_id"), col("symbol"), dateStr(col("date")).as("date"),
+          col("value"), col("asof_close").as("prev_close"))
+        .orderBy("event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +549,23 @@ SELECT media_type,
        round(avg(64 + byte_len % 512), 4) + 0 AS avg_width,
        round(avg(64 + (byte_len * 7) % 512), 4) + 0 AS avg_height,
        CAST(sum(CASE WHEN media_type = 'video' THEN 1 + byte_len % 8 ELSE 1 END) AS BIGINT) AS total_frames
-FROM m GROUP BY media_type ORDER BY media_type"""
+FROM m GROUP BY media_type ORDER BY media_type""",
+
+    "q41_market_overview" -> (FACT + """, m AS (
+  SELECT symbol, stddev_samp(variacao_diaria) AS vol, avg(variacao_diaria) AS vm
+  FROM fact WHERE variacao_diaria IS NOT NULL GROUP BY symbol
+)
+SELECT count(*) AS n_tickers,
+       round(avg(vol), 6) + 0 AS volatilidade_media,
+       round(avg(vm), 6) + 0 AS variacao_media
+FROM m"""),
+
+    "q42_asof_prev_close" -> (BARS + """
+SELECT e.event_id, e.symbol, CAST(e.date AS VARCHAR) AS date, e.value,
+       b.close AS prev_close
+FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS date, event_id, value
+      FROM events) e
+ASOF LEFT JOIN bars b ON e.symbol = b.symbol AND e.date > b.date
+ORDER BY e.event_id""")
   )
 }

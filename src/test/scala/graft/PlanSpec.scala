@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Analytics, MarketView, Stars}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the properties that matter at 100 TB:
+  * pushdown reaching the parquet scan, broadcast joins for dims, partial
+  * aggregation, and shuffle counts. These pin the plan shape so a future
+  * refactor can't silently regress it.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"missing pushed filter in:\n$plan")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val plan = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection in:\n$plan")
+  }
+
+  test("dim joins broadcast; fact side never shuffles for a dim lookup") {
+    val plan = executed(Stars.partTypeStats(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    // exactly one exchange: the aggregation's — none for the join itself
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val plan = executed(Analytics.liquidity(MarketView.dailyBars(spark, sf)))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("dailyBars is a single exchange — no window sort") {
+    val plan = executed(MarketView.dailyBars(spark, sf))
+    assert(!plan.contains("Window"), s"window crept back into bars:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->aggregate path") {
+    val df = Stars.pricingSummary(spark, sf)
+    df.collect() // AQE reports codegen spans only in the final executed plan
+    // codegen stages render as "*(n) Operator" in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
+      s"scan->partial-aggregate not inside a codegen stage:\n$plan")
+  }
+}
