@@ -29,18 +29,26 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qe"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("ce"))
-    val sim = vecDot(col("qe"), col("ce")) /
-      nullIfZero(sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
-        rd(col("sim"), 6).as("sim"))
-      .orderBy("q_id", "rk")
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosineSim(col("qe"), col("ce"))),
+      k)
   }
+
+  /** Rank candidates (q_id, neighbor_id, sim) to top-k per query via the
+    * bounded-heap TopKByScore aggregate: partial k-heaps are built map-side,
+    * so the shuffle carries ≤ k rows per (query, partition) — the window
+    * row_number formulation would shuffle and sort EVERY candidate row into
+    * one partition per query (skew + volume, fatal at corpus scale).
+    */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topK(col("sim"), col("neighbor_id"), k).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("x"))
+      .select(col("q_id"), col("x.id").as("neighbor_id"), col("x.rk").as("rk"),
+        rd(col("x.score"), 6).as("sim"))
+      .orderBy("q_id", "rk")
 
   /** Multi-table random-hyperplane LSH: L independent tables of B sign bits.
     * Collision probability per plane is 1 − θ/π, so a pair at cosine s lands
@@ -96,16 +104,7 @@ object Similarity {
       .filter(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "qe", "neighbor_id", "ce")
       .dropDuplicates("q_id", "neighbor_id")
-    val sim = vecDot(col("qe"), col("ce")) /
-      nullIfZero(sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
-        rd(col("sim"), 6).as("sim"))
-      .orderBy("q_id", "rk")
+    rankTopK(cand.withColumn("sim", cosineSim(col("qe"), col("ce"))), k)
   }
 
   /** Embedding-cosine near-dup: exact top-k most-similar unordered pairs.
@@ -187,15 +186,11 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crk") <= nProbe)
       .select(col("q_id"), col("qe"), col("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assigned, "cell")
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("qe"), col("ce")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
-        rd(col("sim"), 6).as("sim"))
-      .orderBy("q_id", "rk")
+    rankTopK(
+      probes.join(assigned, "cell")
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosineSim(col("qe"), col("ce"))),
+      k)
   }
 
   /** Per-label centroids in long format (label, pos, centroid) — elementwise
