@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL callers at session build time —
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * (When the session is built by a harness that doesn't pass the conf,
+  * `graft.functions.VectorFunctions.register(spark)` does the same at
+  * runtime.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1),
+        es(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression()))
+  }
+}

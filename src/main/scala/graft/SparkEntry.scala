@@ -178,6 +178,33 @@ object SparkEntry {
         .select(col("event_id"), col("symbol"), dateStr(col("date")).as("date"),
           col("value"), col("asof_close").as("prev_close"))
         .orderBy("event_id")
+    }),
+
+    // -- published report metrics (reference relatório_volatilidade.ipynb) --
+    "q43_cumulative_return" -> ((s, dir) => {
+      val ord = struct(col("date"), col("close"))
+      MarketView.dailyBars(s, dir)
+        .groupBy("symbol")
+        .agg(min(ord).getField("close").as("first_close"),
+          max(ord).getField("close").as("last_close"))
+        .select(col("symbol"),
+          rd((col("last_close") / col("first_close") - 1) * 100, 4).as("retorno_acumulado"))
+        .orderBy(col("retorno_acumulado").desc, col("symbol").asc)
+    }),
+
+    "q44_global_weekly_vol" -> ((s, dir) =>
+      Analytics.weeklyVolatility(MarketView.fact(s, dir))
+        .agg(rd(avg(col("vol")), 4).as("volatilidade_semanal_media"),
+          count(lit(1)).as("n_weeks"))),
+
+    "q45_liquidity_share" -> ((s, dir) => {
+      val byTicker = MarketView.dailyBars(s, dir)
+        .groupBy("symbol").agg(sum(col("volume")).as("vt"))
+      val top5 = byTicker.orderBy(col("vt").desc, col("symbol").asc).limit(5)
+        .agg(sum(col("vt")).as("t5"))
+      val total = byTicker.agg(sum(col("vt")).as("total"))
+      top5.crossJoin(broadcast(total))
+        .select(rd(col("t5").cast("double") / col("total") * 100, 4).as("top5_share_pct"))
     })
   )
 
@@ -566,6 +593,29 @@ SELECT e.event_id, e.symbol, CAST(e.date AS VARCHAR) AS date, e.value,
 FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS date, event_id, value
       FROM events) e
 ASOF LEFT JOIN bars b ON e.symbol = b.symbol AND e.date > b.date
-ORDER BY e.event_id""")
+ORDER BY e.event_id"""),
+
+    "q43_cumulative_return" -> (BARS + """, fl AS (
+  SELECT symbol,
+         arg_min(close, date) AS first_close,
+         arg_max(close, date) AS last_close
+  FROM bars GROUP BY symbol
+)
+SELECT symbol, round((last_close / first_close - 1) * 100, 4) + 0 AS retorno_acumulado
+FROM fl ORDER BY retorno_acumulado DESC, symbol"""),
+
+    "q44_global_weekly_vol" -> (WEEKLY + """
+SELECT round(avg(vol), 4) + 0 AS volatilidade_semanal_media,
+       count(*) AS n_weeks
+FROM wv"""),
+
+    "q45_liquidity_share" -> (BARS + """, bt AS (
+  SELECT symbol, sum(k_total) AS vt
+  FROM (SELECT symbol, volume AS k_total FROM bars) GROUP BY symbol
+), t5 AS (
+  SELECT sum(vt) AS t5 FROM (SELECT vt FROM bt ORDER BY vt DESC, symbol LIMIT 5)
+), tot AS (SELECT sum(vt) AS total FROM bt)
+SELECT round(CAST(t5 AS DOUBLE) / total * 100, 4) + 0 AS top5_share_pct
+FROM t5, tot""")
   )
 }
