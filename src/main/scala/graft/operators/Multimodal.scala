@@ -25,6 +25,17 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int,
       frame_means: Array[Double])
 
+  /** Real-file ingestion path: `binaryFile` reads a directory of media files
+    * as (path, modificationTime, length, content binary) — the production
+    * entry for actual image/audio/video corpora. Partitioned parallel scan;
+    * `pathGlobFilter` prunes by extension at the source.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"), col("content").as("payload"))
+
   /** The media relation: payloads are the UTF-8 bytes of the document text
     * (the testdata carries no real media; byte-identical plumbing either way),
     * media_type assigned round-robin by doc_id — image/audio/video.
