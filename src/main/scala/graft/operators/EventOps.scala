@@ -52,7 +52,9 @@ object EventOps {
     */
   def propsRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast: malformed props degrade to NULL instead of failing the job
+      // under ANSI mode (matches the oracle's TRY_CAST)
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

@@ -66,16 +66,12 @@ object Similarity {
   }
 
   /** Per-table bucket ids: element t is the B-bit signature under table t's
-    * hyperplanes. One narrow projection — L·B codegen'd dot products per row.
+    * hyperplanes, via the single LshBuckets expression (one tight loop per
+    * row; composing 64 vec_dot columns instead overflows codegen and runs
+    * interpreted at ~40× the flop cost — see VectorExpressions.LshBuckets).
     */
-  private def buckets(vec: org.apache.spark.sql.Column, dim: Int) = {
-    val ps = planes(dim)
-    array((0 until Tables_L).map { t =>
-      (0 until Bits_B).map { r =>
-        when(vecDot(vec, typedlit(ps(t * Bits_B + r).toSeq)) > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
-  }
+  private def buckets(vec: org.apache.spark.sql.Column, dim: Int) =
+    graft.functions.VectorFunctions.lshBuckets(vec, planes(dim), Tables_L, Bits_B)
 
   /** Approximate top-k over the testdata embeddings (see `lshKnnFrom`). */
   def lshKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame =

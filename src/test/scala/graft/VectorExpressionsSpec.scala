@@ -45,6 +45,25 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(run(wholestage = true) == run(wholestage = false))
   }
 
+  test("lsh_buckets matches per-plane dot-product signs, both eval paths") {
+    val planes = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0),   // table 0: bits from x>0, y>0
+      Array(-1.0, 0.0), Array(0.0, -1.0)) // table 1: inverted signs
+    val df = Seq((1L, Array(3.0f, -2.0f)), (2L, Array(-1.0f, 5.0f)))
+      .toDF("id", "v")
+    def run(codegen: Boolean): Map[Long, Seq[Long]] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select(col("id"), lshBuckets(col("v"), planes, 2, 2).as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val out = run(codegen = true)
+    // id 1: x>0 bit0=1, y>0 bit1=0 -> 1; inverted -> bit0=0, bit1=1 -> 2
+    assert(out(1L) == Seq(1L, 2L))
+    assert(out(2L) == Seq(2L, 1L))
+    assert(run(codegen = false) == out)
+  }
+
   test("SQL registration: vec_dot / cosine_sim callable from spark.sql") {
     register(spark)
     vecs.createOrReplaceTempView("vtest")
