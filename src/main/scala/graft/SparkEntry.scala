@@ -197,6 +197,25 @@ object SparkEntry {
         .agg(rd(avg(col("vol")), 4).as("volatilidade_semanal_media"),
           count(lit(1)).as("n_weeks"))),
 
+    // -- windowed/statistical extensions over the bars --
+    "q46_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date").rowsBetween(-6, 0)
+      MarketView.dailyBars(s, dir)
+        .select(col("symbol"), dateStr(col("date")).as("date"),
+          rd(avg(col("close")).over(w), 6).as("ma7"))
+        .orderBy("symbol", "date")
+    }),
+
+    "q47_volume_percentiles" -> ((s, dir) =>
+      MarketView.dailyBars(s, dir)
+        .groupBy("symbol")
+        .agg(
+          rd(expr("percentile(volume, 0.5)"), 4).as("p50"),
+          rd(expr("percentile(volume, 0.9)"), 4).as("p90"),
+          rd(expr("percentile(volume, 0.99)"), 4).as("p99"))
+        .orderBy("symbol")),
+
     "q45_liquidity_share" -> ((s, dir) => {
       val byTicker = MarketView.dailyBars(s, dir)
         .groupBy("symbol").agg(sum(col("volume")).as("vt"))
@@ -616,6 +635,19 @@ FROM wv"""),
   SELECT sum(vt) AS t5 FROM (SELECT vt FROM bt ORDER BY vt DESC, symbol LIMIT 5)
 ), tot AS (SELECT sum(vt) AS total FROM bt)
 SELECT round(CAST(t5 AS DOUBLE) / total * 100, 4) + 0 AS top5_share_pct
-FROM t5, tot""")
+FROM t5, tot"""),
+
+    "q46_moving_avg" -> (BARS + """
+SELECT symbol, CAST(date AS VARCHAR) AS date,
+       round(avg(close) OVER (PARTITION BY symbol ORDER BY date
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) + 0 AS ma7
+FROM bars ORDER BY symbol, date"""),
+
+    "q47_volume_percentiles" -> (BARS + """
+SELECT symbol,
+       round(quantile_cont(volume, 0.5), 4) + 0 AS p50,
+       round(quantile_cont(volume, 0.9), 4) + 0 AS p90,
+       round(quantile_cont(volume, 0.99), 4) + 0 AS p99
+FROM bars GROUP BY symbol ORDER BY symbol""")
   )
 }
