@@ -1,0 +1,27 @@
+package graft
+
+import graft.pipeline.Report
+
+class ReportSpec extends SparkSpecBase {
+
+  test("executive report: all five sections, 5-entry rankings, period bounds") {
+    val r = Report.executiveReport(spark, sf)
+    assert(r.contains("RELATÓRIO EXECUTIVO"))
+    for (s <- Seq("1. RESUMO GERAL", "2. TOP 5 MAIOR VOLATILIDADE",
+      "3. TOP 5 MELHOR PERFORMANCE", "4. TOP 5 MAIOR LIQUIDEZ",
+      "5. PERFIS DE INVESTIDOR"))
+      assert(r.contains(s), s"missing section: $s")
+    // five ranked entries in each ranking section
+    assert("(?m)^5\\. [A-Za-z]".r.findAllIn(r).size >= 2)
+    assert(r.contains("PERÍODO ANALISADO: "))
+    // deterministic: no timestamps
+    assert(Report.executiveReport(spark, sf) == r)
+  }
+
+  test("writeTo persists the report file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_report")
+      .resolve("outputs/relatorio_completo.txt").toString
+    val r = Report.writeTo(spark, sf, out)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(out)) == r)
+  }
+}
