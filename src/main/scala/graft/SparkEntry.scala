@@ -197,6 +197,19 @@ object SparkEntry {
         .agg(rd(avg(col("vol")), 4).as("volatilidade_semanal_media"),
           count(lit(1)).as("n_weeks"))),
 
+    // -- set operations: week-1 vs week-2 user cohorts (SURVEY §2.7) --
+    "q48_user_cohort_setops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("date")).cast(org.apache.spark.sql.types.DateType).as("wk"))
+      val minW = e.agg(min(col("wk")).as("w1"))
+      val w1 = e.join(broadcast(minW), col("wk") === col("w1")).select("user_id").distinct()
+      val w2 = e.join(broadcast(minW), col("wk") === date_add(col("w1"), 7)).select("user_id").distinct()
+      w1.intersect(w2).agg(count(lit(1)).as("n_both"))
+        .crossJoin(w1.except(w2).agg(count(lit(1)).as("n_only_w1")))
+        .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
+    }),
+
     // -- windowed/statistical extensions over the bars --
     "q46_moving_avg" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -648,6 +661,17 @@ SELECT symbol,
        round(quantile_cont(volume, 0.5), 4) + 0 AS p50,
        round(quantile_cont(volume, 0.9), 4) + 0 AS p90,
        round(quantile_cont(volume, 0.99), 4) + 0 AS p99
-FROM bars GROUP BY symbol ORDER BY symbol""")
+FROM bars GROUP BY symbol ORDER BY symbol"""),
+
+    "q48_user_cohort_setops" -> """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk FROM events
+), w AS (SELECT min(wk) AS w1 FROM e),
+u1 AS (SELECT DISTINCT user_id FROM e, w WHERE wk = w1),
+u2 AS (SELECT DISTINCT user_id FROM e, w WHERE wk = w1 + INTERVAL 7 DAY)
+SELECT
+  (SELECT count(*) FROM (SELECT user_id FROM u1 INTERSECT SELECT user_id FROM u2)) AS n_both,
+  (SELECT count(*) FROM (SELECT user_id FROM u1 EXCEPT SELECT user_id FROM u2)) AS n_only_w1,
+  (SELECT count(*) FROM (SELECT user_id FROM u1 UNION SELECT user_id FROM u2)) AS n_union"""
   )
 }
