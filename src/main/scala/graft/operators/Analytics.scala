@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Fx._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
@@ -119,14 +120,22 @@ object Analytics {
         nanToNull(stddev_samp(col("variacao_diaria"))).as("vol"),
         avg(col("variacao_diaria")).as("vm"),
         sum(col("volume")).cast("double").as("vt"))
-    val g = metrics.agg(
-      max(col("vol")).as("vol_max"),
-      min(col("vm")).as("vm_min"), max(col("vm")).as("vm_max"),
-      min(col("vt")).as("vt_min"), max(col("vt")).as("vt_max"))
+    // grand min/max as a global window over the ALREADY-AGGREGATED metrics
+    // (ticker-cardinality rows): one lineage, one fact scan — the separate
+    // agg + crossJoin(broadcast) formulation forked the plan and scanned the
+    // fact twice, which at 100 TB doubles the dominant cost
+    val g = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withG = metrics
+      .withColumn("vol_max", max(col("vol")).over(g))
+      .withColumn("vm_min", min(col("vm")).over(g))
+      .withColumn("vm_max", max(col("vm")).over(g))
+      .withColumn("vt_min", min(col("vt")).over(g))
+      .withColumn("vt_max", max(col("vt")).over(g))
     val sSeg = lit(100.0) - col("vol") / nullIfZero(col("vol_max")) * 100
     val sPerf = (col("vm") - col("vm_min")) / nullIfZero(col("vm_max") - col("vm_min")) * 100
     val sLiq = (col("vt") - col("vt_min")) / nullIfZero(col("vt_max") - col("vt_min")) * 100
-    metrics.crossJoin(broadcast(g))
+    withG
       .select(col("symbol"),
         sSeg.as("s_seg"), sPerf.as("s_perf"), sLiq.as("s_liq"))
       .select(col("symbol"),
