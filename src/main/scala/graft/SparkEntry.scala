@@ -230,13 +230,17 @@ object SparkEntry {
         .orderBy("symbol")),
 
     "q45_liquidity_share" -> ((s, dir) => {
-      val byTicker = MarketView.dailyBars(s, dir)
+      // global total as an unbounded window over the per-ticker aggregates:
+      // one lineage, one scan (a separate total aggregate would fork the
+      // plan and scan the events twice)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      MarketView.dailyBars(s, dir)
         .groupBy("symbol").agg(sum(col("volume")).as("vt"))
-      val top5 = byTicker.orderBy(col("vt").desc, col("symbol").asc).limit(5)
-        .agg(sum(col("vt")).as("t5"))
-      val total = byTicker.agg(sum(col("vt")).as("total"))
-      top5.crossJoin(broadcast(total))
-        .select(rd(col("t5").cast("double") / col("total") * 100, 4).as("top5_share_pct"))
+        .withColumn("total", sum(col("vt")).over(w))
+        .orderBy(col("vt").desc, col("symbol").asc).limit(5)
+        .agg(rd(sum(col("vt")).cast("double") / max(col("total")) * 100, 4)
+          .as("top5_share_pct"))
     })
   )
 
