@@ -139,6 +139,7 @@ object SparkEntry {
     "q26_dedup_normalized" -> ((s, dir) => TextOps.dedupNormalizedProfile(s, dir)),
     "q27_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir, 20)),
     "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.5)),
+    "q49_minhash_lsh_portable" -> ((s, dir) => TextOps.minHashLshPairsPortable(s, dir, 0.5)),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
@@ -676,6 +677,54 @@ u2 AS (SELECT DISTINCT user_id FROM e, w WHERE wk = w1 + INTERVAL 7 DAY)
 SELECT
   (SELECT count(*) FROM (SELECT user_id FROM u1 INTERSECT SELECT user_id FROM u2)) AS n_both,
   (SELECT count(*) FROM (SELECT user_id FROM u1 EXCEPT SELECT user_id FROM u2)) AS n_only_w1,
-  (SELECT count(*) FROM (SELECT user_id FROM u1 UNION SELECT user_id FROM u2)) AS n_union"""
+  (SELECT count(*) FROM (SELECT user_id FROM u1 UNION SELECT user_id FROM u2)) AS n_union""",
+
+    "q49_minhash_lsh_portable" -> {
+      val minCols = (0 until 32).map(i =>
+        s"min(md5('$i|' || sg)) AS mh_$i").mkString(",\n         ")
+      val bandSelects = (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), mins AS (
+  SELECT doc_id,
+         $minCols
+  FROM sh GROUP BY doc_id
+), bands AS (
+  $bandSelects
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.sg = x.sg
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) + 0 AS jaccard
+FROM cand c
+  LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+  JOIN cnt ca ON c.doc_a = ca.doc_id
+  JOIN cnt cb ON c.doc_b = cb.doc_id
+WHERE round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) >= 0.5
+ORDER BY jaccard DESC, c.doc_a, c.doc_b"""
+    }
   )
 }

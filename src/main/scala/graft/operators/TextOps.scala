@@ -128,14 +128,42 @@ object TextOps {
         posexplode(array((0 until NumBands).map { b =>
           xxhash64((Seq(lit(b)) ++ (0 until BandRows).map(r => element_at(col("minhash"), b * BandRows + r + 1))): _*)
         }: _*)).as(Seq("band", "bucket")))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+    verifyCandidatePairs(sh, bandCandidates(bands), threshold)
+  }
+
+  /** md5-string MinHash variant with identical structure — every hash is
+    * portable SQL (md5 over strings, lexicographic string min), so the WHOLE
+    * pipeline (signatures → banding → candidates → exact-Jaccard verify) is
+    * value-checkable against a DuckDB oracle. xxhash64 (`minHashLshPairs`)
+    * stays the fast path; this one is the cross-engine-verifiable twin.
+    */
+  def minHashLshPairsPortable(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir)).cache()
+    val mins = (0 until NumPerms).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("sg")))).as(s"mh_$i"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
+        md5(concat_ws("|", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    verifyCandidatePairs(sh, bandCandidates(bands), threshold)
+  }
+
+  /** Distinct candidate pairs from any (doc_id, band, bucket) relation. */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle sets.
+    * Intersection size via equi-join on (doc, shingle) both times: candidate
+    * pairs expand to |shingles(a)| rows, then the (doc_b, sg) key joins only
+    * the matching shingles — never the |A|×|B| cartesian per pair.
+    */
+  private def verifyCandidatePairs(sh: DataFrame, cand: DataFrame,
+                                   threshold: Double): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Intersection size via equi-join on (doc, shingle) both times: candidate
-    // pairs expand to |shingles(a)| rows, then the (doc_b, sg) key joins only
-    // the matching shingles — never the |A|×|B| cartesian per pair.
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sg")), Seq("doc_b", "sg"))
