@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.operators.{Analytics, MarketView, Stars}
+import graft.operators.{Analytics, MarketView, Quality, Stars}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,6 +42,11 @@ object Pipeline {
       s"quality gate failed: rows=${gate.getLong(0)} null_criticals=${gate.getLong(1)}")
     expectedRows.foreach(n => require(stagingRows == n,
       s"row-count gate failed: expected $n, got $stagingRows"))
+    // expectation suite: one extra scan covering the row-level invariants
+    Quality.enforce(Quality.checkAll(stagingDf, Seq(
+      "critical_not_null" -> (col("close").isNotNull && col("date").isNotNull),
+      "ohlc_bounds" -> (col("low") <= col("high") &&
+        col("close") >= col("low") && col("close") <= col("high")))))
 
     // 5. create_dim_tables: distinct projections + insert-if-absent upsert
     val dimInstrument = upsertDim(spark, s"$warehouse/dim_instrumento",

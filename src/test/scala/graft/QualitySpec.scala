@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{MarketView, Quality}
+import graft.operators.Quality.CheckResult
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // no .cache(): the cached plan would be picked up by PlanSpec's identical
+  // dailyBars query and change its exchange count
+  private lazy val bars = MarketView.dailyBars(spark, sf)
+
+  test("checkAll: one scan, per-check violation counts") {
+    val results = Quality.checkAll(bars, Seq(
+      "close_not_null" -> col("close").isNotNull,
+      "volume_positive" -> (col("volume") > 0),
+      "low_le_high" -> (col("low") <= col("high")),
+      "never_true" -> (col("close") < -1)))
+    val byName = results.map(r => r.check -> r).toMap
+    assert(byName("close_not_null").passed)
+    assert(byName("volume_positive").passed)
+    assert(byName("low_le_high").passed)
+    assert(!byName("never_true").passed)
+    assert(byName("never_true").observed == bars.count())
+  }
+
+  test("null predicate counts as violation (coalesce guard)") {
+    val df = Seq(Some(1.0), None).toDF("x")
+    val r = Quality.checkAll(df, Seq("x_pos" -> (col("x") > 0)))
+    assert(!r.head.passed && r.head.observed == 1L) // NULL > 0 is not TRUE
+  }
+
+  test("rowCount and uniqueKey gates") {
+    assert(Quality.rowCount(bars, bars.count()).passed)
+    assert(!Quality.rowCount(bars, 1L).passed)
+    assert(Quality.uniqueKey(bars, Seq("symbol", "date")).passed)
+    assert(!Quality.uniqueKey(bars.unionByName(bars.limit(1)), Seq("symbol", "date")).passed)
+  }
+
+  test("referential integrity fact->dim") {
+    val fact = MarketView.fact(spark, sf)
+    val dim = graft.operators.Analytics.dimInstrument(bars)
+      .withColumnRenamed("ticker", "symbol_dim")
+    assert(Quality.referentialIntegrity(fact, "symbol", dim, "symbol_dim").passed)
+    val partialDim = dim.limit(2)
+    assert(!Quality.referentialIntegrity(fact, "symbol", partialDim, "symbol_dim").passed)
+  }
+
+  test("enforce raises listing every failed check") {
+    val e = intercept[IllegalArgumentException] {
+      Quality.enforce(Seq(
+        CheckResult("ok", passed = true, 0),
+        CheckResult("bad1", passed = false, 3),
+        CheckResult("bad2", passed = false, 7)))
+    }
+    assert(e.getMessage.contains("bad1") && e.getMessage.contains("bad2"))
+  }
+}
