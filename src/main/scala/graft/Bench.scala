@@ -24,12 +24,13 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // warmup at the smallest SF (skip silently if a query can't warm)
-    val warmDir = "/root/testdata/sf0.001"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      ordered.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
+    // warmup: one full pass at the TARGET SF so the timed pass measures
+    // steady-state throughput — warming at a smaller SF leaves janino
+    // recompiles in the timed run because AQE picks different plan shapes
+    // (broadcast vs shuffle) at different input sizes
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
