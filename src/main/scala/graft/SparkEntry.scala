@@ -145,6 +145,8 @@ object SparkEntry {
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
     "q32_token_counts" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "q33_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+    "q50_pii_redaction" -> ((s, dir) => TextOps.redactionProfile(s, dir)),
+    "q51_token_histogram" -> ((s, dir) => TextOps.tokenHistogram(s, dir)),
 
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
@@ -725,6 +727,29 @@ FROM cand c
   JOIN cnt cb ON c.doc_b = cb.doc_id
 WHERE round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) >= 0.5
 ORDER BY jaccard DESC, c.doc_a, c.doc_b"""
-    }
+    },
+
+    "q50_pii_redaction" -> """
+WITH m AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', 0)) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]', 0)) AS BIGINT) AS n_phones
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+FROM m GROUP BY source ORDER BY source""",
+
+    "q51_token_histogram" -> """
+WITH x AS (
+  SELECT CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS DOUBLE) AS n FROM documents
+)
+SELECT CAST(CASE WHEN n < 0.0 THEN 0
+            WHEN n >= 200.0 THEN 11
+            ELSE floor(n / 20.0) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM x GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -271,6 +271,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  /** PII scrubbing: redact email/phone patterns, report per-source counts.
+    * One projection + one aggregation — the scrub itself never shuffles.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("text_redacted"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  /** Per-source redaction profile over the scrubbed corpus. */
+  def redactionProfile(spark: SparkSession, dir: String): DataFrame =
+    redactPii(Tables.documents(spark, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L)).as("n_docs_redacted"))
+      .orderBy("source")
+
+  /** Token-length histogram: equal-width binning (width_bucket semantics,
+    * spelled as portable arithmetic: bucket 0 = below range, nBins+1 = above)
+    * of per-doc whitespace token counts — the corpus-length profile every
+    * training-data pipeline reports.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String,
+                     lo: Double = 0.0, hi: Double = 200.0, nBins: Int = 10): DataFrame = {
+    val x = size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("double")
+    val bucket = when(x < lo, 0L).when(x >= hi, nBins + 1L)
+      .otherwise(floor((x - lo) / ((hi - lo) / nBins)).cast("long") + 1L)
+    Tables.documents(spark, dir)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+  }
+
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
     * text (winnowing-style rolling signature; the min over a hash family is
     * order-independent and distributes as a plain min-aggregate).

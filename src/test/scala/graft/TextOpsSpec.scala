@@ -79,6 +79,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(5L) == "de")
   }
 
+  test("redactPii scrubs planted emails and phone numbers") {
+    val pii = Seq(
+      (1L, "en", "web", "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "en", "web", "nothing sensitive here at all")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.redactPii(pii).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "contact [EMAIL] or call [PHONE] now")
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(2L) == (("nothing sensitive here at all", 0L, 0L)))
+  }
+
+  test("tokenHistogram buckets partition the corpus") {
+    val h = TextOps.tokenHistogram(spark, sf)
+    assert(h.agg(sum("n_docs")).head().getLong(0) == 500L)
+    assert(h.select("bucket").as[Long].collect().forall(b => b >= 0 && b <= 11))
+  }
+
   test("fingerprints: identical docs share a fingerprint; window count = len-7") {
     val out = TextOps.fingerprints(docs)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
