@@ -40,6 +40,21 @@ object Tables {
   def readStagingCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(stagingSchema).option("header", "true").csv(path)
 
+  /** S2 variant: lenient ingest — malformed rows land in `_corrupt_record`
+    * instead of failing the job (the reference's COPY aborts the whole load
+    * on one bad row; at 100 TB you quarantine and continue). Callers split
+    * on `_corrupt_record IS NULL` for the clean/quarantine streams.
+    */
+  def readStagingCsvLenient(spark: SparkSession, path: String): DataFrame = {
+    val withCorrupt = StructType(stagingSchema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** Parquet table loader for the driver testdata layout (`TESTDATA.md`). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

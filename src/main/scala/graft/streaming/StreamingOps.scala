@@ -74,6 +74,25 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static join: enrich a stream with a (small) static dimension.
+    * The static side is broadcast per micro-batch — the streaming twin of the
+    * engine's broadcast star joins; no state store involved.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** foreachBatch parquet sink: appends each micro-batch to a parquet table
+    * partitioned by event date — the streaming write path that produces the
+    * same layout the batch pipeline reads (partition pruning downstream).
+    */
+  def parquetSink(agg: DataFrame, outPath: String, checkpoint: String) =
+    agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+
   /** File-source entry point over the same parquet schema as the batch path:
     * the engine's batch queries re-point to a stream by swapping `read` for
     * `readStream` — the transformations are shared.

@@ -69,6 +69,56 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichWithDim(events, dim, "user_id").writeStream
+      .format("memory").queryName("enriched_out").outputMode("append").start()
+    try {
+      input.addData((1L, 5.0), (3L, 7.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched_out")
+        .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+      assert(out(1L).contains("gold"))
+      assert(out(3L).isEmpty) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink appends micro-batches as parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val agg = events.groupBy("user_id").count()
+    val q = StreamingOps.parquetSink(agg, s"$dir/out", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0))
+      q.processAllAvailable()
+      input.addData((2L, 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() >= 2) // update-mode appends per-batch snapshots
+      assert(out.columns.toSeq == Seq("user_id", "count"))
+    } finally q.stop()
+  }
+
+  test("lenient CSV ingest quarantines malformed rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("q.csv"),
+      "date,symbol,open,high,low,close,volume\n" +
+        "2024-01-01,AAA,1.0,2.0,0.5,1.5,100\n" +
+        "not-a-date,BBB,oops,2.0,0.5,1.5,100\n")
+    // cache: Spark disallows querying only the corrupt column straight off
+    // the raw file scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = graft.sources.Tables.readStagingCsvLenient(spark, dir.toString).cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 1 && bad.count() == 1)
+    assert(clean.head().getAs[String]("symbol") == "AAA")
+  }
+
   test("eventStream: batch queries run unchanged on the streaming source") {
     val stream = StreamingOps.eventStream(spark, sf)
     assert(stream.isStreaming)
