@@ -154,6 +154,47 @@ object Similarity {
   def ivfKnn(spark: SparkSession, dir: String, nQueries: Int, k: Int, nProbe: Int = 3): DataFrame =
     ivfKnnFrom(Tables.embeddings(spark, dir), nQueries, k, nProbe)
 
+  /** Lloyd's k-means over embeddings, expressed as DataFrame ops: assignment
+    * is a broadcast cross join against the (tiny) centroid relation + argmax,
+    * the update is one hash aggregation per iteration. Centroids are seeded
+    * from deterministic hash-sampled rows. The per-iteration cost is one scan
+    * + one shuffle of (cell, pos, partial-mean) — linear at any corpus size;
+    * the centroid relation (k × dim) always fits in a broadcast.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // deterministic seed: the k vectors with smallest xxhash64(vec_id)
+    var cents = emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy("h")).cast("long") - 1)
+      .select(col("cell"), col("e").as("cvec"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      cents = emb.crossJoin(broadcast(cents))
+        .withColumn("csim", cosineSim(col("e"), col("cvec")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("c"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("cvec"))
+        .localCheckpoint(true) // cut lineage: each iteration re-reads 1 scan, not i scans
+    }
+    cents
+  }
+
+  /** IVF with TRAINED coarse centroids (k-means) instead of label seeding —
+    * the honest variant when no meaningful partition label exists.
+    */
+  def ivfKnnKmeans(embeddings: DataFrame, nQueries: Int, k: Int,
+                   nCells: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    ivfWithCentroids(emb, kmeansCentroids(embeddings, nCells, iters), nQueries, k, nProbe)
+  }
+
   /** Core IVF over any (vec_id, label, embedding) relation; `label` seeds the
     * coarse centroids.
     */
@@ -166,6 +207,12 @@ object Similarity {
       .groupBy("cell", "pos").agg(avg(col("v")).as("c"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("cvec"))
+    ivfWithCentroids(emb.select(col("vec_id"), col("e")), cents, nQueries, k, nProbe)
+  }
+
+  /** Shared IVF mechanics over any centroid relation (cell, cvec). */
+  private def ivfWithCentroids(emb: DataFrame, cents: DataFrame,
+                               nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
     // corpus: each vector lands in exactly its nearest cell (inverted list)
     val assigned = emb.crossJoin(broadcast(cents))

@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("ivfKnnKmeans: trained centroids recover clusters without labels") {
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until 8; m <- 0 until 25) yield
+      (c * 25L + m, centers(c).map(x => x + 0.12 * rng.nextGaussian()))
+    val emb = rows.toDF("vec_id", "embedding") // NOTE: no label column at all
+    val exact = Similarity.bruteKnnFrom(emb, 5, 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnKmeans(emb, 5, 3, nCells = 8, nProbe = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.85, s"k-means IVF recall $recall too low")
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
