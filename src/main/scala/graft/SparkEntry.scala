@@ -213,6 +213,16 @@ object SparkEntry {
         .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
     }),
 
+    // -- hierarchical rollup (year -> month -> grand total) --
+    "q52_rollup_calendar" -> ((s, dir) =>
+      MarketView.dailyBars(s, dir)
+        .rollup(year(col("date")).cast("long").as("ano"),
+          month(col("date")).cast("long").as("mes"))
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("volume")).as("volume_total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("ano"), col("mes"))),
+
     // -- windowed/statistical extensions over the bars --
     "q46_moving_avg" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -750,6 +760,16 @@ SELECT CAST(CASE WHEN n < 0.0 THEN 0
             WHEN n >= 200.0 THEN 11
             ELSE floor(n / 20.0) + 1 END AS BIGINT) AS bucket,
        count(*) AS n_docs
-FROM x GROUP BY bucket ORDER BY bucket"""
+FROM x GROUP BY bucket ORDER BY bucket""",
+
+    "q52_rollup_calendar" -> (BARS + """
+SELECT CAST(date_part('year', date) AS BIGINT) AS ano,
+       CAST(date_part('month', date) AS BIGINT) AS mes,
+       count(*) AS n_bars,
+       CAST(sum(volume) AS BIGINT) AS volume_total,
+       CAST(grouping(date_part('year', date)) * 2 + grouping(date_part('month', date)) AS BIGINT) AS gid
+FROM bars
+GROUP BY ROLLUP (date_part('year', date), date_part('month', date))
+ORDER BY gid, ano, mes""")
   )
 }
