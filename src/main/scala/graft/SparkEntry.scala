@@ -213,6 +213,14 @@ object SparkEntry {
         .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
     }),
 
+    // -- approximate (sketch) statistics: the 100 TB-mode variants of A11 --
+    // no oracle: HLL++/KLL sketch outputs are engine-specific; bounds are
+    // spec-tested against the exact values instead
+    "q53_approx_stats" -> ((s, dir) =>
+      Analytics.approxStats(MarketView.dailyBars(s, dir))
+        .select(col("n_symbols_approx"), col("n_days_approx"),
+          col("volume_quantiles_approx").cast("array<double>"))),
+
     // -- hierarchical rollup (year -> month -> grand total) --
     "q52_rollup_calendar" -> ((s, dir) =>
       MarketView.dailyBars(s, dir)

@@ -148,6 +148,17 @@ object Analytics {
       .orderBy("symbol")
   }
 
+  /** A11 scale variants: sketch-based approximations for the statistics whose
+    * exact forms hold per-key state proportional to cardinality. At 100 TB
+    * `countDistinct` shuffles every distinct value; HLL++ and KLL-style
+    * sketches shuffle fixed-size state per partition.
+    */
+  def approxStats(fact: DataFrame): DataFrame =
+    fact.agg(
+      approx_count_distinct(col("symbol")).as("n_symbols_approx"),
+      approx_count_distinct(col("date")).as("n_days_approx"),
+      expr("approx_percentile(volume, array(0.5, 0.9, 0.99))").as("volume_quantiles_approx"))
+
   /** T3: top-k tickers by mean daily variation (notebook `nlargest(5)` with a
     * deterministic ticker tie-break).
     */

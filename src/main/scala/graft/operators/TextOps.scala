@@ -80,6 +80,18 @@ object TextOps {
       .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       .drop("h")
 
+  /** Dedup with a keep-best policy: among exact duplicates keep the row with
+    * the highest `scoreCol` (doc_id ascending breaks ties) — the production
+    * shape where the survivor is chosen by quality, not arrival order. Still
+    * one hash aggregation: max over (score, -doc_id, payload) structs.
+    */
+  def dedupKeepBest(docs: DataFrame, scoreCol: String): DataFrame =
+    docs.withColumn("__h", md5(col("text")))
+      .withColumn("__ranked",
+        struct(col(scoreCol).as("s"), (-col("doc_id")).as("negId"), struct(docs.columns.map(col): _*).as("row")))
+      .groupBy("__h").agg(max(col("__ranked")).getField("row").as("row"))
+      .select(col("row.*"))
+
   /** n-gram Jaccard near-dup pairs within (lang, source) corpus buckets:
     * explode distinct shingles, equi-join on (bucket, shingle), count
     * intersections, Jaccard = |∩| / (|A| + |B| - |∩|). Top-k pairs.

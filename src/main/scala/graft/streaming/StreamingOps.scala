@@ -74,6 +74,15 @@ object StreamingOps {
       }
   }
 
+  /** Production state backend: RocksDB state store — keyed state spills to
+    * local disk instead of living on the executor heap, the difference
+    * between "fits" and "OOM" for high-cardinality session/window state at
+    * 100 TB. Call before starting stateful queries.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Stream-static join: enrich a stream with a (small) static dimension.
     * The static side is broadcast per micro-batch — the streaming twin of the
     * engine's broadcast star joins; no state store involved.

@@ -51,6 +51,32 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val bars = MarketView.dailyBars(spark, sf)
+      .withColumn("ano", org.apache.spark.sql.functions.year(col("date")))
+    graft.sources.Tables.overwrite(bars, s"$out/bars", Seq("ano"))
+    val anyYear = spark.read.parquet(s"$out/bars")
+      .select("ano").head().getInt(0)
+    val plan = spark.read.parquet(s"$out/bars")
+      .filter(col("ano") === anyYear).select("symbol", "close")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ano"),
+      s"year filter did not prune partitions:\n$plan")
+  }
+
+  test("approx stats stay within sketch error of exact values") {
+    val bars = MarketView.dailyBars(spark, sf)
+    val approx = Analytics.approxStats(bars).head()
+    val exact = bars.agg(
+      org.apache.spark.sql.functions.countDistinct(col("symbol")),
+      org.apache.spark.sql.functions.countDistinct(col("date"))).head()
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)) <= math.max(1, exact.getLong(0) / 20))
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)) <= math.max(1, exact.getLong(1) / 20))
+    val q = approx.getSeq[Any](2)
+    assert(q.size == 3)
+  }
+
   test("whole-stage codegen covers the scan->aggregate path") {
     val df = Stars.pricingSummary(spark, sf)
     df.collect() // AQE reports codegen spans only in the final executed plan

@@ -69,6 +69,27 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionization runs on the RocksDB state store backend") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamingOps.useRocksDbStateStore(spark)
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionWindows(events).writeStream
+      .format("memory").queryName("rocksdb_sessions").outputMode("complete").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 1.0), (ts("2024-01-01 12:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("rocksdb_sessions").count() == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join enriches events with the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]

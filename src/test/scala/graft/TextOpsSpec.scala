@@ -32,6 +32,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(kept == Set(1L, 2L, 3L, 5L)) // doc 4 is an exact dup of doc 1
   }
 
+  test("dedupKeepBest keeps the highest-scored duplicate, all columns intact") {
+    val scored = Seq(
+      (1L, "same text here", 0.2),
+      (2L, "same text here", 0.9),   // best duplicate — survives
+      (3L, "same text here", 0.9),   // tie -> lower doc_id wins
+      (4L, "unique text", 0.1)
+    ).toDF("doc_id", "text", "score")
+    val out = TextOps.dedupKeepBest(scored, "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.keySet == Set(2L, 4L))
+    assert(out(2L) == 0.9)
+  }
+
   test("jaccard via shingle join: near-dup pair scores high, disjoint absent") {
     val sh = TextOps.shingleSet(docs)
     // docs 1 and 2 share 6 of 7 trigrams within the (en, web) bucket:
