@@ -151,12 +151,21 @@ object TextOps {
     */
   def minHashLshPairsPortable(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val sh = shingleSet(Tables.documents(spark, dir)).cache()
-    val mins = (0 until NumPerms).map(i =>
-      min(md5(concat_ws("|", lit(i.toString), col("sg")))).as(s"mh_$i"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // permutations via explode + ONE narrow min-aggregate, not 32 wide string
+    // aggregates: same values, but the generated aggregate class stays small
+    // (the 32-column form compiled ~12 s of janino on first run) and the ×32
+    // row blow-up collapses map-side in the partial aggregation
+    val sig = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms - 1))).as("p"), col("sg"))
+      .groupBy("doc_id", "p")
+      .agg(min(md5(concat_ws("|", col("p"), col("sg")))).as("mh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("p"), col("mh")))).as("pm"))
+      .select(col("doc_id"), transform(col("pm"), x => x.getField("mh")).as("mhs"))
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
-        md5(concat_ws("|", (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*))
+        md5(concat_ws("|", (0 until BandRows).map(r =>
+          element_at(col("mhs"), b * BandRows + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
     verifyCandidatePairs(sh, bandCandidates(bands), threshold)
   }
