@@ -213,6 +213,20 @@ object SparkEntry {
         .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
     }),
 
+    // -- banded range join: ±3-day bar context per event --
+    "q54_range_join_band" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
+      val bars = MarketView.dailyBars(s, dir)
+        .select(col("symbol"), datediff(col("date"), epoch).cast("long").as("d"), col("close"))
+      val ev = MarketView.quotes(s, dir)
+        .select(col("event_id"), col("symbol"), datediff(col("date"), epoch).cast("long").as("d"))
+      RangeJoin.bandJoin(ev, bars, "symbol", "d", 3L, Seq("close"))
+        .groupBy("event_id")
+        .agg(rd(avg(col("r_close")), 6).as("band_avg_close"),
+          count(lit(1)).as("n_bars"))
+        .orderBy("event_id")
+    }),
+
     // -- approximate (sketch) statistics: the 100 TB-mode variants of A11 --
     // no oracle: HLL++/KLL sketch outputs are engine-specific; bounds are
     // spec-tested against the exact values instead
@@ -778,6 +792,15 @@ SELECT CAST(date_part('year', date) AS BIGINT) AS ano,
        CAST(grouping(date_part('year', date)) * 2 + grouping(date_part('month', date)) AS BIGINT) AS gid
 FROM bars
 GROUP BY ROLLUP (date_part('year', date), date_part('month', date))
-ORDER BY gid, ano, mes""")
+ORDER BY gid, ano, mes"""),
+
+    "q54_range_join_band" -> (BARS + """
+SELECT e.event_id,
+       round(avg(b.close), 6) + 0 AS band_avg_close,
+       count(*) AS n_bars
+FROM (SELECT event_id, event_type AS symbol, CAST(ts AS DATE) AS date FROM events) e
+JOIN bars b
+  ON e.symbol = b.symbol AND abs(date_diff('day', b.date, e.date)) <= 3
+GROUP BY e.event_id ORDER BY e.event_id""")
   )
 }
