@@ -140,14 +140,25 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(clean.head().getAs[String]("symbol") == "AAA")
   }
 
-  test("eventStream: batch queries run unchanged on the streaming source") {
+  test("eventStream: streaming weekly agg matches the batch twin row-for-row") {
     val stream = StreamingOps.eventStream(spark, sf)
     assert(stream.isStreaming)
     val q = StreamingOps.weeklyTumbling(stream).writeStream
       .format("memory").queryName("file_stream_out").outputMode("update").start()
     try {
       q.processAllAvailable()
-      assert(spark.table("file_stream_out").count() > 0)
+      // latest update per (week, type) from the stream...
+      val streamed = spark.table("file_stream_out")
+        .groupBy("semana", "event_type")
+        .agg(max("n_events").as("n_events"))
+        .select(col("semana").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      // ...must equal the batch weekly tumbling counts on the same parquet
+      val batch = graft.operators.EventOps.weeklyTumbling(spark, sf)
+        .select(col("semana").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
     } finally q.stop()
   }
 }
