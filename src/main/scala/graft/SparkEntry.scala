@@ -213,6 +213,15 @@ object SparkEntry {
         .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
     }),
 
+    // -- CUBE: all aggregation combinations of (symbol, year) --
+    "q55_cube_symbol_year" -> ((s, dir) =>
+      MarketView.dailyBars(s, dir)
+        .cube(col("symbol"), year(col("date")).cast("long").as("ano"))
+        .agg(count(lit(1)).as("n_bars"),
+          sum(col("volume")).as("volume_total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("symbol"), col("ano"))),
+
     // -- banded range join: ±3-day bar context per event --
     "q54_range_join_band" -> ((s, dir) => {
       val epoch = lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)
@@ -801,6 +810,16 @@ SELECT e.event_id,
 FROM (SELECT event_id, event_type AS symbol, CAST(ts AS DATE) AS date FROM events) e
 JOIN bars b
   ON e.symbol = b.symbol AND abs(date_diff('day', b.date, e.date)) <= 3
-GROUP BY e.event_id ORDER BY e.event_id""")
+GROUP BY e.event_id ORDER BY e.event_id"""),
+
+    "q55_cube_symbol_year" -> (BARS + """
+SELECT symbol,
+       CAST(date_part('year', date) AS BIGINT) AS ano,
+       count(*) AS n_bars,
+       CAST(sum(volume) AS BIGINT) AS volume_total,
+       CAST(grouping(symbol) * 2 + grouping(date_part('year', date)) AS BIGINT) AS gid
+FROM bars
+GROUP BY CUBE (symbol, date_part('year', date))
+ORDER BY gid, symbol, ano""")
   )
 }
