@@ -4,29 +4,39 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query and total wall-clock at
   * `SPARK_GRAFT_SF_DIR`.
   *
-  * A warmup pass runs every query once at sf0.001 first: it populates the JIT
-  * caches, Catalyst/codegen caches, and Hadoop filesystem classes so the
-  * timed pass measures steady-state engine throughput, not first-query JVM
-  * warmup (which otherwise lands on whichever query happens to run first and
-  * dominates its number). Queries are timed in name order, deterministically.
+  * A warmup pass runs every query once at the target SF first: it populates
+  * the JIT caches, Catalyst/codegen caches, and Hadoop filesystem classes so
+  * the timed pass measures steady-state engine throughput, not first-query
+  * JVM warmup (which otherwise lands on whichever query happens to run first
+  * and dominates its number). Queries are timed in name order,
+  * deterministically.
+  *
+  * Output hardening (round-3): the JSON line is ALSO written to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `/tmp/bench.json`) so consumers never
+  * depend on scraping it out of sbt/Spark log noise, a query that throws in
+  * the timed pass is reported in an `errors` map (not silently recorded as a
+  * fast success), and an empty query registry is a hard failure instead of a
+  * silent `"queries":{}`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // default codegen class cache (100 entries) evicts between the warmup
-      // and timed passes of 53 queries, putting janino recompiles of the
+      // and timed passes of 50+ queries, putting janino recompiles of the
       // widest stages back into the timed numbers
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    require(ordered.nonEmpty, "no queries registered in SparkEntry.queries — refusing to emit an empty bench")
 
     // warmup: one full pass at the TARGET SF so the timed pass measures
     // steady-state throughput — warming at a smaller SF leaves janino
@@ -42,13 +52,22 @@ object Bench {
     // steady-state a long-lived engine session runs in
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(results.forall(_._3.isEmpty),
+      s"bench had failing queries: ${results.collect { case (k, _, Some(_)) => k }.mkString(", ")}")
     spark.stop()
   }
 }

@@ -27,7 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-      (es: Seq[Expression]) => TopKByScore(es(0), es(1),
-        es(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression()))
+      (es: Seq[Expression]) => {
+        // accept any integral literal for k (SQL INT and BIGINT literals both
+        // arrive here); non-literal / non-integral k is a clear argument error
+        val k = es(2) match {
+          case Literal(v: Number, _) => v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score: k must be an integer literal, got $other")
+        }
+        require(k > 0 && k <= Int.MaxValue, s"topk_by_score: k out of range: $k")
+        TopKByScore(es(0), es(1), k.toInt).toAggregateExpression()
+      }))
   }
 }

@@ -201,16 +201,26 @@ object SparkEntry {
           count(lit(1)).as("n_weeks"))),
 
     // -- set operations: week-1 vs week-2 user cohorts (SURVEY §2.7) --
+    // intersect/except/union semantics as ONE flag-aggregation pass: the
+    // literal set-operator form forks the lineage and re-scans the fact once
+    // per set op (~6 scans); per-user membership flags + one summary aggregate
+    // answer all three counts with 2 scans (one tiny min-week, one main) and
+    // a single shuffle on user_id. The Dataset intersect/except operators
+    // themselves stay pinned by SetOpsSpec.
     "q48_user_cohort_setops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"),
           date_trunc("week", col("date")).cast(org.apache.spark.sql.types.DateType).as("wk"))
       val minW = e.agg(min(col("wk")).as("w1"))
-      val w1 = e.join(broadcast(minW), col("wk") === col("w1")).select("user_id").distinct()
-      val w2 = e.join(broadcast(minW), col("wk") === date_add(col("w1"), 7)).select("user_id").distinct()
-      w1.intersect(w2).agg(count(lit(1)).as("n_both"))
-        .crossJoin(w1.except(w2).agg(count(lit(1)).as("n_only_w1")))
-        .crossJoin(w1.union(w2).distinct().agg(count(lit(1)).as("n_union")))
+      val flags = e.join(broadcast(minW))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("wk") === col("w1"), 1).otherwise(0)).as("in_w1"),
+          max(when(col("wk") === date_add(col("w1"), 7), 1).otherwise(0)).as("in_w2"))
+      flags.agg(
+        sum(when(col("in_w1") === 1 && col("in_w2") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("in_w1") === 1 && col("in_w2") === 0, 1L).otherwise(0L)).as("n_only_w1"),
+        sum(when(col("in_w1") === 1 || col("in_w2") === 1, 1L).otherwise(0L)).as("n_union"))
     }),
 
     // -- CUBE: all aggregation combinations of (symbol, year) --
@@ -238,11 +248,15 @@ object SparkEntry {
 
     // -- approximate (sketch) statistics: the 100 TB-mode variants of A11 --
     // no oracle: HLL++/KLL sketch outputs are engine-specific; bounds are
-    // spec-tested against the exact values instead
+    // spec-tested against the exact values instead. The quantile sketch is
+    // projected to flat scalar columns (p50/p90/p99) — array-typed output
+    // columns break row canonicalization in downstream harnesses
     "q53_approx_stats" -> ((s, dir) =>
       Analytics.approxStats(MarketView.dailyBars(s, dir))
         .select(col("n_symbols_approx"), col("n_days_approx"),
-          col("volume_quantiles_approx").cast("array<double>"))),
+          element_at(col("volume_quantiles_approx"), 1).cast("double").as("p50_approx"),
+          element_at(col("volume_quantiles_approx"), 2).cast("double").as("p90_approx"),
+          element_at(col("volume_quantiles_approx"), 3).cast("double").as("p99_approx"))),
 
     // -- hierarchical rollup (year -> month -> grand total) --
     "q52_rollup_calendar" -> ((s, dir) =>

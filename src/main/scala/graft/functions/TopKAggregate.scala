@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -29,12 +29,16 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
 
   override def prettyName: String = "topk_by_score"
   override def children: Seq[Expression] = Seq(score, id)
+  // declared input types so a caller passing (float score, int id) gets an
+  // analysis-time implicit cast instead of a runtime ClassCastException in
+  // update()'s eval
+  override def inputTypes = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKByScore.entryType, containsNull = false)
 
