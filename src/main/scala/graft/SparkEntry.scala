@@ -737,10 +737,12 @@ SELECT
   (SELECT count(*) FROM (SELECT user_id FROM u1 UNION SELECT user_id FROM u2)) AS n_union""",
 
     "q49_minhash_lsh_portable" -> {
+      // double-hashing twin of TextOps.md5AB/minHashWide: one md5 per
+      // shingle, permutation i = a + (i+1)*b with a = 60 bits, b = 32 bits
       val minCols = (0 until 32).map(i =>
-        s"min(md5('$i|' || sg)) AS mh_$i").mkString(",\n         ")
+        s"min(a + ${i + 1} * b) AS mh_$i").mkString(",\n         ")
       val bandSelects = (0 until 8).map { b =>
-        val cols = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(" || '|' || ")
+        val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
       }.mkString("\n  UNION ALL\n  ")
       s"""
@@ -755,10 +757,15 @@ WITH d AS (
          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
   FROM t
+), ab AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b
+  FROM sh
 ), mins AS (
   SELECT doc_id,
          $minCols
-  FROM sh GROUP BY doc_id
+  FROM ab GROUP BY doc_id
 ), bands AS (
   $bandSelects
 ), cand AS (
