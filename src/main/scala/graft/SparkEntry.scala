@@ -154,6 +154,14 @@ object SparkEntry {
     "q36_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "q37_centroid_similarity" -> ((s, dir) => Similarity.centroidSimilarity(s, dir)),
     "q38_embedding_neardup" -> ((s, dir) => Similarity.topSimilarPairs(s, dir, 20)),
+    // the scale path for embedding near-dup: LSH-bucketed candidate pairs
+    // verified with exact cosine. q38's all-pairs form is the oracle baseline
+    // and is quadratic BY DESIGN; this is the registered entry that survives a
+    // 100× corpus (pair space from equi-joins on (table, bucket)). The oracle
+    // replicates the bucketing exactly — the hyperplanes are embedded in the
+    // SQL as literals from the same deterministic generator.
+    "q56_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDup(Tables.embeddings(s, dir), 0.35)),
     "q39_ivf_knn" -> ((s, dir) => Similarity.ivfKnn(s, dir, 5, 3)),
 
     // -- multimodal binary-column pipeline (north-star extension; decode stubbed) --
@@ -643,6 +651,43 @@ SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
              6) + 0 AS sim
 FROM vecs a JOIN vecs b ON a.label < b.label
 ORDER BY label_a, label_b""",
+
+    "q56_embedding_neardup_lsh" -> {
+      // replicate Similarity.lshNearDup exactly: the 64 hyperplanes (8 tables
+      // × 8 bits over dim 64) come from the same deterministic generator and
+      // ride in the SQL as DOUBLE[] literals; bit r of table t's bucket is
+      // set iff dot(v, plane[t*8+r]) > 0, matching LshBuckets.compute
+      val ps = Similarity.planes(64)
+      val values = ps.zipWithIndex.map { case (w, pid) =>
+        s"($pid, [${w.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n    ")
+      s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planes AS (
+  SELECT * FROM (VALUES
+    $values) AS p(pid, w)
+), bits AS (
+  SELECT e.vec_id, p.pid // ${Similarity.Bits_B} AS tbl,
+         CASE WHEN list_dot_product(e.v, p.w) > 0
+              THEN (1::BIGINT << (p.pid % ${Similarity.Bits_B})) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(a.v, b.v)
+               / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+               6) + 0 AS sim
+  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM scored
+WHERE sim >= 0.35 ORDER BY sim DESC, vec_a, vec_b"""
+    },
 
     "q38_embedding_neardup" -> """
 WITH e AS (

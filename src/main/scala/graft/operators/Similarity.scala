@@ -56,11 +56,15 @@ object Similarity {
     * standard amplification; Hamming-1 multi-probe on the query side adds
     * B·p^(B−1)(1−p) per table without growing the corpus index.
     */
-  private val Tables_L = 8
-  private val Bits_B = 8
+  private[graft] val Tables_L = 8
+  private[graft] val Bits_B = 8
 
-  /** Deterministic random hyperplanes (fixed seed, fixed dim). */
-  private def planes(dim: Int): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (fixed seed, fixed dim). Exposed
+    * package-wide so the DuckDB oracle for the LSH near-dup query can embed
+    * the SAME plane values as SQL literals and replicate the bucketing
+    * bit-for-bit.
+    */
+  private[graft] def planes(dim: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
     Array.fill(Tables_L * Bits_B, dim)(rng.nextGaussian())
   }
