@@ -141,6 +141,7 @@ object SparkEntry {
     "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.5)),
     "q49_minhash_lsh_portable" -> ((s, dir) => TextOps.minHashLshPairsPortable(s, dir, 0.5)),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
+    "q57_simhash_portable" -> ((s, dir) => TextOps.simHashPortable(Tables.documents(s, dir))),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
     "q32_token_counts" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -834,6 +835,31 @@ FROM cand c
   JOIN cnt cb ON c.doc_b = cb.doc_id
 WHERE round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) >= 0.5
 ORDER BY jaccard DESC, c.doc_a, c.doc_b"""
+    },
+
+    "q57_simhash_portable" -> {
+      // twin of TextOps.simHashPortable: 60 signed bit counters over
+      // md5-derived 60-bit token hashes, sign → bit
+      val counters = (0 until 60).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n         ")
+      val bitsSum = (0 until 60).map(b =>
+        s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n         + ")
+      s"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+), c AS (
+  SELECT doc_id,
+         $counters
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST($bitsSum AS BIGINT) AS simhash
+FROM c ORDER BY doc_id"""
     },
 
     "q50_pii_redaction" -> """

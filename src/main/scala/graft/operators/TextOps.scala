@@ -252,6 +252,26 @@ object TextOps {
     agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
+  /** Portable SimHash twin: 60-bit signature with the per-token hash drawn
+    * from md5 (first 15 hex chars → 60 bits, the same `conv` ≡
+    * `CAST('0x'||substr(...))` bridge as the portable MinHash) so the WHOLE
+    * signature is value-checkable against a DuckDB oracle. xxhash64
+    * (`simHash`) stays the fast path. Same shape: one distinct-token pass,
+    * 60 signed bit counters as plain aggregates, sign → bit.
+    */
+  def simHashPortable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val counters = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(counters.head, counters.tail: _*)
+    val sim = (0 until 60).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 4×16-bit chunk banding (any pair within Hamming
     * distance 3 shares a chunk), verified by bit_count(xor) ≤ maxHamming.
     */
