@@ -232,6 +232,28 @@ object SparkEntry {
         sum(when(col("in_w1") === 1 || col("in_w2") === 1, 1L).otherwise(0L)).as("n_union"))
     }),
 
+    // -- partition-pruning proof: write the bars date-partitioned, read ONE
+    // week back. The scan must show PartitionFilters (pinned by PlanSpec) —
+    // at 100 TB this layout turns a time-ranged query from a full-corpus scan
+    // into |days requested| partition reads. (All testdata lives in 2024-01,
+    // so date is the partition key with real selectivity: 7 of 30 dirs.)
+    "q58_partition_pruned_week" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_part_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.overwrite(
+        MarketView.dailyBars(s, dir).withColumn("dt", col("date")).drop("date"),
+        out, Seq("dt"))
+      val lo = lit("2024-01-08").cast(org.apache.spark.sql.types.DateType)
+      val hi = lit("2024-01-14").cast(org.apache.spark.sql.types.DateType)
+      s.read.parquet(out)
+        .filter(col("dt") >= lo && col("dt") <= hi)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_days"),
+          rd(avg(col("close")), 6).as("avg_close"),
+          sum(col("volume")).as("volume_total"))
+        .orderBy("symbol")
+    }),
+
     // -- CUBE: all aggregation combinations of (symbol, year) --
     "q55_cube_symbol_year" -> ((s, dir) =>
       MarketView.dailyBars(s, dir)
@@ -903,6 +925,14 @@ FROM (SELECT event_id, event_type AS symbol, CAST(ts AS DATE) AS date FROM event
 JOIN bars b
   ON e.symbol = b.symbol AND abs(date_diff('day', b.date, e.date)) <= 3
 GROUP BY e.event_id ORDER BY e.event_id"""),
+
+    "q58_partition_pruned_week" -> (BARS + """
+SELECT symbol, count(*) AS n_days,
+       round(avg(close), 6) + 0 AS avg_close,
+       CAST(sum(volume) AS BIGINT) AS volume_total
+FROM bars
+WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY symbol ORDER BY symbol"""),
 
     "q55_cube_symbol_year" -> (BARS + """
 SELECT symbol,

@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpecBase {
       s"year filter did not prune partitions:\n$plan")
   }
 
+  test("q58's one-week read prunes the date-partitioned layout at the scan") {
+    val df = SparkEntry.queries("q58_partition_pruned_week")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"q58 scan carries no partition filters:\n$plan")
+    assert(plan.contains("(dt"), s"date range not in partition filters:\n$plan")
+    // the data-side filter must be partition-only: no pushed data filter on dt
+    assert(df.collect().nonEmpty)
+  }
+
   test("approx stats stay within sketch error of exact values") {
     val bars = MarketView.dailyBars(spark, sf)
     val approx = Analytics.approxStats(bars).head()
