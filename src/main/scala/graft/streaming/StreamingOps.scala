@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming flavors of the engine's event operators (SURVEY.md §2.9).
   *
@@ -90,17 +90,46 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
-  /** foreachBatch parquet sink: appends each micro-batch to a parquet table
-    * partitioned by event date — the streaming write path that produces the
-    * same layout the batch pipeline reads (partition pruning downstream).
+  /** foreachBatch parquet sink for Update-mode aggregates: each micro-batch
+    * appends the keys it CHANGED, stamped with the batch id. Because updated
+    * keys land once per batch, a plain reader of the raw files would
+    * double-count — consume through `latestSnapshot`, which keeps exactly
+    * the newest row per key. (The alternative — Append mode — only ever
+    * emits watermark-finalized windows; this sink is for the running-state
+    * shape where downstream wants the current value of every key.)
     */
   def parquetSink(agg: DataFrame, outPath: String, checkpoint: String) =
     agg.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("append").parquet(outPath)
+        batch.withColumn("_batch_id", lit(id)).write.mode("append").parquet(outPath)
       }
+
+  /** Reader contract for `parquetSink` output: the latest snapshot per key —
+    * max-of-struct on (_batch_id, payload), one hash aggregation, no window
+    * sort (exactly one row per (key, batch) exists, so max _batch_id is the
+    * newest value).
+    */
+  def latestSnapshot(snapshots: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val payload = snapshots.columns.filterNot(c => keyCols.contains(c) || c == "_batch_id")
+    snapshots.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col("_batch_id") +: payload.map(col)): _*)).as("__r"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** One-shot backfill/catch-up run: Trigger.AvailableNow processes every
+    * record the source currently has — in rate-limited micro-batches, unlike
+    * the single giant batch of the legacy Trigger.Once — then terminates.
+    * The batch/stream unification lever: the SAME streaming query definition
+    * (and checkpoint) serves continuous and scheduled-backfill execution.
+    */
+  def runAvailableNow(agg: DataFrame, queryName: String,
+                      mode: OutputMode = OutputMode.Update()): StreamingQuery =
+    agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** File-source entry point over the same parquet schema as the batch path:
     * the engine's batch queries re-point to a stream by swapping `read` for

@@ -107,7 +107,7 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("foreachBatch sink appends micro-batches as parquet") {
+  test("foreachBatch sink: latestSnapshot recovers exact current values per key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
     val input = MemoryStream[(Long, Double)]
@@ -117,11 +117,32 @@ class StreamingOpsSpec extends SparkSpecBase {
     try {
       input.addData((1L, 1.0), (1L, 2.0))
       q.processAllAvailable()
-      input.addData((2L, 3.0))
+      input.addData((2L, 3.0), (1L, 4.0)) // user 1 updated again in batch 2
       q.processAllAvailable()
-      val out = spark.read.parquet(s"$dir/out")
-      assert(out.count() >= 2) // update-mode appends per-batch snapshots
-      assert(out.columns.toSeq == Seq("user_id", "count"))
+      val raw = spark.read.parquet(s"$dir/out")
+      assert(raw.columns.toSet == Set("user_id", "count", "_batch_id"))
+      assert(raw.filter(col("user_id") === 1L).count() == 2) // snapshot per batch
+      // the documented read path dedups to the newest row per key
+      val latest = StreamingOps.latestSnapshot(raw, Seq("user_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("AvailableNow trigger drains the file source, then terminates itself") {
+    val stream = StreamingOps.eventStream(spark, sf)
+    val q = StreamingOps.runAvailableNow(
+      StreamingOps.weeklyTumbling(stream), "avnow_out")
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      assert(!q.isActive)
+      // drained everything the source had: weekly totals match the batch twin
+      val streamed = spark.table("avnow_out")
+        .groupBy("semana", "event_type").agg(max("n_events").as("n_events"))
+        .agg(sum("n_events")).head().getLong(0)
+      val batch = graft.operators.EventOps.weeklyTumbling(spark, sf)
+        .agg(sum("n_events")).head().getLong(0)
+      assert(streamed == batch, s"drained $streamed events, batch says $batch")
     } finally q.stop()
   }
 
