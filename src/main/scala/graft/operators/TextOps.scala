@@ -178,32 +178,78 @@ object TextOps {
     minHashWide(xxhashAB(sh))
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"mh_$i")): _*).as("minhash"))
 
-  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
-    * 8 bands × 4 rows: docs sharing any band bucket become candidate pairs
-    * (equi-join on the band key — the scale path; candidate count is tied to
-    * true similarity, not corpus²), then candidates are verified against the
-    * exact shingle sets. Returns (doc_a, doc_b, jaccard) above `threshold`.
+  /** Exact-duplicate collapse shared by the LSH near-dup family: identical
+    * normalized text ⇒ identical shingle set ⇒ identical MinHash signature,
+    * so LSH only ever needs ONE representative per exact-dup cluster.
+    * Collapsing first makes the candidate pair space scale with the number
+    * of DISTINCT texts: on a dup-heavy corpus (every web crawl) banding over
+    * raw doc ids is quadratic inside each cluster — the 10× sweep corpus
+    * (10-member clusters) produced 21.4M candidate pairs raw vs ~214k
+    * collapsed, and the verified pairs expand back afterwards in time linear
+    * in OUTPUT size. Returns (memberships doc_id→(ck, rep), rep shingle set),
+    * both cached once per (session, dir).
     */
-  def minHashLshPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = shingleSetShared(spark, dir)
-    val bands = bandsFromWide(minHashWide(xxhashAB(sh)), cols => xxhash64(cols: _*))
-    verifyCandidatePairs(sh, bandCandidates(bands), threshold)
-  }
+  private case class DedupBase(withRep: DataFrame, repSh: DataFrame)
+  private val dedupBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DedupBase]
+  private def dedupBase(spark: SparkSession, dir: String): DedupBase =
+    dedupBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val docs = Tables.documents(spark, dir)
+      val mem = docs.select(col("doc_id"), md5(normText(col("text"))).as("ck"))
+      val reps = mem.groupBy("ck").agg(min("doc_id").as("rep"))
+      val withRep = mem.join(reps, "ck").cache()
+      val repSh = shingleSet(
+        docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")).cache()
+      DedupBase(withRep, repSh)
+    })
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    * 8 bands × 4 rows: representatives sharing any band bucket become
+    * candidate pairs (equi-join on the band key — candidate count tracks true
+    * similarity among DISTINCT texts, never corpus²), candidates are verified
+    * against the exact shingle sets, then rep pairs expand to all member doc
+    * pairs and intra-cluster pairs join at Jaccard 1.0. Output is EXACTLY the
+    * raw-per-doc algorithm's (identical docs collide in every band), in time
+    * linear in distinct-text structure + output size.
+    */
+  def minHashLshPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    lshNearDupPairs(spark, dir, xxhashAB, cols => xxhash64(cols: _*), threshold)
 
   /** md5-based MinHash twin with identical structure — the base hash and the
     * permutation arithmetic are portable SQL, so the WHOLE pipeline
-    * (signatures → banding → candidates → exact-Jaccard verify) is
-    * value-checkable against a DuckDB oracle. xxhash64 (`minHashLshPairs`)
-    * stays the fast path; this one is the cross-engine-verifiable twin, and
-    * since round 3 it shares the same one-hash-per-shingle double-hashing
-    * core (the previous hex-string form hashed every shingle 32× and paid
-    * two extra shuffles for array assembly — ~3× the portable path's cost).
+    * (signatures → banding → candidates → exact-Jaccard verify → cluster
+    * expansion) is value-checkable against a DuckDB oracle that runs the
+    * raw-per-doc algorithm. xxhash64 (`minHashLshPairs`) stays the fast path.
     */
-  def minHashLshPairsPortable(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = shingleSetShared(spark, dir)
-    val bands = bandsFromWide(minHashWide(md5AB(sh)),
-      cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)))
-    verifyCandidatePairs(sh, bandCandidates(bands), threshold)
+  def minHashLshPairsPortable(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    lshNearDupPairs(spark, dir, md5AB,
+      cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)), threshold)
+
+  private def lshNearDupPairs(spark: SparkSession, dir: String,
+                              abOf: DataFrame => DataFrame,
+                              bucketHash: Seq[Column] => Column,
+                              threshold: Double): DataFrame = {
+    val base = dedupBase(spark, dir)
+    val bands = bandsFromWide(minHashWide(abOf(base.repSh)), bucketHash)
+    val repPairs = verifyCandidatePairs(base.repSh, bandCandidates(bands), threshold)
+    // cross-cluster pairs: every member×member combination of a verified rep
+    // pair shares its Jaccard (identical shingle sets per cluster)
+    val cross = repPairs
+      .join(base.withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(base.withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // intra-cluster pairs: exact dups are Jaccard 1.0 — but only clusters
+    // whose text yields ≥1 shingle ever band-collide in the raw algorithm
+    // (< 3 tokens ⇒ no signature ⇒ no candidates), so mirror that exactly
+    val shingled = base.repSh.select(col("doc_id").as("rep")).distinct()
+    val intraMem = base.withRep.join(shingled, "rep").select(col("ck"), col("doc_id"))
+    val intra = intraMem.as("x").join(intraMem.as("y"), "ck")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
   }
 
   /** Distinct candidate pairs from any (doc_id, band, bucket) relation. */
@@ -217,22 +263,29 @@ object TextOps {
     * Intersection size via equi-join on (doc, shingle) both times: candidate
     * pairs expand to |shingles(a)| rows, then the (doc_b, sg) key joins only
     * the matching shingles — never the |A|×|B| cartesian per pair.
+    *
+    * Scoring reads from `inter` ALONE: a candidate pair absent from `inter`
+    * shares zero shingles, has Jaccard 0, and can never clear a positive
+    * threshold — so the zero-fill left-join back to `cand` is pure waste
+    * (on a dup-heavy 10× corpus that join was a 21M×21M sort-merge plus a
+    * full recompute of the un-cached candidate relation). Returns UNSORTED
+    * scored pairs: callers order after any downstream expansion.
     */
   private def verifyCandidatePairs(sh: DataFrame, cand: DataFrame,
                                    threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "threshold must be positive: zero-overlap candidate pairs are pruned, not scored")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sg")), Seq("doc_b", "sg"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
+    inter
       .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         rd(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
   }
 
   /** 64-bit SimHash per doc: per distinct token, hash once; 64 signed bit
