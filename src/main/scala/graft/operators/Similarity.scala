@@ -131,18 +131,42 @@ object Similarity {
   /** Embedding-cosine near-dup at scale: multi-table LSH candidate pairs
     * verified with exact cosine — the embedding twin of minhash→jaccard.
     * Pair space comes from equi-joins on (table, bucket), never corpus².
+    *
+    * Like the text path (`TextOps.minHashLshPairs`), exact duplicates are
+    * collapsed FIRST: identical vectors have identical buckets and identical
+    * pairwise cosines, so LSH runs on one representative per distinct vector
+    * and verified rep pairs expand back to member pairs (intra-cluster pairs
+    * score exactly 1.0; zero-norm clusters are excluded — their cosine is
+    * NULL in the raw algorithm). Output is EXACTLY the raw per-vector
+    * algorithm's; on a dup-heavy corpus the candidate space scales with
+    * distinct vectors, not members².
     */
   def lshNearDup(embeddings: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val reps = emb.groupBy("e").agg(min("vec_id").as("rep"))
+    val mem = emb.join(reps, "e").select(col("vec_id"), col("rep"), col("e"))
+    val idx = reps.select(col("rep").as("vec_id"), col("e"))
       .withColumn("bks", buckets(col("e"), dim))
-    val idx = emb.select(col("vec_id"), col("e"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    idx.as("x").join(idx.as("y"), Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("e"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val repPairs = idx.as("x").join(idx.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.e").as("ea"), col("y.e").as("eb"))
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), rd(cosineSim(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+    val cross = repPairs
+      .join(mem.select(col("rep").as("vec_a"), col("vec_id").as("va")), "vec_a")
+      .join(mem.select(col("rep").as("vec_b"), col("vec_id").as("vb")), "vec_b")
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
+    val intra = mem.as("x").join(mem.as("y"), "rep")
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .filter(vecDot(col("x.e"), col("x.e")) > 0)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        lit(1.0).as("sim"))
+    cross.union(intra)
       .filter(col("sim") >= threshold)
       .orderBy(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
   }
