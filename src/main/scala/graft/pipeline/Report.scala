@@ -17,7 +17,17 @@ object Report {
 
   private val Bar = "═" * 79
 
-  def executiveReport(spark: SparkSession, dir: String): String = {
+  /** F13: the reference stamps the report with the generation time
+    * (`analysis/análise_exploratória.ipynb` cell 27, `pd.Timestamp.now()
+    * .strftime`). The stamp is an explicit parameter here — `None` (the
+    * default) keeps report output deterministic for oracle comparison;
+    * callers that want the reference's stamped header pass the clock in.
+    */
+  private val StampFmt = java.time.format.DateTimeFormatter
+    .ofPattern("dd/MM/yyyy HH:mm").withZone(java.time.ZoneOffset.UTC)
+
+  def executiveReport(spark: SparkSession, dir: String,
+                      generatedAt: Option[java.time.Instant] = None): String = {
     val fact = MarketView.fact(spark, dir).cache()
 
     val g = Analytics.globalStats(fact).head()
@@ -35,8 +45,10 @@ object Report {
     def bestBy(col: Int): String =
       scores.maxBy(_.getDouble(col)).getString(0)
 
+    val stamp = generatedAt.map(i => s"\nGerado em: ${StampFmt.format(i)}").getOrElse("")
+
     s"""RELATÓRIO EXECUTIVO — ANÁLISE DE MERCADO
-$Bar
+$Bar$stamp
 PERÍODO ANALISADO: ${g.getAs[String]("first_date")} até ${g.getAs[String]("last_date")}
 
 1. RESUMO GERAL
@@ -69,8 +81,9 @@ Agressivo   (20%% segurança / 50%% performance / 30%% liquidez): ${bestBy(6)}
   }
 
   /** S9 sink: write the report to a text file (driver-side). */
-  def writeTo(spark: SparkSession, dir: String, outPath: String): String = {
-    val r = executiveReport(spark, dir)
+  def writeTo(spark: SparkSession, dir: String, outPath: String,
+              generatedAt: Option[java.time.Instant] = None): String = {
+    val r = executiveReport(spark, dir, generatedAt)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outPath).getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), r)
     r

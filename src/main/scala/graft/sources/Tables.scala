@@ -29,6 +29,24 @@ object Tables {
     StructField("volume", LongType, nullable = true)
   ))
 
+  /** Exact-NUMERIC staging schema: the reference stores prices as Postgres
+    * NUMERIC (`sql/setup_staging.sql:7-10`); the engine default is
+    * DoubleType (SURVEY.md §1.2 — observable semantics of the reference's
+    * pandas analytics are float64), but pipelines that demand exact decimal
+    * parity (no binary-FP representation error, order-independent sums by
+    * construction) can ingest with this schema instead. DecimalType(38,6)
+    * arithmetic stays whole-stage-codegen'd; aggregate-heavy paths cost
+    * ~2–3× double's throughput, which is the documented trade.
+    */
+  val stagingSchemaDecimal: StructType = StructType(stagingSchema.fields.map {
+    case StructField(n, DoubleType, nul, m) => StructField(n, DecimalType(38, 6), nul, m)
+    case f => f
+  })
+
+  /** S2 variant: exact-decimal ingest (see `stagingSchemaDecimal`). */
+  def readStagingCsvDecimal(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(stagingSchemaDecimal).option("header", "true").csv(path)
+
   /** S1: fail-fast existence check (reference `dags/financial_pipeline.py:20-29`). */
   def requireExists(path: String): Unit =
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),

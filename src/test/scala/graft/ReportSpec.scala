@@ -18,6 +18,13 @@ class ReportSpec extends SparkSpecBase {
     assert(Report.executiveReport(spark, sf) == r)
   }
 
+  test("generatedAt stamps the header; default stays deterministic") {
+    val i = java.time.Instant.parse("2024-02-03T14:30:00Z")
+    val stamped = Report.executiveReport(spark, sf, Some(i))
+    assert(stamped.contains("Gerado em: 03/02/2024 14:30"))
+    assert(!Report.executiveReport(spark, sf).contains("Gerado em"))
+  }
+
   test("writeTo persists the report file") {
     val out = java.nio.file.Files.createTempDirectory("graft_report")
       .resolve("outputs/relatorio_completo.txt").toString
