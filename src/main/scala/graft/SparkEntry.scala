@@ -148,6 +148,10 @@ object SparkEntry {
     "q33_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "q50_pii_redaction" -> ((s, dir) => TextOps.redactionProfile(s, dir)),
     "q51_token_histogram" -> ((s, dir) => TextOps.tokenHistogram(s, dir)),
+    // deterministic hash-bucket train/val/test split: membership is a pure
+    // function of doc_id (stable under corpus growth, reproducible on any
+    // engine) — the sampling primitive of a training-data pipeline
+    "q59_split_profile" -> ((s, dir) => TextOps.splitProfile(s, dir)),
 
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
@@ -896,6 +900,18 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_phones) AS BIGINT) AS n_phones,
        CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
 FROM m GROUP BY source ORDER BY source""",
+
+    "q59_split_profile" -> """
+WITH b AS (
+  SELECT source, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[^\s]+', 0))) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2 ORDER BY source, split""",
 
     "q51_token_histogram" -> """
 WITH x AS (

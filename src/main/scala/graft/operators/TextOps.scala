@@ -441,6 +441,38 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Deterministic hash-bucket assignment in [0, buckets): md5 of the key
+    * column's string form, first 15 hex chars → BIGINT, mod buckets. The
+    * sampling/split primitive every training-data pipeline needs: membership
+    * is a pure function of the KEY (stable across runs, engines, and corpus
+    * growth — a doc keeps its split when new data arrives), and the same
+    * arithmetic is expressible in any SQL engine for verification. One narrow
+    * projection: no shuffle, no RNG state.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Deterministic train/val/test split: doc → split label by hash bucket
+    * percentage (train gets [0, pTrain), val [pTrain, pTrain+pVal), test the
+    * rest, out of 100 buckets).
+    */
+  def splitAssign(docs: DataFrame, keyCol: String,
+                  pTrain: Int = 90, pVal: Int = 5): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    docs.withColumn("split",
+      when(b < pTrain, "train").when(b < pTrain + pVal, "val").otherwise("test"))
+  }
+
+  /** Per-(source, split) profile of the deterministic split — the sanity
+    * report (counts + token mass per split) run before any training job.
+    */
+  def splitProfile(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))).cast("long").as("n_tokens"))
+      .orderBy("source", "split")
+
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
     * text (winnowing-style rolling signature; the min over a hash family is
     * order-independent and distributes as a plain min-aggregate).

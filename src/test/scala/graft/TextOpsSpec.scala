@@ -104,6 +104,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(2L) == (("nothing sensitive here at all", 0L, 0L)))
   }
 
+  test("hash split: deterministic, partitioning, roughly proportional") {
+    val a = TextOps.splitAssign(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = TextOps.splitAssign(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)                       // pure function of the key
+    assert(a.values.forall(Set("train", "val", "test")))
+    // corpus-level proportions at sf: ~90/5/5 within loose bounds
+    val big = TextOps.splitAssign(
+      graft.sources.Tables.documents(spark, sf), "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = big.values.sum.toDouble
+    assert(big("train") / n > 0.8 && big("train") / n < 0.97)
+  }
+
   test("tokenHistogram buckets partition the corpus") {
     val h = TextOps.tokenHistogram(spark, sf)
     assert(h.agg(sum("n_docs")).head().getLong(0) == 500L)
