@@ -152,6 +152,9 @@ object SparkEntry {
     // function of doc_id (stable under corpus growth, reproducible on any
     // engine) — the sampling primitive of a training-data pipeline
     "q59_split_profile" -> ((s, dir) => TextOps.splitProfile(s, dir)),
+    // TF-IDF discriminative terms per lang: the rank window runs over the
+    // aggregated vocabulary, never the token stream
+    "q60_tfidf_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir, 10)),
 
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
@@ -912,6 +915,30 @@ SELECT source,
        count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '[^\s]+', 0))) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1, 2 ORDER BY source, split""",
+
+    "q60_tfidf_terms" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (
+  SELECT doc_id, lang, tok FROM t WHERE length(tok) > 0
+), n AS (SELECT count(*) AS n_total FROM documents),
+stats AS (
+  SELECT lang, tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1, 2
+), scored AS (
+  SELECT lang, tok, cnt, df,
+         cnt * ln(CAST(n_total AS DOUBLE) / df) AS score
+  FROM stats CROSS JOIN n
+), ranked AS (
+  SELECT lang, tok, cnt, df, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rk
+  FROM scored
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, tok, cnt, df,
+       round(score, 6) + 0 AS tfidf_mass
+FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
 
     "q51_token_histogram" -> """
 WITH x AS (

@@ -473,6 +473,36 @@ object TextOps {
         sum(size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))).cast("long").as("n_tokens"))
       .orderBy("source", "split")
 
+  /** TF-IDF corpus term statistics: per (lang, token) document frequency,
+    * occurrence count, idf = ln(N/df), and tf·idf mass; top-k most
+    * discriminative terms per lang. The scan side is two hash aggregations
+    * over exploded tokens (occurrences, then distinct-doc df via one count
+    * + one countDistinct in the same pass); the rank window runs over the
+    * AGGREGATED (lang, token) relation — bounded by vocabulary size, never
+    * corpus size — so the sort shuffles the vocab, not the token stream.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val tok = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val stats = tok.groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .join(broadcast(n))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("score").desc, col("tok").asc)
+    stats
+      .withColumn("score", col("cnt") * log(col("n_total").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"), col("df"),
+        rd(col("score"), 6).as("tfidf_mass"))
+      .orderBy("lang", "rk")
+  }
+
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
     * text (winnowing-style rolling signature; the min over a hash family is
     * order-independent and distributes as a plain min-aggregate).
