@@ -90,6 +90,27 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream inner join: match rows of two live streams on
+    * a key within a bounded event-time band. Both sides buffer in the state
+    * store, sharded by the join key like a shuffle; the watermark + time
+    * bound let Spark EVICT state for rows that can no longer match — without
+    * the range condition, stream-stream join state grows forever. The
+    * streaming twin of the batch as-of/range-join family: orders matched to
+    * fills, quotes to trades, impressions to clicks.
+    */
+  def bandJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                      band: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", band)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", band)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $band"))
+      .drop("r_key")
+  }
+
   /** foreachBatch parquet sink for Update-mode aggregates: each micro-batch
     * appends the keys it CHANGED, stamped with the batch id. Because updated
     * keys land once per batch, a plain reader of the raw files would

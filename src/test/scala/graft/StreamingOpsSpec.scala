@@ -107,6 +107,29 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream band join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp, Double)]
+    val fills = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.bandJoinStreams(
+      orders.toDF().toDF("order_id", "ts", "value"),
+      fills.toDF().toDF("order_id", "ts", "value"), "order_id")
+    val q = joined.writeStream
+      .format("memory").queryName("band_join_out").outputMode("append").start()
+    try {
+      orders.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100.0),
+        (2L, ts("2024-01-01 10:00:00"), 200.0))
+      fills.addData(
+        (1L, ts("2024-01-01 10:05:00"), 100.5), // within 10-min band -> match
+        (2L, ts("2024-01-01 10:30:00"), 199.5)) // outside band -> no match
+      q.processAllAvailable()
+      val out = spark.table("band_join_out")
+        .select("order_id", "r_value").as[(Long, Double)].collect().toMap
+      assert(out == Map(1L -> 100.5))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: latestSnapshot recovers exact current values per key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
