@@ -325,6 +325,35 @@ object SparkEntry {
           rd(expr("percentile(volume, 0.99)"), 4).as("p99"))
         .orderBy("symbol")),
 
+    // Bollinger bands: 20-day moving mean ± 2×stddev per symbol — the same
+    // one-exchange window shape as q46 (one shuffle on symbol, in-partition
+    // frame scan; at 100 TB the shuffle carries daily bars, never ticks)
+    "q61_bollinger" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date").rowsBetween(-19, 0)
+      MarketView.dailyBars(s, dir)
+        .select(col("symbol"), dateStr(col("date")).as("date"),
+          rd(avg(col("close")).over(w), 6).as("ma20"),
+          rd(nanToNull(stddev_samp(col("close")).over(w)), 6).as("sd20"))
+        .withColumn("upper", rd(col("ma20") + col("sd20") * 2, 6))
+        .withColumn("lower", rd(col("ma20") - col("sd20") * 2, 6))
+        .orderBy("symbol", "date")
+    }),
+
+    // max drawdown per symbol: running peak (cummax window) then the worst
+    // peak-to-trough ratio — a two-window single-exchange lineage
+    "q62_max_drawdown" -> ((s, dir) => {
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date")
+        .rowsBetween(Long.MinValue, 0)
+      MarketView.dailyBars(s, dir)
+        .select(col("symbol"), col("close"),
+          max(col("close")).over(run).as("peak"))
+        .groupBy("symbol")
+        .agg(rd(min(col("close") / col("peak") - 1) * 100, 4).as("max_drawdown_pct"))
+        .orderBy("symbol")
+    }),
+
     "q45_liquidity_share" -> ((s, dir) => {
       // global total as an unbounded window over the per-ticker aggregates:
       // one lineage, one scan (a separate total aggregate would fork the
@@ -777,6 +806,32 @@ FROM fl ORDER BY retorno_acumulado DESC, symbol"""),
 SELECT round(avg(vol), 4) + 0 AS volatilidade_semanal_media,
        count(*) AS n_weeks
 FROM wv"""),
+
+    "q61_bollinger" -> (BARS + """
+SELECT symbol, CAST(date AS VARCHAR) AS date,
+       round(ma20, 6) + 0 AS ma20,
+       round(sd20, 6) + 0 AS sd20,
+       round(round(ma20, 6) + 2 * round(sd20, 6), 6) + 0 AS upper,
+       round(round(ma20, 6) - 2 * round(sd20, 6), 6) + 0 AS lower
+FROM (
+  SELECT symbol, date,
+         avg(close) OVER w AS ma20,
+         stddev_samp(close) OVER w AS sd20
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+ORDER BY symbol, date"""),
+
+    "q62_max_drawdown" -> (BARS + """
+SELECT symbol,
+       round(min(close / peak - 1) * 100, 4) + 0 AS max_drawdown_pct
+FROM (
+  SELECT symbol, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bars
+)
+GROUP BY symbol ORDER BY symbol"""),
 
     "q45_liquidity_share" -> (BARS + """, bt AS (
   SELECT symbol, sum(k_total) AS vt
