@@ -132,6 +132,25 @@ object SparkEntry {
           col("n_events"), col("n_users"), col("sum_value"))
         .orderBy("event_type", "semana")),
     "q23_user_sessions" -> ((s, dir) => EventOps.userSessions(s, dir)),
+    // ordered conversion funnel (view -> click -> purchase by first
+    // occurrence): one scan, one shuffle on user_id, singleton rollup.
+    // Comparisons run on the raw nanosecond longs - no precision loss
+    "q63_event_funnel" -> ((s, dir) => {
+      val f = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_ns"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts_ns"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts_ns"))).as("tp"))
+      f.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("tv").isNotNull && col("tc").isNotNull &&
+          col("tc") > col("tv"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("tv").isNotNull && col("tc").isNotNull && col("tp").isNotNull &&
+          col("tc") > col("tv") && col("tp") > col("tc"), 1L).otherwise(0L))
+          .as("n_view_click_purchase"))
+    }),
     "q24_props_rollup" -> ((s, dir) => EventOps.propsRollup(s, dir)),
 
     // -- LLM-pipeline text operators over documents (north-star extension) --
@@ -554,6 +573,23 @@ SELECT user_id,
        CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM x GROUP BY user_id ORDER BY user_id""",
+
+    "q63_event_funnel" -> """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tc > tv
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+                     AND tc > tv AND tp > tc
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM f""",
 
     "q24_props_rollup" -> """
 SELECT event_type, count(*) AS n,
