@@ -171,6 +171,14 @@ object SparkEntry {
     // function of doc_id (stable under corpus growth, reproducible on any
     // engine) — the sampling primitive of a training-data pipeline
     "q59_split_profile" -> ((s, dir) => TextOps.splitProfile(s, dir)),
+    // within-doc repetition (duplicated-trigram fraction + top-gram share):
+    // the Gopher/C4 boilerplate signal
+    "q64_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(Tables.documents(s, dir))),
+    // cross-dataset contamination: docs of src0 sharing >= 1 trigram with
+    // src1, per lang — the eval-benchmark leakage check
+    "q65_contamination" -> ((s, dir) =>
+      TextOps.contaminationProfile(s, dir, "src0", "src1")),
     // TF-IDF discriminative terms per lang: the rank window runs over the
     // aggregated vocabulary, never the token stream
     "q60_tfidf_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir, 10)),
@@ -1030,6 +1038,52 @@ stats AS (
 SELECT lang, CAST(rk AS BIGINT) AS rk, tok, cnt, df,
        round(score, 6) + 0 AS tfidf_mass
 FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
+
+    "q64_repetition" -> """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), pg AS (
+  SELECT doc_id, sg, count(*) AS c FROM tri GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_trigrams,
+       count(*) AS n_distinct,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) + 0 AS dup_trigram_frac,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) + 0 AS top_gram_share
+FROM pg GROUP BY doc_id ORDER BY doc_id""",
+
+    "q65_contamination" -> """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents WHERE source IN ('src0', 'src1')
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), hits AS (
+  SELECT a.lang, a.doc_id AS doc_a,
+         count(DISTINCT b.doc_id) AS n_docs_hit,
+         count(DISTINCT a.sg) AS n_shared_shingles
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.sg = b.sg
+  WHERE a.source = 'src0' AND b.source = 'src1'
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_contaminated_docs,
+       CAST(sum(n_shared_shingles) AS BIGINT) AS total_shared_shingles,
+       max(n_docs_hit) AS max_docs_hit
+FROM hits GROUP BY lang ORDER BY lang""",
 
     "q51_token_histogram" -> """
 WITH x AS (

@@ -441,6 +441,55 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Within-document repetition metrics — the Gopher/C4-style quality signal
+    * that catches boilerplate and degenerate generations: per doc, the
+    * fraction of duplicated trigrams (1 − distinct/total) and the share of
+    * tokens covered by the single most-frequent trigram. Narrow explode +
+    * per-doc aggregation; no joins, no cross-doc state.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val tri = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sg"))
+    val perGram = tri.groupBy("doc_id", "sg").agg(count(lit(1)).as("c"))
+    perGram.groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_gram_count"))
+      .select(col("doc_id"),
+        col("n_trigrams"), col("n_distinct"),
+        rd(lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"), 6)
+          .as("dup_trigram_frac"),
+        rd(col("top_gram_count").cast("double") / col("n_trigrams"), 6)
+          .as("top_gram_share"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-dataset contamination check: for each (lang, source-pair), how
+    * many documents of corpus A share at least one trigram shingle with
+    * corpus B (eval-benchmark leakage detection). Same bucketed equi-join
+    * contract as the near-dup family: the pair space comes from the
+    * (lang, shingle) key, never |A|×|B|.
+    */
+  def contaminationProfile(spark: SparkSession, dir: String,
+                           sourceA: String, sourceB: String): DataFrame = {
+    val sh = shingleSetShared(spark, dir)
+    val a = sh.filter(col("source") === sourceA)
+      .select(col("lang"), col("doc_id").as("doc_a"), col("sg"))
+    val b = sh.filter(col("source") === sourceB)
+      .select(col("lang"), col("doc_id").as("doc_b"), col("sg"))
+    a.join(b, Seq("lang", "sg"))
+      .groupBy("lang", "doc_a")
+      .agg(countDistinct(col("doc_b")).as("n_docs_hit"),
+        countDistinct(col("sg")).as("n_shared_shingles"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        sum(col("n_shared_shingles")).as("total_shared_shingles"),
+        max(col("n_docs_hit")).as("max_docs_hit"))
+      .orderBy("lang")
+  }
+
   /** Deterministic hash-bucket assignment in [0, buckets): md5 of the key
     * column's string form, first 15 hex chars → BIGINT, mod buckets. The
     * sampling/split primitive every training-data pipeline needs: membership
