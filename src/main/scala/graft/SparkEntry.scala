@@ -288,6 +288,34 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // -- PIVOT: weekly event counts, one column per event type. Pivot values
+    // are DECLARED (no extra distinct-collect pass to discover them) --
+    "q66_pivot_weekly_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(date_trunc("week", col("date")).cast(org.apache.spark.sql.types.DateType).as("wk"),
+          col("event_type"))
+        .groupBy("wk")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(dateStr(col("wk")).as("semana"), col("click"), col("error"),
+          col("purchase"), col("signup"), col("view"))
+        .orderBy("semana")),
+
+    // -- cross-sectional rank: symbols ranked by daily return within each
+    // day (the relative-strength screen). Rank window partitions by date —
+    // cardinality = symbols per day, shuffle carries daily rows only --
+    "q67_daily_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("date").orderBy(col("variacao_diaria").desc, col("symbol").asc)
+      MarketView.fact(s, dir)
+        .filter(col("variacao_diaria").isNotNull)
+        .select(dateStr(col("date")).as("date"), col("symbol"),
+          rd(col("variacao_diaria"), 6).as("variacao_diaria"),
+          rank().over(w).cast("long").as("rk"))
+        .orderBy("date", "rk", "symbol")
+    }),
+
     // -- CUBE: all aggregation combinations of (symbol, year) --
     "q55_cube_symbol_year" -> ((s, dir) =>
       MarketView.dailyBars(s, dir)
@@ -1121,6 +1149,23 @@ SELECT symbol, count(*) AS n_days,
 FROM bars
 WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY symbol ORDER BY symbol"""),
+
+    "q66_pivot_weekly_events" -> """
+SELECT CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS semana,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY semana""",
+
+    "q67_daily_rank" -> (FACT + """
+SELECT CAST(date AS VARCHAR) AS date, symbol,
+       round(variacao_diaria, 6) + 0 AS variacao_diaria,
+       CAST(rank() OVER (PARTITION BY date
+                         ORDER BY variacao_diaria DESC, symbol) AS BIGINT) AS rk
+FROM fact WHERE variacao_diaria IS NOT NULL
+ORDER BY date, rk, symbol"""),
 
     "q55_cube_symbol_year" -> (BARS + """
 SELECT symbol,
