@@ -288,6 +288,39 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // -- pairwise return correlation/covariance: the diversification matrix.
+    // Self-join on date (30 daily rows per symbol after aggregation — the
+    // join input is the AGGREGATED fact, never ticks), co-moment aggregates
+    // per symbol pair --
+    "q68_return_correlation" -> ((s, dir) => {
+      val r = MarketView.fact(s, dir)
+        .filter(col("variacao_diaria").isNotNull)
+        .select(col("date"), col("symbol"), col("variacao_diaria").as("r"))
+      val a = r.select(col("date"), col("symbol").as("sym_a"), col("r").as("ra"))
+      val b = r.select(col("date"), col("symbol").as("sym_b"), col("r").as("rb"))
+      a.join(b, Seq("date")).filter(col("sym_a") < col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+          rd(corr(col("ra"), col("rb")), 6).as("corr_returns"),
+          rd(covar_samp(col("ra"), col("rb")), 6).as("covar_returns"),
+          count(lit(1)).as("n_days"))
+        .orderBy("sym_a", "sym_b")
+    }),
+
+    // -- explicit GROUPING SETS via the SQL front door (rollup/cube cover
+    // the lattice cases; this is the arbitrary-sets form) --
+    "q69_grouping_sets" -> ((s, dir) => {
+      MarketView.dailyBars(s, dir).createOrReplaceTempView("bars_gs")
+      s.sql("""
+        SELECT symbol, CAST(month(date) AS BIGINT) AS mes,
+               count(*) AS n_bars,
+               CAST(sum(volume) AS BIGINT) AS volume_total,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM bars_gs
+        GROUP BY GROUPING SETS ((symbol), (month(date)), ())
+        ORDER BY gid, symbol, mes""")
+    }),
+
     // -- PIVOT: weekly event counts, one column per event type. Pivot values
     // are DECLARED (no extra distinct-collect pass to discover them) --
     "q66_pivot_weekly_events" -> ((s, dir) =>
@@ -1149,6 +1182,24 @@ SELECT symbol, count(*) AS n_days,
 FROM bars
 WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY symbol ORDER BY symbol"""),
+
+    "q68_return_correlation" -> (FACT + """
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       round(corr(a.variacao_diaria, b.variacao_diaria), 6) + 0 AS corr_returns,
+       round(covar_samp(a.variacao_diaria, b.variacao_diaria), 6) + 0 AS covar_returns,
+       count(*) AS n_days
+FROM fact a JOIN fact b ON a.date = b.date AND a.symbol < b.symbol
+WHERE a.variacao_diaria IS NOT NULL AND b.variacao_diaria IS NOT NULL
+GROUP BY 1, 2 ORDER BY sym_a, sym_b"""),
+
+    "q69_grouping_sets" -> (BARS + """
+SELECT symbol, CAST(date_part('month', date) AS BIGINT) AS mes,
+       count(*) AS n_bars,
+       CAST(sum(volume) AS BIGINT) AS volume_total,
+       CAST(grouping(symbol) * 2 + grouping(date_part('month', date)) AS BIGINT) AS gid
+FROM bars
+GROUP BY GROUPING SETS ((symbol), (date_part('month', date)), ())
+ORDER BY gid, symbol, mes"""),
 
     "q66_pivot_weekly_events" -> """
 SELECT CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS semana,
