@@ -110,4 +110,17 @@ object Tables {
     val w = df.write.mode("overwrite")
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
   }
+
+  /** Incremental materialized-view refresh: dynamic partition overwrite
+    * replaces ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched. The 100 TB refresh lever the reference's
+    * full-recompute REFRESH lacks: a daily run rewrites one day/year
+    * partition, not the whole history. (Static overwrite — the plain
+    * `overwrite` above — would truncate the entire table first.)
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionByCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionByCols: _*)
+      .parquet(path)
 }
