@@ -104,23 +104,51 @@ object TextOps {
       .groupBy("__h").agg(max(col("__ranked")).getField("row").as("row"))
       .select(col("row.*"))
 
-  /** n-gram Jaccard near-dup pairs within (lang, source) corpus buckets:
-    * explode distinct shingles, equi-join on (bucket, shingle), count
-    * intersections, Jaccard = |∩| / (|A| + |B| - |∩|). Top-k pairs.
+  /** n-gram Jaccard near-dup top-k pairs within (lang, source) corpus
+    * buckets: explode distinct shingles, equi-join on (bucket, shingle),
+    * count intersections, Jaccard = |∩| / (|A| + |B| - |∩|).
+    *
+    * Runs on exact-dup cluster representatives (bucketed key — see
+    * `dedupBase`): rep-level Jaccard is computed for every shingle-sharing
+    * rep pair, a top-k cutoff (k-th highest score, ties kept — every rep
+    * pair ABOVE the cutoff beats any pair below it regardless of ids, so the
+    * kept set is a superset of the true top-k) bounds the expansion, then
+    * member expansion + intra-cluster 1.0 pairs + one TakeOrdered produce
+    * EXACTLY the raw per-doc algorithm's top-k.
     */
   def jaccardPairs(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val sh = shingleSetShared(spark, dir)
+    val base = dedupBase(spark, dir, bucketed = true)
+    val sh = base.repSh
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_a"))
     val b = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("lang", "source", "sg"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         rd(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      // consumed twice (cutoff + expansion): materialize the pair-stats
+      // relation once instead of re-running the shingle joins
+      .cache()
+    // k-th highest rep score via TakeOrdered (no global sort); >= keeps ties
+    val cut = repPairs.orderBy(col("jaccard").desc).limit(k)
+      .agg(min(col("jaccard")).as("jcut"))
+    val topReps = repPairs.join(broadcast(cut), col("jaccard") >= col("jcut")).drop("jcut")
+    val cross = topReps
+      .join(base.withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(base.withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val shingled = sh.select(col("doc_id").as("rep")).distinct()
+    val intraMem = base.withRep.join(shingled, "rep").select(col("ck"), col("doc_id"))
+    val intra = intraMem.as("x").join(intraMem.as("y"), "ck")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
   }
@@ -191,11 +219,22 @@ object TextOps {
     */
   private case class DedupBase(withRep: DataFrame, repSh: DataFrame)
   private val dedupBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DedupBase]
-  private def dedupBase(spark: SparkSession, dir: String): DedupBase =
-    dedupBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Boolean), DedupBase]
+
+  /** `bucketed = false`: clusters keyed by normalized text alone (the MinHash
+    * family bands corpus-wide). `bucketed = true`: the key also carries
+    * (lang, source) — for operators whose pair space is bucketed by them
+    * (q27's Jaccard), where identical texts in different buckets must NOT
+    * collapse into one cluster.
+    */
+  private def dedupBase(spark: SparkSession, dir: String,
+                        bucketed: Boolean = false): DedupBase =
+    dedupBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir, bucketed), {
       val docs = Tables.documents(spark, dir)
-      val mem = docs.select(col("doc_id"), md5(normText(col("text"))).as("ck"))
+      val key = if (bucketed)
+        concat_ws("|", md5(normText(col("text"))), col("lang"), col("source"))
+      else md5(normText(col("text")))
+      val mem = docs.select(col("doc_id"), key.as("ck"))
       val reps = mem.groupBy("ck").agg(min("doc_id").as("rep"))
       val withRep = mem.join(reps, "ck").cache()
       val repSh = shingleSet(
