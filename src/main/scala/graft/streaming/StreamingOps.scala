@@ -90,6 +90,18 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `TextOps.dedupByText` family. `dropDuplicatesWithinWatermark` keys the
+    * state store by the dedup key and EVICTS keys once the watermark passes
+    * them: state is bounded by keys-per-watermark-window, not stream
+    * history (plain `dropDuplicates` on a stream never evicts — unbounded
+    * state at 100 TB/day). Exactly-once per key within the watermark.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream-stream inner join: match rows of two live streams on
     * a key within a bounded event-time band. Both sides buffer in the state
     * store, sharded by the join key like a shuffle; the watermark + time

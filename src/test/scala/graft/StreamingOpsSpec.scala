@@ -107,6 +107,26 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each key once within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = StreamingOps.dedupStream(events, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0),   // same-batch dup
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), 9.0)) // cross-batch dup key
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream band join matches within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[(Long, Timestamp, Double)]
