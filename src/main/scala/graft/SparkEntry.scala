@@ -171,6 +171,10 @@ object SparkEntry {
     // function of doc_id (stable under corpus growth, reproducible on any
     // engine) — the sampling primitive of a training-data pipeline
     "q59_split_profile" -> ((s, dir) => TextOps.splitProfile(s, dir)),
+    // fuzzy record linkage: Levenshtein within (lang, 12-char-prefix) blocks
+    // — edit distance never runs on a cross product
+    "q70_fuzzy_match" -> ((s, dir) =>
+      TextOps.fuzzyMatches(Tables.documents(s, dir), 20)),
     // within-doc repetition (duplicated-trigram fraction + top-gram share):
     // the Gopher/C4 boilerplate signal
     "q64_repetition" -> ((s, dir) =>
@@ -1099,6 +1103,19 @@ stats AS (
 SELECT lang, CAST(rk AS BIGINT) AS rk, tok, cnt, df,
        round(score, 6) + 0 AS tfidf_mass
 FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
+
+    "q70_fuzzy_match" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, norm, substr(norm, 1, 12) AS blk FROM d WHERE length(norm) >= 12
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lang,
+       CAST(levenshtein(x.norm, y.norm) AS BIGINT) AS edit_distance
+FROM b x JOIN b y ON x.lang = y.lang AND x.blk = y.blk AND x.doc_id < y.doc_id
+WHERE levenshtein(x.norm, y.norm) <= 20
+ORDER BY edit_distance, doc_a, doc_b""",
 
     "q64_repetition" -> """
 WITH d AS (

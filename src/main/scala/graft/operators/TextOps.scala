@@ -529,6 +529,30 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Fuzzy record linkage with prefix blocking: candidate pairs come from an
+    * equi-join on (lang, first `blockLen` chars of the normalized text) —
+    * the classic entity-resolution blocking strategy — and only blocked
+    * pairs pay the O(n·m) Levenshtein. At 100 TB the block key bounds the
+    * pair space exactly like the LSH band bucket; edit distance never runs
+    * on a cross product. (Prefix blocking trades recall for cost the same
+    * way LSH banding does: documents differing in their first `blockLen`
+    * characters are not candidates.)
+    */
+  def fuzzyMatches(docs: DataFrame, maxDistance: Int, blockLen: Int = 12): DataFrame = {
+    val b = docs
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= blockLen)
+      .withColumn("blk", col("norm").substr(1, blockLen))
+    val x = b.select(col("lang"), col("blk"), col("doc_id").as("doc_a"), col("norm").as("na"))
+    val y = b.select(col("lang"), col("blk"), col("doc_id").as("doc_b"), col("norm").as("nb"))
+    x.join(y, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        levenshtein(col("na"), col("nb")).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") <= maxDistance)
+      .orderBy(col("edit_distance").asc, col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Deterministic hash-bucket assignment in [0, buckets): md5 of the key
     * column's string form, first 15 hex chars → BIGINT, mod buckets. The
     * sampling/split primitive every training-data pipeline needs: membership
