@@ -171,6 +171,40 @@ object SparkEntry {
     // function of doc_id (stable under corpus growth, reproducible on any
     // engine) — the sampling primitive of a training-data pipeline
     "q59_split_profile" -> ((s, dir) => TextOps.splitProfile(s, dir)),
+    // deterministic stratified sample: the 3 docs per source with the
+    // smallest md5(doc_id) — balanced, reproducible on any engine, stable
+    // under corpus growth for surviving keys. The rank window partitions by
+    // source: per-stratum cardinality, never corpus-wide sort
+    "q71_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
+    // winsorized robust stats: clip each symbol's daily returns to its own
+    // [p05, p95] band, report raw vs clipped mean — outlier-robust
+    // aggregation, one scan + one broadcast of the tiny percentile relation
+    "q72_winsorized_returns" -> ((s, dir) => {
+      val r = MarketView.fact(s, dir).filter(col("variacao_diaria").isNotNull)
+      val bounds = r.groupBy("symbol").agg(
+        expr("percentile(variacao_diaria, 0.05)").as("lo"),
+        expr("percentile(variacao_diaria, 0.95)").as("hi"))
+      r.join(broadcast(bounds), "symbol")
+        .groupBy("symbol")
+        .agg(
+          rd(avg(col("variacao_diaria")), 6).as("mean_raw"),
+          rd(avg(greatest(col("lo"), least(col("hi"), col("variacao_diaria")))), 6)
+            .as("mean_winsorized"),
+          sum(when(col("variacao_diaria") < col("lo") ||
+            col("variacao_diaria") > col("hi"), 1L).otherwise(0L)).as("n_clipped"))
+        .orderBy("symbol")
+    }),
+
     // fuzzy record linkage: Levenshtein within (lang, 12-char-prefix) blocks
     // — edit distance never runs on a cross product
     "q70_fuzzy_match" -> ((s, dir) =>
@@ -1103,6 +1137,33 @@ stats AS (
 SELECT lang, CAST(rk AS BIGINT) AS rk, tok, cnt, df,
        round(score, 6) + 0 AS tfidf_mass
 FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
+
+    "q71_stratified_sample" -> """
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+FROM r WHERE rk <= 3 ORDER BY source, rk""",
+
+    "q72_winsorized_returns" -> (FACT + """, r AS (
+  SELECT symbol, variacao_diaria FROM fact WHERE variacao_diaria IS NOT NULL
+), b AS (
+  SELECT symbol,
+         quantile_cont(variacao_diaria, 0.05) AS lo,
+         quantile_cont(variacao_diaria, 0.95) AS hi
+  FROM r GROUP BY symbol
+)
+SELECT r.symbol,
+       round(avg(variacao_diaria), 6) + 0 AS mean_raw,
+       round(avg(greatest(lo, least(hi, variacao_diaria))), 6) + 0 AS mean_winsorized,
+       CAST(sum(CASE WHEN variacao_diaria < lo OR variacao_diaria > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM r JOIN b ON r.symbol = b.symbol
+GROUP BY r.symbol ORDER BY r.symbol"""),
 
     "q70_fuzzy_match" -> """
 WITH d AS (
