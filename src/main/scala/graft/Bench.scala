@@ -67,8 +67,16 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // JSON-safe error strings: escape backslash/quote AND all control chars
+    // < 0x20 (tabs/CRs in exception messages would break strict parsers)
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""

@@ -4,6 +4,7 @@ import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL callers at session build time —
@@ -27,16 +28,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-      (es: Seq[Expression]) => {
-        // accept any integral literal for k (SQL INT and BIGINT literals both
-        // arrive here); non-literal / non-integral k is a clear argument error
-        val k = es(2) match {
-          case Literal(v: Number, _) => v.longValue()
-          case other => throw new IllegalArgumentException(
-            s"topk_by_score: k must be an integer literal, got $other")
-        }
-        require(k > 0 && k <= Int.MaxValue, s"topk_by_score: k out of range: $k")
-        TopKByScore(es(0), es(1), k.toInt).toAggregateExpression()
-      }))
+      (es: Seq[Expression]) =>
+        TopKByScore(es(0), es(1), GraftExtensions.literalK(es(2)).toInt)
+          .toAggregateExpression()))
+  }
+}
+
+object GraftExtensions {
+  /** k argument of topk_by_score: only INTEGRAL literals are accepted (SQL
+    * INT and BIGINT literals both arrive here) — a Double/Decimal literal
+    * like 3.9 is rejected, never silently truncated to 3.
+    */
+  private[graft] def literalK(e: Expression): Long = {
+    val k = e match {
+      case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+        v.longValue()
+      case other => throw new IllegalArgumentException(
+        s"topk_by_score: k must be an integer literal, got $other")
+    }
+    require(k > 0 && k <= Int.MaxValue, s"topk_by_score: k out of range: $k")
+    k
   }
 }

@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star extension): media carried as opaque
   * `binary` payloads with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a STUB — this container has no image/audio codecs, so
+  * The IMAGE branch is real: `decodeImage`/`imageFeatures` decode PNG/JPEG
+  * bytes with the JDK's `javax.imageio` (true width/height/mean-luminance).
+  * Audio/video decode remains a STUB — this container has no such codecs, so
   * `decodeStub` derives deterministic fake media properties from the payload
-  * bytes. Everything around it is the real production shape:
+  * bytes (q40's synthetic testdata also flows through the stub: its payloads
+  * are text bytes, not images). Everything around the codec boundary is the
+  * real production shape:
   *   - schema: (doc_id, media_type, payload binary, meta struct)
   *   - partition-local batched processing via typed mapPartitions (the Scala
   *     twin of mapInPandas: one iterator per partition, amortized per-batch
@@ -70,6 +74,54 @@ object Multimodal {
       }
     }.toArray
     MediaFeatures(row.doc_id, row.media_type, len, width, height, nFrames, means)
+  }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` (public API, no
+    * new dependencies): true width/height and mean pixel luminance from
+    * PNG/JPEG/GIF/BMP bytes. This is the production image branch behind the
+    * `readBinaryDir` ingestion path; `decodeStub` remains only for audio/video
+    * (no JDK codec exists) and for the synthetic q40 testdata whose payloads
+    * are text bytes, not images — that boundary is the documented stub.
+    */
+  private[graft] def decodeImage(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of doc $docId is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var s = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(docId, "image", payload.length.toLong, w, h, 1,
+      Array(s / (w.toLong * h)))
+  }
+
+  case class BinFile(path: String, payload: Array[Byte])
+
+  /** Decode every image file under `dir` (binaryFile scan → partition-local
+    * batched ImageIO decode): (path, byte_len, width, height, mean_luma).
+    * Same mapPartitions batching shape as the stub path — a partitioned scan
+    * feeding a per-batch codec, nothing on the driver.
+    */
+  def imageFeatures(spark: SparkSession, dir: String, glob: String = "*.png"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { f =>
+            val m = decodeImage(0L, f.payload)
+            (f.path, m.byte_len, m.width, m.height, m.frame_means(0))
+          }
+        }
+      }
+      .toDF("path", "byte_len", "width", "height", "mean_luma")
   }
 
   private val BatchSize = 256

@@ -55,9 +55,9 @@ object TextOps {
     * explicit memo makes the sharing a contract, not a plan-equality accident.)
     */
   private val shSharedCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def shingleSetShared(spark: SparkSession, dir: String): DataFrame =
-    shSharedCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+    shSharedCache.getOrElseUpdate((Tables.sessionUuid(spark), dir),
       shingleSet(Tables.documents(spark, dir)).cache())
 
   /** Exact-hash dedup profile per source: md5 groups (SURVEY extension;
@@ -218,8 +218,10 @@ object TextOps {
     * both cached once per (session, dir).
     */
   private case class DedupBase(withRep: DataFrame, repSh: DataFrame)
+  // keyed by the stable sessionUUID (an identity hash could be reused by a
+  // later session after GC and serve DataFrames bound to a stopped one)
   private val dedupBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Boolean), DedupBase]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), DedupBase]
 
   /** `bucketed = false`: clusters keyed by normalized text alone (the MinHash
     * family bands corpus-wide). `bucketed = true`: the key also carries
@@ -229,7 +231,7 @@ object TextOps {
     */
   private def dedupBase(spark: SparkSession, dir: String,
                         bucketed: Boolean = false): DedupBase =
-    dedupBaseCache.getOrElseUpdate((System.identityHashCode(spark), dir, bucketed), {
+    dedupBaseCache.getOrElseUpdate((Tables.sessionUuid(spark), dir, bucketed), {
       val docs = Tables.documents(spark, dir)
       val key = if (bucketed)
         concat_ws("|", md5(normText(col("text"))), col("lang"), col("source"))
@@ -542,16 +544,48 @@ object TextOps {
     val b = docs
       .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= blockLen)
-      .withColumn("blk", col("norm").substr(1, blockLen))
-    val x = b.select(col("lang"), col("blk"), col("doc_id").as("doc_a"), col("norm").as("na"))
-    val y = b.select(col("lang"), col("blk"), col("doc_id").as("doc_b"), col("norm").as("nb"))
+    // exact-dup collapse (same equivalence as the minhash/jaccard family):
+    // edit distance is a pure function of the two normalized texts, and
+    // identical (lang, norm) docs always share a block — so Levenshtein runs
+    // once per DISTINCT text pair and verified rep pairs expand to members,
+    // with intra-cluster pairs at distance exactly 0. On a dup-heavy corpus
+    // the O(len²) distance calls scale with distinct texts, not members².
+    val reps = b.groupBy("lang", "norm").agg(min("doc_id").as("rep"))
+    val mem = b.join(reps, Seq("lang", "norm"))
+      .select(col("doc_id"), col("rep"), col("lang"))
+    val repPairs = fuzzyRepPairs(reps, blockLen)
+      .filter(col("edit_distance") <= maxDistance)
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("lang"), col("edit_distance"))
+    val intra = mem.as("x").join(mem.as("y"), "rep")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.lang").as("lang"), lit(0L).as("edit_distance"))
+    cross.union(intra)
+      .orderBy(col("edit_distance").asc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Rep-level blocked candidate pairs with their edit distance (pre-filter).
+    * Package-visible so the dup-heavy-fixture spec can pin that the candidate
+    * count scales with distinct texts, not with cluster membership. */
+  private[graft] def fuzzyRepPairs(reps: DataFrame, blockLen: Int): DataFrame = {
+    val rb = reps.withColumn("blk", col("norm").substr(1, blockLen))
+    val x = rb.select(col("lang"), col("blk"), col("rep").as("doc_a"), col("norm").as("na"))
+    val y = rb.select(col("lang"), col("blk"), col("rep").as("doc_b"), col("norm").as("nb"))
     x.join(y, Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("lang"),
         levenshtein(col("na"), col("nb")).cast("long").as("edit_distance"))
-      .filter(col("edit_distance") <= maxDistance)
-      .orderBy(col("edit_distance").asc, col("doc_a").asc, col("doc_b").asc)
   }
+
+  /** Distinct-text blocked relation for spec-level candidate accounting. */
+  private[graft] def fuzzyReps(docs: DataFrame, blockLen: Int = 12): DataFrame =
+    docs.select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= blockLen)
+      .groupBy("lang", "norm").agg(min("doc_id").as("rep"))
 
   /** Deterministic hash-bucket assignment in [0, buckets): md5 of the key
     * column's string form, first 15 hex chars → BIGINT, mod buckets. The

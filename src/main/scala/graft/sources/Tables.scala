@@ -15,6 +15,16 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Stable per-session id for memo caches: the classic SparkSession carries
+    * a `sessionUUID` (Scala package-private, public in bytecode — reached via
+    * reflection); the identity-hash fallback only exists for session
+    * implementations without one (an identity hash can in principle be reused
+    * after GC, which is why the UUID is preferred).
+    */
+  def sessionUuid(spark: SparkSession): String =
+    try spark.getClass.getMethod("sessionUUID").invoke(spark).asInstanceOf[String]
+    catch { case _: ReflectiveOperationException => "idhash-" + System.identityHashCode(spark) }
+
   /** Explicit Bronze/staging schema for CSV ingest (S2/S4).
     * Mirrors reference `sql/setup_staging.sql:4-12`; NUMERIC → DoubleType per
     * SURVEY.md §1.2 (observable semantics are float64).

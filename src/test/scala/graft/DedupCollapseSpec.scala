@@ -53,6 +53,50 @@ class DedupCollapseSpec extends SparkSpecBase {
     assert(!out.exists(t => t._1 == 5L || t._2 == 5L))
   }
 
+  test("fuzzy match collapse ≡ raw blocked Levenshtein on a dup-heavy fixture") {
+    import graft.operators.TextOps.normText
+    val d = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    // two 10-member exact-dup clusters sharing one (lang, prefix) block —
+    // the CommonCrawl shape where the raw algorithm pays m² Levenshtein
+    // calls inside the block — plus a different-lang twin, an unrelated
+    // block, and a below-blockLen short text
+    val rows =
+      (0 until 10).map(i => (10L + i, "Alpha beta gamma delta epsilon one" + ("!" * (i % 3)), "en", "web", 0L)) ++
+      (0 until 10).map(i => (30L + i, "alpha beta gamma delta epsilon two", "en", "web", 0L)) ++
+      Seq((50L, "totally unrelated block of text here", "en", "web", 0L),
+        (51L, "alpha beta gamma delta epsilon one", "de", "web", 0L),
+        (52L, "tiny", "en", "web", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    val docs = graft.sources.Tables.documents(spark, d)
+
+    // raw per-doc algorithm (what the DuckDB oracle computes)
+    val b = docs.select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 12)
+      .withColumn("blk", col("norm").substr(1, 12))
+    val x = b.select(col("lang"), col("blk"), col("doc_id").as("doc_a"), col("norm").as("na"))
+    val y = b.select(col("lang"), col("blk"), col("doc_id").as("doc_b"), col("norm").as("nb"))
+    val rawCand = x.join(y, Seq("lang", "blk")).filter(col("doc_a") < col("doc_b"))
+    val raw = rawCand
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        levenshtein(col("na"), col("nb")).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+
+    val out = graft.operators.TextOps.fuzzyMatches(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.length == raw.size, s"row count ${out.length} != raw ${raw.size}")
+    assert(out.toSet == raw, s"collapsed output diverges from raw: " +
+      s"missing=${raw -- out.toSet} extra=${out.toSet -- raw}")
+
+    // candidate accounting: raw pays 20·19/2 = 190 in-block Levenshtein
+    // calls; collapsed pays exactly ONE (rep-A vs rep-B) — candidate space
+    // scales with distinct texts, not cluster membership
+    assert(rawCand.count() == 190L)
+    val reps = graft.operators.TextOps.fuzzyReps(docs)
+    assert(graft.operators.TextOps.fuzzyRepPairs(reps, 12).count() == 1L)
+  }
+
   test("jaccard top-k on the same fixture ranks exact dups first, exactly") {
     val out = TextOps.jaccardPairs(spark, dir, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -14,6 +14,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must not throw; functions registered at session build
   }
 
+  test("topk_by_score k argument: integral literals accepted, fractional rejected") {
+    assert(GraftExtensions.literalK(Literal(3)) == 3L)
+    assert(GraftExtensions.literalK(Literal(3L)) == 3L)
+    assert(GraftExtensions.literalK(Literal(3.toShort)) == 3L)
+    // a Double literal must be REJECTED, not truncated to 3
+    intercept[IllegalArgumentException](GraftExtensions.literalK(Literal(3.9)))
+    intercept[IllegalArgumentException](
+      GraftExtensions.literalK(Literal(BigDecimal(3.9))))
+    intercept[IllegalArgumentException](GraftExtensions.literalK(Literal("3")))
+    intercept[IllegalArgumentException](GraftExtensions.literalK(Literal(0)))
+    intercept[IllegalArgumentException](GraftExtensions.literalK(Literal(-1L)))
+  }
+
   test("interpreted eval of the injected expressions") {
     val a = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)), ArrayType(DoubleType))
     val b = Literal.create(ArrayData.toArrayData(Array(3.0, 4.0)), ArrayType(DoubleType))

@@ -31,6 +31,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(img.frame_means(0) - whole) < 1e-9)
   }
 
+  test("decodeImage + imageFeatures: REAL PNG decode via javax.imageio — true dimensions and pixel mean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toFile
+    def writePng(name: String, w: Int, h: Int, rgb: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      assert(javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name)))
+    }
+    // solid (30, 60, 90) -> mean luminance (30+60+90)/3 = 60 exactly
+    writePng("a.png", 20, 10, (30 << 16) | (60 << 8) | 90)
+    // solid white 7x5 -> mean 255
+    writePng("b.png", 7, 5, 0xffffff)
+    val out = Multimodal.imageFeatures(spark, dir.getAbsolutePath, "*.png")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(out.length == 2, s"expected 2 decoded images, got ${out.toSeq}")
+    val a = out.find(_._1.endsWith("a.png")).get
+    assert(a._3 == 20 && a._4 == 10, s"true dimensions wrong: $a")
+    assert(math.abs(a._5 - 60.0) < 1e-9, s"mean luminance wrong: $a")
+    val bb = out.find(_._1.endsWith("b.png")).get
+    assert(bb._3 == 7 && bb._4 == 5 && math.abs(bb._5 - 255.0) < 1e-9)
+    // byte_len is the real on-disk size the binaryFile scan reported
+    assert(a._2 == new java.io.File(dir, "a.png").length())
+  }
+
   test("extractFeatures: distributed, one feature row per media row") {
     val media = Multimodal.mediaTable(spark, sf).repartition(7)
     val feats = Multimodal.extractFeatures(spark, media)

@@ -71,6 +71,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.85, s"k-means IVF recall $recall too low")
   }
 
+  test("q73 registered path: ivfKnnKmeans on testdata — ranked rows per query, self excluded") {
+    val out = SparkEntry.queries("q73_ivf_knn_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks not contiguous for query $q: ${rows.toSeq}")
+      assert(rows.forall(_._2 != q), s"self-match for query $q")
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"sims not descending for query $q")
+    }
+    assert(out.map(_._1).distinct.length == 5)
+  }
+
+  test("ivfKnnKmeans recall at the registered q73 parameters (nCells=8, nProbe=3)") {
+    val rng = new scala.util.Random(17)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rng.nextGaussian())
+    val rows = for (c <- 0 until 8; m <- 0 until 25) yield
+      (c * 25L + m, centers(c).map(x => x + 0.12 * rng.nextGaussian()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteKnnFrom(emb, 5, 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnKmeans(emb, 5, 3, nCells = 8, nProbe = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.85, s"k-means IVF recall $recall at registered params too low")
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
