@@ -80,6 +80,65 @@ object SparkEntry {
       out
     })
 
+  /** Shared oracle CTE chain for the portable MinHash pair graph (q49, q74):
+    * the raw per-doc algorithm — md5 double-hashing signatures (one md5 per
+    * shingle, permutation i = a + (i+1)*b with a = 60 bits, b = 32 bits),
+    * 8×4 banding, candidate generation, exact-Jaccard verification. Ends
+    * with a `pairs(doc_a, doc_b, jaccard)` CTE; callers prepend `WITH ` (or
+    * `WITH RECURSIVE `) and append their final SELECT.
+    */
+  private lazy val MinhashPairsCtes: String = {
+    val minCols = (0 until 32).map(i =>
+      s"min(a + ${i + 1} * b) AS mh_$i").mkString(",\n         ")
+    val bandSelects = (0 until 8).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), ab AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b
+  FROM sh
+), mins AS (
+  SELECT doc_id,
+         $minCols
+  FROM ab GROUP BY doc_id
+), bands AS (
+  $bandSelects
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.sg = x.sg
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) + 0 AS jaccard
+  FROM cand c
+    LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+    JOIN cnt ca ON c.doc_a = ca.doc_id
+    JOIN cnt cb ON c.doc_b = cb.doc_id
+  WHERE round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) >= 0.5
+)"""
+  }
+
   // ---------------------------------------------------------------------------
   // Query surface
   // ---------------------------------------------------------------------------
@@ -178,6 +237,13 @@ object SparkEntry {
     "q27_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir, 20)),
     "q28_minhash_lsh" -> ((s, dir) => TextOps.minHashLshPairs(s, dir, 0.5)),
     "q49_minhash_lsh_portable" -> ((s, dir) => TextOps.minHashLshPairsPortable(s, dir, 0.5)),
+    // near-dup cluster canonicalization: connected components over the
+    // verified pair graph (computed on collapsed reps, expanded to members) —
+    // the per-doc cluster assignment a dedup pipeline consumes. Oracled via a
+    // recursive-CTE transitive closure over the raw pair graph.
+    "q74_neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(s, dir, 0.5)),
+    // shingle novelty: fraction of each doc's shingles first seen in that doc
+    "q75_novelty" -> ((s, dir) => TextOps.noveltyProfile(s, dir)),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
     "q57_simhash_portable" -> ((s, dir) => TextOps.simHashPortable(Tables.documents(s, dir))),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
@@ -1115,60 +1181,48 @@ SELECT
   (SELECT count(*) FROM (SELECT user_id FROM u1 EXCEPT SELECT user_id FROM u2)) AS n_only_w1,
   (SELECT count(*) FROM (SELECT user_id FROM u1 UNION SELECT user_id FROM u2)) AS n_union""",
 
-    "q49_minhash_lsh_portable" -> {
-      // double-hashing twin of TextOps.md5AB/minHashWide: one md5 per
-      // shingle, permutation i = a + (i+1)*b with a = 60 bits, b = 32 bits
-      val minCols = (0 until 32).map(i =>
-        s"min(a + ${i + 1} * b) AS mh_$i").mkString(",\n         ")
-      val bandSelects = (0 until 8).map { b =>
-        val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""
+    "q49_minhash_lsh_portable" ->
+      ("WITH " + MinhashPairsCtes +
+        "\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY jaccard DESC, doc_a, doc_b"),
+
+    "q74_neardup_clusters" ->
+      // transitive closure over the raw near-dup pair graph: cluster_rep =
+      // the smallest doc_id reachable from each doc (the same CTE chain as
+      // q49 feeds the recursion, so the verified pair set is identical)
+      ("WITH RECURSIVE " + MinhashPairsCtes + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY a ORDER BY cluster_rep, doc_id"""),
+
+    "q75_novelty" -> """
 WITH d AS (
-  SELECT doc_id, lang, source,
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
   FROM documents
 ), t AS (
-  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
 ), sh AS (
-  SELECT DISTINCT doc_id, lang, source,
+  SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
   FROM t
-), ab AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS a,
-         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b
-  FROM sh
-), mins AS (
-  SELECT doc_id,
-         $minCols
-  FROM ab GROUP BY doc_id
-), bands AS (
-  $bandSelects
-), cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-), cnt AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS i
-  FROM cand c
-    JOIN sh x ON x.doc_id = c.doc_a
-    JOIN sh y ON y.doc_id = c.doc_b AND y.sg = x.sg
-  GROUP BY 1, 2
+), f AS (
+  SELECT sg, min(doc_id) AS first_doc FROM sh GROUP BY sg
 )
-SELECT c.doc_a, c.doc_b,
-       round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) + 0 AS jaccard
-FROM cand c
-  LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
-  JOIN cnt ca ON c.doc_a = ca.doc_id
-  JOIN cnt cb ON c.doc_b = cb.doc_id
-WHERE round(CAST(coalesce(i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i, 0)), 6) >= 0.5
-ORDER BY jaccard DESC, c.doc_a, c.doc_b"""
-    },
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) + 0 AS novelty_ratio
+FROM sh s JOIN f ON s.sg = f.sg
+GROUP BY s.doc_id ORDER BY doc_id""",
 
     "q57_simhash_portable" -> {
       // twin of TextOps.simHashPortable: 60 signed bit counters over

@@ -254,7 +254,7 @@ object TextOps {
     * linear in distinct-text structure + output size.
     */
   def minHashLshPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    lshNearDupPairs(spark, dir, xxhashAB, cols => xxhash64(cols: _*), threshold)
+    lshNearDupPairs(spark, dir, "xxhash64", xxhashAB, cols => xxhash64(cols: _*), threshold)
 
   /** md5-based MinHash twin with identical structure — the base hash and the
     * permutation arithmetic are portable SQL, so the WHOLE pipeline
@@ -263,16 +263,38 @@ object TextOps {
     * raw-per-doc algorithm. xxhash64 (`minHashLshPairs`) stays the fast path.
     */
   def minHashLshPairsPortable(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    lshNearDupPairs(spark, dir, md5AB,
+    lshNearDupPairs(spark, dir, "md5", md5AB,
       cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)), threshold)
 
+  /** Verified rep-level near-dup pairs, memoized per (session, dir, hash
+    * family, threshold): the signature → band → candidate → exact-verify
+    * pipeline is deterministic and idempotent for a given corpus, so a
+    * session computes it once and every consumer (the pair listings q28/q49,
+    * cluster canonicalization q74) reuses the materialized relation — the
+    * same shared-relation contract as `dedupBase`. The cached relation is
+    * OUTPUT-sized (verified pairs above threshold), so its memory cost is
+    * bounded by the answer, not the corpus.
+    */
+  private val repPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Double), DataFrame]
+  private def verifiedRepPairs(spark: SparkSession, dir: String, family: String,
+                               abOf: DataFrame => DataFrame,
+                               bucketHash: Seq[Column] => Column,
+                               threshold: Double): DataFrame =
+    repPairsCache.getOrElseUpdate((Tables.sessionUuid(spark), dir, family, threshold), {
+      val base = dedupBase(spark, dir)
+      verifyCandidatePairs(base.repSh,
+        bandCandidates(bandsFromWide(minHashWide(abOf(base.repSh)), bucketHash)),
+        threshold).cache()
+    })
+
   private def lshNearDupPairs(spark: SparkSession, dir: String,
+                              family: String,
                               abOf: DataFrame => DataFrame,
                               bucketHash: Seq[Column] => Column,
                               threshold: Double): DataFrame = {
     val base = dedupBase(spark, dir)
-    val bands = bandsFromWide(minHashWide(abOf(base.repSh)), bucketHash)
-    val repPairs = verifyCandidatePairs(base.repSh, bandCandidates(bands), threshold)
+    val repPairs = verifiedRepPairs(spark, dir, family, abOf, bucketHash, threshold)
     // cross-cluster pairs: every member×member combination of a verified rep
     // pair shares its Jaccard (identical shingle sets per cluster)
     val cross = repPairs
@@ -291,6 +313,81 @@ object TextOps {
         lit(1.0).as("jaccard"))
     cross.union(intra)
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Near-dup cluster canonicalization: connected components over the
+    * verified near-dup pair graph — the step that turns a PAIR list into the
+    * per-document cluster assignment a dedup pipeline actually consumes
+    * (keep one representative per component, drop the rest). Output:
+    * (doc_id, cluster_rep) for every doc in ≥1 near-dup pair, cluster_rep =
+    * the smallest doc_id reachable through the pair graph.
+    *
+    * Scale design: components are computed on the COLLAPSED rep graph
+    * (exact-dup clusters enter as one node) by min-label propagation —
+    * each round is one equi-join + one hash aggregation, and the loop ends
+    * when a round changes nothing (≤ graph-diameter rounds; near-dup
+    * components are shallow in practice, and the same fixpoint can be
+    * reached in O(log n) rounds with the large-star/small-star variant if a
+    * corpus ever produces deep chains). Member expansion afterwards is one
+    * join: a member's component is its rep's; the component minimum over
+    * members equals the minimum over reps because each rep IS its cluster's
+    * minimum. The driver-side loop holds only the change COUNT per round,
+    * never data. Equivalent to CC over the raw per-doc pair graph — the
+    * DuckDB oracle computes exactly that via a recursive-CTE closure.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val base = dedupBase(spark, dir)
+    val repPairs = verifiedRepPairs(spark, dir, "md5", md5AB,
+      cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)), threshold)
+      .select("doc_a", "doc_b")
+    val edges = repPairs.union(repPairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy("src").agg(min("label").as("nl"))
+      val next = labels.join(nbMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint() // cut lineage: each round re-reads the previous round, not the chain
+      changed = next.select(col("id"), col("label").as("nlab"))
+        .join(labels, "id").filter(col("nlab") < col("label")).count()
+      labels = next
+    }
+    edges.unpersist()
+    // expansion: members inherit their rep's component; exact-dup clusters
+    // with >= 2 shingled members form an (intra) component even without any
+    // verified cross pair — mirroring the raw graph, where identical docs
+    // always pair at jaccard 1.0, and shingle-less texts never pair
+    val shingled = base.repSh.select(col("doc_id").as("rep")).distinct()
+    val multi = base.withRep.groupBy("rep").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2).join(shingled, "rep").select("rep")
+    val allReps = labels.select(col("id").as("rep"), col("label"))
+      .join(multi, Seq("rep"), "full_outer")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("cluster_rep"))
+    base.withRep.join(allReps, "rep")
+      .select(col("doc_id"), col("cluster_rep"))
+      .orderBy("cluster_rep", "doc_id")
+  }
+
+  /** Per-document shingle novelty: the fraction of a doc's distinct shingles
+    * whose FIRST corpus occurrence (smallest doc_id) is this doc — the
+    * diversity/novelty signal used to prefer documents contributing new
+    * content over documents restating what the corpus already holds. Two
+    * hash aggregations over the shared shingle relation; the (shingle →
+    * first doc) relation is vocabulary-sized, never corpus².
+    */
+  def noveltyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSetShared(spark, dir).select("doc_id", "sg")
+    val first = sh.groupBy("sg").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        rd(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty_ratio"))
+      .orderBy("doc_id")
   }
 
   /** Distinct candidate pairs from any (doc_id, band, bucket) relation. */

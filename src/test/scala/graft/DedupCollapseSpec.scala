@@ -53,6 +53,16 @@ class DedupCollapseSpec extends SparkSpecBase {
     assert(!out.exists(t => t._1 == 5L || t._2 == 5L))
   }
 
+  test("nearDupClusters: connected components over the verified pair graph") {
+    val out = TextOps.nearDupClusters(spark, dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 1,2,3 (exact dups) + 4 (near dup of each) form ONE component whose
+    // canonical rep is the smallest member; 5 (unrelated) and 6,7 (no
+    // shingles — never pair in the raw algorithm) are absent
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)),
+      s"components wrong: ${out.toSeq}")
+  }
+
   test("fuzzy match collapse ≡ raw blocked Levenshtein on a dup-heavy fixture") {
     import graft.operators.TextOps.normText
     val d = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

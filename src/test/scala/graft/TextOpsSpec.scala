@@ -85,6 +85,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("noveltyProfile: first-occurrence shingle fractions are exact") {
+    val d = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    Seq(
+      (1L, "a b c d", "en", "web", 0L),       // shingles: "a b c", "b c d" — both novel
+      (2L, "a b c d", "en", "web", 0L),       // identical -> 0 novel of 2
+      (3L, "b c d e f", "en", "web", 0L),     // "b c d" seen; "c d e", "d e f" novel
+      (4L, "hi there", "en", "web", 0L)       // < 3 tokens -> absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    val out = TextOps.noveltyProfile(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 3L, 2L, 0.666667)), s"novelty rows wrong: ${out.toSeq}")
+  }
+
   test("langId: stopword heuristic separates en from de") {
     val out = TextOps.langId(docs).select("doc_id", "predicted")
       .as[(Long, String)].collect().toMap
