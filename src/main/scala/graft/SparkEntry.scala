@@ -244,6 +244,35 @@ object SparkEntry {
     "q74_neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(s, dir, 0.5)),
     // shingle novelty: fraction of each doc's shingles first seen in that doc
     "q75_novelty" -> ((s, dir) => TextOps.noveltyProfile(s, dir)),
+    // incremental dedup: classify the src0 batch against the rest of the
+    // corpus (exact digest / lang-bucketed Jaccard / novel) — the daily-
+    // increment workflow that never re-dedups the historical corpus
+    "q76_incremental_dedup" -> ((s, dir) =>
+      TextOps.incrementalDedup(s, dir, "src0", 0.5)),
+
+    // MAD-based robust outliers: median absolute deviation per symbol,
+    // Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > 3.5 — the
+    // outlier DETECTOR companion to q72's winsorization (which clips);
+    // two tiny percentile relations broadcast back over one scan each
+    "q77_mad_outliers" -> ((s, dir) => {
+      val r = MarketView.fact(s, dir).filter(col("variacao_diaria").isNotNull)
+      val med = r.groupBy("symbol")
+        .agg(expr("percentile(variacao_diaria, 0.5)").as("med"))
+      val dev = r.join(broadcast(med), "symbol")
+        .select(col("symbol"), col("variacao_diaria").as("x"), col("med"),
+          abs(col("variacao_diaria") - col("med")).as("dev"))
+      val mad = dev.groupBy("symbol").agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "symbol")
+        .groupBy("symbol")
+        .agg(
+          rd(max(col("med")), 6).as("median_return"),
+          rd(max(col("mad")), 6).as("mad"),
+          sum(when(col("mad") > 0 &&
+            abs(lit(0.6745) * (col("x") - col("med")) / col("mad")) > 3.5,
+            1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_days"))
+        .orderBy("symbol")
+    }),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
     "q57_simhash_portable" -> ((s, dir) => TextOps.simHashPortable(Tables.documents(s, dir))),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
@@ -1223,6 +1252,69 @@ SELECT s.doc_id,
              / count(*), 6) + 0 AS novelty_ratio
 FROM sh s JOIN f ON s.sg = f.sg
 GROUP BY s.doc_id ORDER BY doc_id""",
+
+    "q76_incremental_dedup" -> """
+WITH newd AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src0'
+), corp AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src0'
+), d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), a AS (
+  SELECT lang, doc_id AS doc_a, sg FROM sh WHERE source = 'src0'
+), b AS (
+  SELECT lang, doc_id AS doc_b, sg FROM sh WHERE source <> 'src0'
+), cnta AS (
+  SELECT doc_a, count(*) AS na FROM a GROUP BY 1
+), cntb AS (
+  SELECT doc_b, count(*) AS nb FROM b GROUP BY 1
+), best AS (
+  SELECT x.doc_a, round(max(CAST(x.i AS DOUBLE) / (cnta.na + cntb.nb - x.i)), 6) + 0 AS best_jaccard
+  FROM (SELECT a.doc_a, b.doc_b, count(*) AS i
+        FROM a JOIN b ON a.lang = b.lang AND a.sg = b.sg
+        GROUP BY 1, 2) x
+  JOIN cnta ON x.doc_a = cnta.doc_a
+  JOIN cntb ON x.doc_b = cntb.doc_b
+  GROUP BY x.doc_a
+)
+SELECT n.doc_id,
+       CASE WHEN c.h IS NOT NULL THEN 'exact_dup'
+            WHEN best.best_jaccard >= 0.5 THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       best.best_jaccard
+FROM newd n
+LEFT JOIN corp c ON n.h = c.h
+LEFT JOIN best ON n.doc_id = best.doc_a
+ORDER BY n.doc_id""",
+
+    "q77_mad_outliers" -> (FACT + """, m AS (
+  SELECT symbol, quantile_cont(variacao_diaria, 0.5) AS med
+  FROM fact WHERE variacao_diaria IS NOT NULL GROUP BY symbol
+), dv AS (
+  SELECT f.symbol, f.variacao_diaria AS x, m.med,
+         abs(f.variacao_diaria - m.med) AS dev
+  FROM fact f JOIN m ON f.symbol = m.symbol
+  WHERE f.variacao_diaria IS NOT NULL
+), md AS (
+  SELECT symbol, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY symbol
+)
+SELECT dv.symbol,
+       round(max(dv.med), 6) + 0 AS median_return,
+       round(max(md.mad), 6) + 0 AS mad,
+       CAST(sum(CASE WHEN md.mad > 0 AND abs(0.6745 * (dv.x - dv.med) / md.mad) > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n_days
+FROM dv JOIN md ON dv.symbol = md.symbol
+GROUP BY dv.symbol ORDER BY dv.symbol"""),
 
     "q57_simhash_portable" -> {
       // twin of TextOps.simHashPortable: 60 signed bit counters over

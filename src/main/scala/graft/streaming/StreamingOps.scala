@@ -102,6 +102,25 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental dedup against a STATIC historical corpus — the
+    * streaming twin of the batch `TextOps.incrementalDedup`: each arriving
+    * document is flagged `exact_dup` if its digest already exists in the
+    * corpus digest set, else `novel`. Stream-static left-semi semantics via
+    * a broadcast left join on the 128-bit digest (the static side is the
+    * DISTINCT digest relation — bounded by distinct corpus texts, re-read
+    * per micro-batch, no state store). Compose with `dedupStream` upstream
+    * to also drop duplicates WITHIN the stream window itself.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpusDigests: DataFrame): DataFrame = {
+    val d = docs.withColumn("__h", md5(col("text")))
+    val c = corpusDigests.select(col("h").as("__corpus_h")).distinct()
+    d.join(org.apache.spark.sql.functions.broadcast(c),
+        d("__h") === c("__corpus_h"), "left")
+      .withColumn("status",
+        when(col("__corpus_h").isNotNull, "exact_dup").otherwise("novel"))
+      .drop("__h", "__corpus_h")
+  }
+
   /** Watermarked stream-stream inner join: match rows of two live streams on
     * a key within a bounded event-time band. Both sides buffer in the state
     * store, sharded by the join key like a shuffle; the watermark + time

@@ -33,6 +33,26 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream: arriving docs flagged against the static corpus digest set") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("seen text one", "seen text two").toDF("text")
+      .select(md5(col("text")).as("h"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalDedupStream(docs, corpus).writeStream
+      .format("memory").queryName("incdedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, "seen text one"), (2L, "brand new text"))
+      q.processAllAvailable()
+      input.addData((3L, "seen text two"), (4L, "also new"))
+      q.processAllAvailable()
+      val out = spark.table("incdedup_out")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "exact_dup", 2L -> "novel",
+        3L -> "exact_dup", 4L -> "novel"), s"got $out")
+    } finally q.stop()
+  }
+
   test("sessionWindows: 30-min gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -102,6 +102,28 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, 3L, 2L, 0.666667)), s"novelty rows wrong: ${out.toSeq}")
   }
 
+  test("incrementalDedup: new batch classified exact/near/novel against the corpus") {
+    val d = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    Seq(
+      // historical corpus (source != src0)
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 0L),
+      (2L, "completely different words entirely here now friends", "en", "web", 0L),
+      // new batch (src0)
+      (10L, "the quick brown fox jumps over the lazy dog", "en", "src0", 0L),  // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat", "en", "src0", 0L),  // near dup of 1
+      (12L, "unrelated totally fresh content nobody wrote before", "en", "src0", 0L) // novel
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    val out = TextOps.incrementalDedup(spark, d, "src0", 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "novel"),
+      s"classification wrong: $out")
+    // the exact dup's best jaccard is exactly 1.0 (identical shingle sets)
+    val bj = TextOps.incrementalDedup(spark, d, "src0", 0.5)
+      .filter(col("doc_id") === 10L).select("best_jaccard").collect()(0).getDouble(0)
+    assert(bj == 1.0)
+  }
+
   test("langId: stopword heuristic separates en from de") {
     val out = TextOps.langId(docs).select("doc_id", "predicted")
       .as[(Long, String)].collect().toMap
