@@ -379,12 +379,22 @@ object TextOps {
     * first doc) relation is vocabulary-sized, never corpus².
     */
   def noveltyProfile(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSetShared(spark, dir).select("doc_id", "sg")
-    val first = sh.groupBy("sg").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "sg")
-      .groupBy("doc_id")
+    // exact-dup collapse: a shingle's first doc is the smallest doc_id
+    // containing it = the smallest cluster REP among clusters containing it
+    // (every rep is its cluster's minimum member), so only reps can be
+    // "first" and non-rep members always score 0 novel. The shingle scan
+    // runs on the rep relation — vocabulary work scales with distinct
+    // texts, not corpus size; members join back for their cluster's counts.
+    val base = dedupBase(spark, dir)
+    val sh = base.repSh.select(col("doc_id").as("rep"), col("sg"))
+    val first = sh.groupBy("sg").agg(min("rep").as("first_rep"))
+    val repStats = sh.join(first, "sg")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        sum(when(col("first_rep") === col("rep"), 1L).otherwise(0L)).as("n_novel_rep"))
+    base.withRep.join(repStats, "rep")
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("doc_id") === col("rep"), col("n_novel_rep")).otherwise(0L).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         rd(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty_ratio"))
       .orderBy("doc_id")
@@ -402,7 +412,6 @@ object TextOps {
     */
   def incrementalDedup(spark: SparkSession, dir: String,
                        newSource: String, threshold: Double): DataFrame = {
-    val sh = shingleSetShared(spark, dir)
     val docs = Tables.documents(spark, dir)
     val newDocs = docs.filter(col("source") === newSource)
       .select(col("doc_id"), md5(col("text")).as("h"))
@@ -410,21 +419,39 @@ object TextOps {
       .select(md5(col("text")).as("h")).distinct()
     val exactDup = newDocs.join(corpusH, Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
-    val a = sh.filter(col("source") === newSource)
+    // near-dup check on exact-dup cluster reps, collapsed PER SIDE on
+    // (lang, normalized text): Jaccard is a pure function of the two
+    // normalized texts, so every member of a new-side cluster shares its
+    // rep's best score and every corpus-side cluster contributes one
+    // candidate row — the pair space scales with distinct texts on each
+    // side, never members² (a dup-heavy crawl increment would otherwise
+    // square inside the (lang, shingle) join)
+    val side = when(col("source") === newSource, lit("new")).otherwise(lit("old"))
+    val mem = docs.select(col("doc_id"), col("lang"), side.as("side"),
+      md5(normText(col("text"))).as("nk"))
+    val reps = mem.groupBy("lang", "side", "nk").agg(min("doc_id").as("rep"))
+    val withRep = mem.join(reps, Seq("lang", "side", "nk"))
+      .select(col("doc_id"), col("rep"), col("side"))
+    val repSh = shingleSet(
+      docs.join(reps.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+    val a = repSh.filter(col("source") === newSource)
       .select(col("lang"), col("doc_id").as("doc_a"), col("sg"))
-    val b = sh.filter(col("source") =!= newSource)
+    val b = repSh.filter(col("source") =!= newSource)
       .select(col("lang"), col("doc_id").as("doc_b"), col("sg"))
     val cnta = a.groupBy("doc_a").agg(count(lit(1)).as("na"))
     val cntb = b.groupBy("doc_b").agg(count(lit(1)).as("nb"))
-    val best = a.join(b, Seq("lang", "sg"))
+    val bestRep = a.join(b, Seq("lang", "sg"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       .join(cnta, "doc_a").join(cntb, "doc_b")
       .select(col("doc_a"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
       .groupBy("doc_a").agg(rd(max(col("j")), 6).as("best_jaccard"))
+    val best = withRep.filter(col("side") === "new")
+      .select(col("doc_id"), col("rep").as("doc_a"))
+      .join(bestRep, "doc_a").select(col("doc_id"), col("best_jaccard"))
     newDocs.select(col("doc_id"))
       .join(exactDup, Seq("doc_id"), "left")
-      .join(best.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(coalesce(col("is_exact"), lit(false)), "exact_dup")
           .when(col("best_jaccard") >= threshold, "near_dup")
