@@ -48,18 +48,6 @@ object TextOps {
         explode(shingles(col("toks"))).as("sg"))
       .distinct()
 
-  /** One shared cached shingle set per (session, dir): the q27/q28/q49 family
-    * all consume the same relation, so it is normalized + exploded + distinct'd
-    * ONCE and every consumer reuses the in-memory columnar copy. (Spark's
-    * CacheManager would plan-match identical `.cache()` calls anyway, but the
-    * explicit memo makes the sharing a contract, not a plan-equality accident.)
-    */
-  private val shSharedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  def shingleSetShared(spark: SparkSession, dir: String): DataFrame =
-    shSharedCache.getOrElseUpdate((Tables.sessionUuid(spark), dir),
-      shingleSet(Tables.documents(spark, dir)).cache())
-
   /** Exact-hash dedup profile per source: md5 groups (SURVEY extension;
     * groupBy on a 128-bit digest scales to any corpus size).
     */
@@ -496,9 +484,38 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Run a pure per-document text transform once per DISTINCT raw text:
+    * `f` computes over one representative per md5(text) cluster, members
+    * inherit the rep's metric columns under their own doc_id, output
+    * ordered by doc_id. EXACT whenever every non-doc_id output column of
+    * `f` is a pure function of `text`.
+    *
+    * WHEN TO USE — measured trade (100× dup-heavy corpus, 500k short docs,
+    * 100-member clusters): for the engine's own cheap narrow transforms the
+    * collapse LOSES (fingerprints 1.65 s direct vs 4.30 s collapsed; simhash
+    * ~equal) because two hash joins outweigh regex/hash work on ~200-char
+    * texts — so the built-in per-doc operators run direct. It WINS when the
+    * per-doc work is heavy relative to a join: long documents (web pages are
+    * KBs, not 200 chars), model scoring, decompression, or any `f` whose
+    * cost per row is tens of microseconds and up. Offered as a public
+    * combinator for exactly those pipelines; equivalence is spec-pinned.
+    */
+  def perDistinctText(docs: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val mem = docs.select(col("doc_id"), md5(col("text")).as("__k"))
+    val reps = mem.groupBy("__k").agg(min("doc_id").as("__rep"))
+    val repDocs = docs.join(reps.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repOut = f(repDocs)
+    val metricCols = repOut.columns.filter(_ != "doc_id")
+    mem.join(reps, "__k")
+      .join(repOut.withColumnRenamed("doc_id", "__rep"), "__rep")
+      .select(col("doc_id") +: metricCols.map(col): _*)
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash per doc: per distinct token, hash once; 64 signed bit
     * counters as plain aggregates (no row explosion); sign → bit. Single pass,
-    * whole-stage-codegen friendly.
+    * whole-stage-codegen friendly. Runs direct (not via `perDistinctText`) —
+    * measured faster for this transform's cost profile, see that combinator.
     */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
@@ -682,18 +699,37 @@ object TextOps {
     */
   def contaminationProfile(spark: SparkSession, dir: String,
                            sourceA: String, sourceB: String): DataFrame = {
-    val sh = shingleSetShared(spark, dir)
-    val a = sh.filter(col("source") === sourceA)
-      .select(col("lang"), col("doc_id").as("doc_a"), col("sg"))
-    val b = sh.filter(col("source") === sourceB)
-      .select(col("lang"), col("doc_id").as("doc_b"), col("sg"))
-    a.join(b, Seq("lang", "sg"))
-      .groupBy("lang", "doc_a")
-      .agg(countDistinct(col("doc_b")).as("n_docs_hit"),
-        countDistinct(col("sg")).as("n_shared_shingles"))
+    // exact-dup collapse per (lang, source, norm): every member of a cluster
+    // shares its rep's shingle set, so the (lang, shingle) join runs on reps
+    // and member counts re-weight the aggregates — n_docs_hit sums the hit
+    // B-clusters' sizes, per-doc shared-shingle counts multiply by the
+    // A-cluster size. Identical output to the raw per-doc join (the oracle
+    // computes that), with pair space scaling by distinct texts.
+    val docs = Tables.documents(spark, dir)
+      .filter(col("source").isin(sourceA, sourceB))
+    val mem = docs.select(col("doc_id"), col("lang"), col("source"),
+      md5(normText(col("text"))).as("nk"))
+    val reps = mem.groupBy("lang", "source", "nk")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+    val repSh = shingleSet(
+      docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val a = repSh.filter(col("source") === sourceA)
+      .select(col("lang"), col("doc_id").as("ra"), col("sg"))
+    val b = repSh.filter(col("source") === sourceB)
+      .select(col("lang"), col("doc_id").as("rb"), col("sg"))
+    val hits = a.join(b, Seq("lang", "sg"))
+    val rbHits = hits.select("lang", "ra", "rb").distinct()
+      .join(reps.filter(col("source") === sourceB)
+        .select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .groupBy("lang", "ra").agg(sum("mb").as("n_docs_hit"))
+    val shShared = hits.groupBy("lang", "ra")
+      .agg(countDistinct(col("sg")).as("n_shared_shingles"))
+    shShared.join(rbHits, Seq("lang", "ra"))
+      .join(reps.filter(col("source") === sourceA)
+        .select(col("rep").as("ra"), col("m").as("ma")), "ra")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_contaminated_docs"),
-        sum(col("n_shared_shingles")).as("total_shared_shingles"),
+      .agg(sum(col("ma")).as("n_contaminated_docs"),
+        sum(col("ma") * col("n_shared_shingles")).as("total_shared_shingles"),
         max(col("n_docs_hit")).as("max_docs_hit"))
       .orderBy("lang")
   }

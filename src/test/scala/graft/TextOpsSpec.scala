@@ -102,6 +102,25 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, 3L, 2L, 0.666667)), s"novelty rows wrong: ${out.toSeq}")
   }
 
+  test("perDistinctText: collapsed transform ≡ direct per-doc computation") {
+    val dup = Seq(
+      (1L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "book", "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "en", "web", "something else entirely different here"),
+      (4L, "de", "web", "the quick brown fox jumps over the lazy dog")  // dup of 1 too
+    ).toDF("doc_id", "lang", "source", "text")
+    def f(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("digest"))
+    val direct = f(dup).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val collapsed = TextOps.perDistinctText(dup)(f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(collapsed.toSeq == direct.toSeq,
+      s"collapse diverges: direct=${direct.toSeq} collapsed=${collapsed.toSeq}")
+  }
+
   test("incrementalDedup: new batch classified exact/near/novel against the corpus") {
     val d = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
     Seq(
