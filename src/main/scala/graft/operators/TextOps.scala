@@ -194,6 +194,36 @@ object TextOps {
     minHashWide(xxhashAB(sh))
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"mh_$i")): _*).as("minhash"))
 
+  /** The distinct-trigram shingle set of a text as ONE array column. */
+  def shingleArray(text: Column): Column = array_distinct(shingles(tokens(text)))
+
+  /** Per-ROW MinHash signature as pure array expressions — the same
+    * xxhash64 double-hashing family as `minHashSignatures` (spec-pinned
+    * equal), computed with transform/zip_with/array_min inside a single
+    * projection: no explode, no aggregation, no shuffle. Stateless, so it
+    * drops into a streaming SELECT where the exploded groupBy formulation
+    * would need stateful aggregation — the enabler for near-dup detection
+    * on a live document stream.
+    */
+  def minHashSignatureFromShingles(sgs: Column): Column = {
+    val a = transform(sgs, s => xxhash64(s).bitwiseAND(lit((1L << 60) - 1)))
+    val b = transform(sgs, s => xxhash64(lit(1), s).bitwiseAND(lit((1L << 32) - 1)))
+    val pairs = zip_with(a, b, (x, y) => struct(x.as("a"), y.as("b")))
+    array((0 until NumPerms).map(i =>
+      array_min(transform(pairs, p =>
+        p.getField("a") + lit((i + 1).toLong) * p.getField("b")))): _*)
+  }
+
+  /** Per-table LSH band buckets from a signature array: element b is
+    * xxhash64 over that band's 4 permutation minima — identical bucketing
+    * to the batch `bandsFromWide` fast path.
+    */
+  def lshBandBuckets(sig: Column): Column =
+    array((0 until NumBands).map { bnd =>
+      xxhash64((0 until BandRows).map(r =>
+        element_at(sig, bnd * BandRows + r + 1)): _*)
+    }: _*)
+
   /** Exact-duplicate collapse shared by the LSH near-dup family: identical
     * normalized text ⇒ identical shingle set ⇒ identical MinHash signature,
     * so LSH only ever needs ONE representative per exact-dup cluster.
@@ -756,8 +786,8 @@ object TextOps {
     val reps = b.groupBy("lang", "norm").agg(min("doc_id").as("rep"))
     val mem = b.join(reps, Seq("lang", "norm"))
       .select(col("doc_id"), col("rep"), col("lang"))
-    val repPairs = fuzzyRepPairs(reps, blockLen)
-      .filter(col("edit_distance") <= maxDistance)
+    val repPairs = fuzzyRepPairs(reps, blockLen, maxDistance)
+      .filter(col("edit_distance").between(0, maxDistance))
     val cross = repPairs
       .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
       .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
@@ -771,17 +801,24 @@ object TextOps {
       .orderBy(col("edit_distance").asc, col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Rep-level blocked candidate pairs with their edit distance (pre-filter).
-    * Package-visible so the dup-heavy-fixture spec can pin that the candidate
-    * count scales with distinct texts, not with cluster membership. */
-  private[graft] def fuzzyRepPairs(reps: DataFrame, blockLen: Int): DataFrame = {
+  /** Rep-level blocked candidate pairs with their BANDED edit distance
+    * (−1 when beyond `maxDistance`): the 3-arg `levenshtein` abandons a
+    * pair once its distance provably exceeds the band, O(len·maxDistance)
+    * per pair instead of O(len²) — on long documents the band is the
+    * difference between a usable and an unusable fuzzy join. Values within
+    * the band are exact, so the filtered output is identical to the
+    * unbounded form (the DuckDB oracle computes full distances).
+    * Package-visible so the dup-heavy-fixture spec can pin that the
+    * candidate count scales with distinct texts, not cluster membership. */
+  private[graft] def fuzzyRepPairs(reps: DataFrame, blockLen: Int,
+                                   maxDistance: Int): DataFrame = {
     val rb = reps.withColumn("blk", col("norm").substr(1, blockLen))
     val x = rb.select(col("lang"), col("blk"), col("rep").as("doc_a"), col("norm").as("na"))
     val y = rb.select(col("lang"), col("blk"), col("rep").as("doc_b"), col("norm").as("nb"))
     x.join(y, Seq("lang", "blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("lang"),
-        levenshtein(col("na"), col("nb")).cast("long").as("edit_distance"))
+        levenshtein(col("na"), col("nb"), maxDistance).cast("long").as("edit_distance"))
   }
 
   /** Distinct-text blocked relation for spec-level candidate accounting. */

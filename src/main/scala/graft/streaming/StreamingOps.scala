@@ -121,6 +121,47 @@ object StreamingOps {
       .drop("__h", "__corpus_h")
   }
 
+  /** Static corpus-side LSH band index for streaming near-dup detection:
+    * (band, bucket, corpus_doc, c_sgs). Built once in batch, re-read per
+    * micro-batch; at scale this is the persisted index a crawl pipeline
+    * maintains alongside the corpus.
+    */
+  def nearDupBandIndex(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    docs.select(col("doc_id").as("corpus_doc"),
+        TextOps.shingleArray(col("text")).as("c_sgs"))
+      .filter(size(col("c_sgs")) > 0)
+      .select(col("corpus_doc"), col("c_sgs"),
+        posexplode(TextOps.lshBandBuckets(
+          TextOps.minHashSignatureFromShingles(col("c_sgs")))).as(Seq("band", "bucket")))
+  }
+
+  /** Streaming NEAR-dup detection against a static corpus — the fuzzy twin
+    * of `incrementalDedupStream`: each arriving doc's MinHash signature is
+    * computed per-row with array expressions (`minHashSignatureFromShingles`
+    * — stateless, no aggregation), its band buckets join the static index,
+    * and candidates are verified with exact array-intersection Jaccard.
+    * Everything is a projection / generate / stream-static join: no state
+    * store, so throughput is scan-bound. A (doc, corpus_doc) pair colliding
+    * in multiple bands emits once per band — dedup downstream with
+    * `dedupStream` (watermark-bounded) or a grouped max, depending on sink.
+    */
+  def nearDupStream(docs: DataFrame, bandIndex: DataFrame, threshold: Double): DataFrame = {
+    import graft.operators.TextOps
+    val s = docs.withColumn("sgs", TextOps.shingleArray(col("text")))
+      .filter(size(col("sgs")) > 0)
+      .select(col("doc_id"), col("sgs"),
+        posexplode(TextOps.lshBandBuckets(
+          TextOps.minHashSignatureFromShingles(col("sgs")))).as(Seq("band", "bucket")))
+    s.join(bandIndex, Seq("band", "bucket"))
+      .withColumn("inter", size(array_intersect(col("sgs"), col("c_sgs"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sgs")) + size(col("c_sgs")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_doc"),
+        graft.functions.Fx.rd(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Watermarked stream-stream inner join: match rows of two live streams on
     * a key within a bounded event-time band. Both sides buffer in the state
     * store, sharded by the join key like a shuffle; the watermark + time

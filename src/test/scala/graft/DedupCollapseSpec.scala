@@ -104,7 +104,7 @@ class DedupCollapseSpec extends SparkSpecBase {
     // scales with distinct texts, not cluster membership
     assert(rawCand.count() == 190L)
     val reps = graft.operators.TextOps.fuzzyReps(docs)
-    assert(graft.operators.TextOps.fuzzyRepPairs(reps, 12).count() == 1L)
+    assert(graft.operators.TextOps.fuzzyRepPairs(reps, 12, 5).count() == 1L)
   }
 
   test("jaccard top-k on the same fixture ranks exact dups first, exactly") {

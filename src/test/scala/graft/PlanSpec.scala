@@ -75,6 +75,25 @@ class PlanSpec extends SparkSpecBase {
     assert(df.collect().nonEmpty)
   }
 
+  test("q76's exact-dup check pushes the source filter and broadcasts the digest set") {
+    val df = SparkEntry.queries("q76_incremental_dedup")(spark, sf)
+    df.collect() // AQE finalizes join strategies in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the new-batch scan pushes source = src0 to parquet
+    assert(plan.contains("EqualTo(source,src0)"),
+      s"source filter not pushed to the scan:\n$plan")
+    // the digest semi-join against the (small) corpus digest relation is a
+    // broadcast — the new batch never shuffles for the exact check
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"digest check is not a broadcast semi-join:\n$plan")
+  }
+
+  test("q75 novelty: vocabulary aggregation is partial+final") {
+    val plan = graft.operators.TextOps.noveltyProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no map-side combine in novelty:\n$plan")
+  }
+
   test("approx stats stay within sketch error of exact values") {
     val bars = MarketView.dailyBars(spark, sf)
     val approx = Analytics.approxStats(bars).head()

@@ -53,6 +53,33 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupStream: arriving docs matched against the static corpus band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different corpus content goes right here")
+    ).toDF("doc_id", "text")
+    val index = StreamingOps.nearDupBandIndex(corpus)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(docs, index, 0.5).writeStream
+      .format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 100
+        (2L, "the quick brown fox jumps over the lazy cat"),   // near dup of 100 (J=0.75)
+        (3L, "nothing in common with anything stored at all")) // novel
+      q.processAllAvailable()
+      val out = spark.table("neardup_out")
+        .select("doc_id", "corpus_doc", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet // multi-band emits collapse in the set
+      assert(out.contains((1L, 100L, 1.0)), s"exact dup missed: $out")
+      assert(out.contains((2L, 100L, 0.75)), s"near dup missed: $out")
+      assert(!out.exists(_._1 == 3L), s"novel doc matched: $out")
+      assert(!out.exists(_._2 == 101L), s"unrelated corpus doc matched: $out")
+    } finally q.stop()
+  }
+
   test("sessionWindows: 30-min gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

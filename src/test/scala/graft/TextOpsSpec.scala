@@ -102,6 +102,18 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, 3L, 2L, 0.666667)), s"novelty rows wrong: ${out.toSeq}")
   }
 
+  test("per-row array MinHash signature ≡ the exploded-aggregation signature") {
+    val sig1 = TextOps.minHashSignatures(TextOps.shingleSet(docs))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    val sig2 = docs
+      .select(col("doc_id"),
+        TextOps.minHashSignatureFromShingles(TextOps.shingleArray(col("text"))).as("mh"))
+      .filter(size(col("mh")) > 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    assert(sig1.keySet.nonEmpty && sig1.keySet == sig2.keySet.intersect(sig1.keySet))
+    for ((id, v) <- sig1) assert(sig2(id) == v, s"signature mismatch for doc $id")
+  }
+
   test("perDistinctText: collapsed transform ≡ direct per-doc computation") {
     val dup = Seq(
       (1L, "en", "web", "the quick brown fox jumps over the lazy dog"),
