@@ -247,20 +247,22 @@ object TextOps {
     * (q27's Jaccard), where identical texts in different buckets must NOT
     * collapse into one cluster.
     */
+  private def dedupBaseFrom(docs: DataFrame, bucketed: Boolean): DedupBase = {
+    val key = if (bucketed)
+      concat_ws("|", md5(normText(col("text"))), col("lang"), col("source"))
+    else md5(normText(col("text")))
+    val mem = docs.select(col("doc_id"), key.as("ck"))
+    val reps = mem.groupBy("ck").agg(min("doc_id").as("rep"))
+    val withRep = mem.join(reps, "ck").cache()
+    val repSh = shingleSet(
+      docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")).cache()
+    DedupBase(withRep, repSh)
+  }
+
   private def dedupBase(spark: SparkSession, dir: String,
                         bucketed: Boolean = false): DedupBase =
-    dedupBaseCache.getOrElseUpdate((Tables.sessionUuid(spark), dir, bucketed), {
-      val docs = Tables.documents(spark, dir)
-      val key = if (bucketed)
-        concat_ws("|", md5(normText(col("text"))), col("lang"), col("source"))
-      else md5(normText(col("text")))
-      val mem = docs.select(col("doc_id"), key.as("ck"))
-      val reps = mem.groupBy("ck").agg(min("doc_id").as("rep"))
-      val withRep = mem.join(reps, "ck").cache()
-      val repSh = shingleSet(
-        docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")).cache()
-      DedupBase(withRep, repSh)
-    })
+    dedupBaseCache.getOrElseUpdate((Tables.sessionUuid(spark), dir, bucketed),
+      dedupBaseFrom(Tables.documents(spark, dir), bucketed))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
     * 8 bands × 4 rows: representatives sharing any band bucket become
@@ -353,11 +355,26 @@ object TextOps {
     * never data. Equivalent to CC over the raw per-doc pair graph — the
     * DuckDB oracle computes exactly that via a recursive-CTE closure.
     */
-  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val base = dedupBase(spark, dir)
-    val repPairs = verifiedRepPairs(spark, dir, "md5", md5AB,
-      cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)), threshold)
-      .select("doc_a", "doc_b")
+  private def md5Bucket: Seq[Column] => Column =
+    cols => md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    clustersFromBase(dedupBase(spark, dir),
+      verifiedRepPairs(spark, dir, "md5", md5AB, md5Bucket, threshold)
+        .select("doc_a", "doc_b"))
+
+  /** DataFrame-level twin of `nearDupClusters` for pipeline stages operating
+    * on an already-transformed document relation (no per-dir memo).
+    */
+  def nearDupClustersFrom(docs: DataFrame, threshold: Double): DataFrame = {
+    val base = dedupBaseFrom(docs, bucketed = false)
+    clustersFromBase(base,
+      verifyCandidatePairs(base.repSh,
+        bandCandidates(bandsFromWide(minHashWide(md5AB(base.repSh)), md5Bucket)),
+        threshold).select("doc_a", "doc_b"))
+  }
+
+  private def clustersFromBase(base: DedupBase, repPairs: DataFrame): DataFrame = {
     val edges = repPairs.union(repPairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.operators.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composition the individual
+  * text operators exist for, in the production order every large-scale
+  * pipeline runs:
+  *
+  *   1. ingest           parquet documents (partitioned scan)
+  *   2. PII redaction    emails/phones scrubbed BEFORE anything is persisted
+  *   3. quality gate     composite score filter (length/punct/stopword)
+  *   4. exact dedup      keep the HIGHEST-QUALITY duplicate (not arrival order)
+  *   5. near-dup dedup   one canonical doc per connected near-dup cluster
+  *   6. split            deterministic hash-bucket train/val/test
+  *   7. write            parquet partitioned BY SPLIT (training reads prune)
+  *   8. profile          per-(split, lang) counts + token mass
+  *
+  * Stage order matters at 100 TB: redaction is a narrow projection (do it
+  * first, nothing re-scans raw text later); the quality gate shrinks the
+  * corpus before any shuffle; exact dedup collapses clusters before the
+  * near-dup machinery (whose cost scales with distinct texts); the split is
+  * a pure hash of doc_id so it commutes with everything above and stays
+  * stable when the corpus grows.
+  */
+final case class CorpusResult(
+    nRaw: Long, nQuality: Long, nExactDeduped: Long, nFinal: Long,
+    profile: DataFrame)
+
+object CorpusPipeline {
+
+  def run(spark: SparkSession, dir: String, outDir: Option[String] = None,
+          minQuality: Double = 0.5, nearThreshold: Double = 0.9): CorpusResult = {
+    // 1. ingest
+    val raw = Tables.documents(spark, dir)
+    val nRaw = raw.count()
+
+    // 2. PII redaction — narrow projection, applied once, upstream of all
+    // persistence (redacted text is what every later stage sees)
+    val red = raw
+      .join(TextOps.redactPii(raw).select("doc_id", "text_redacted"), "doc_id")
+      .drop("text").withColumnRenamed("text_redacted", "text")
+
+    // 3. quality gate on the scrubbed text
+    val gated = red.join(
+      TextOps.qualityMetrics(red).select("doc_id", "quality_score")
+        .filter(col("quality_score") >= minQuality),
+      "doc_id")
+    val nQuality = gated.count()
+
+    // 4. exact dedup, keep-best-quality survivor; cached — consumed by the
+    // cluster pass, the anti-join, and the count
+    val exact = TextOps.dedupKeepBest(gated, "quality_score").cache()
+    val nExact = exact.count()
+
+    // 5. near-dup canonicalization: drop every non-canonical member of a
+    // near-dup component (cluster_rep keeps itself)
+    val clusters = TextOps.nearDupClustersFrom(exact, nearThreshold)
+    val survivors = exact.join(
+      clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    // 6. deterministic split — pure function of doc_id, stable under growth
+    val split = TextOps.splitAssign(survivors, "doc_id")
+    val nFinal = split.count()
+
+    // 7. partitioned write: training jobs read split=train only (pruned scan)
+    outDir.foreach(o => Tables.overwrite(split, o, Seq("split")))
+
+    // 8. profile
+    val profile = split.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))))
+          .cast("long").as("n_tokens"),
+        graft.functions.Fx.rd(avg(col("quality_score")), 6).as("avg_quality"))
+      .orderBy("split", "lang")
+
+    CorpusResult(nRaw, nQuality, nExact, nFinal, profile)
+  }
+}
