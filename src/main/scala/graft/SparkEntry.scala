@@ -250,6 +250,10 @@ object SparkEntry {
     "q76_incremental_dedup" -> ((s, dir) =>
       TextOps.incrementalDedup(s, dir, "src0", 0.5)),
 
+    // cross-document boilerplate: fraction of each doc's shingles shared by
+    // more than 2 documents — the C4-style template/nav-bar signal
+    "q78_boilerplate" -> ((s, dir) => TextOps.boilerplateProfile(s, dir, 2)),
+
     // MAD-based robust outliers: median absolute deviation per symbol,
     // Iglewicz–Hoaglin modified z-score |0.6745·(x−med)/MAD| > 3.5 — the
     // outlier DETECTOR companion to q72's winsorization (which clips);
@@ -1295,6 +1299,28 @@ FROM newd n
 LEFT JOIN corp c ON n.h = c.h
 LEFT JOIN best ON n.doc_id = best.doc_a
 ORDER BY n.doc_id""",
+
+    "q78_boilerplate" -> """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), f AS (
+  SELECT sg, count(*) AS df FROM sh GROUP BY sg
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(CAST(sum(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) + 0 AS boilerplate_frac
+FROM sh s JOIN f ON s.sg = f.sg
+GROUP BY s.doc_id ORDER BY doc_id""",
 
     "q77_mad_outliers" -> (FACT + """, m AS (
   SELECT symbol, quantile_cont(variacao_diaria, 0.5) AS med

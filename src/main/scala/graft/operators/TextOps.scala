@@ -495,6 +495,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate signal (C4-style): per doc, the fraction of
+    * its distinct shingles occurring in MORE than `dfLimit` documents —
+    * navigation bars, footers, and license headers dominate a web crawl and
+    * show up as high-document-frequency shingles. Document frequency is
+    * computed on the collapsed rep relation weighted by cluster size (an
+    * exact identity: the shingle relation is distinct per doc, and every
+    * member of a cluster contains exactly its rep's shingles), so the
+    * vocabulary aggregation scales with distinct texts.
+    */
+  def boilerplateProfile(spark: SparkSession, dir: String, dfLimit: Long = 2): DataFrame = {
+    val base = dedupBase(spark, dir)
+    val sizes = base.withRep.groupBy("rep").agg(count(lit(1)).as("m"))
+    val sh = base.repSh.select(col("doc_id").as("rep"), col("sg"))
+    val df = sh.join(sizes, "rep").groupBy("sg").agg(sum("m").as("df"))
+    val perRep = sh.join(df, "sg").groupBy("rep").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") > dfLimit, 1L).otherwise(0L)).as("n_common"))
+    base.withRep.join(perRep, "rep")
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        rd(col("n_common").cast("double") / col("n_shingles"), 6).as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct candidate pairs from any (doc_id, band, bucket) relation. */
   private def bandCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"), Seq("band", "bucket"))

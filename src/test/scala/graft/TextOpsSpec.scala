@@ -102,6 +102,27 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, 3L, 2L, 0.666667)), s"novelty rows wrong: ${out.toSeq}")
   }
 
+  test("boilerplateProfile: planted template shingles flagged, unique content not") {
+    val d = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val footer = "all rights reserved contact the site administrator"
+    Seq(
+      (1L, s"unique article about mountain weather patterns $footer", "en", "web", 0L),
+      (2L, s"another story on river navigation and cargo $footer", "en", "web", 0L),
+      (3L, s"third piece covering desert wildlife and plants $footer", "en", "web", 0L),
+      (4L, s"fourth entry on city transport planning and roads $footer", "en", "web", 0L),
+      (5L, "entirely standalone content with nothing shared anywhere else", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d + "/documents.parquet")
+    val out = TextOps.boilerplateProfile(spark, d, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // the footer's internal trigrams appear in 4 docs (> 2) -> flagged
+    for (id <- 1L to 4L)
+      assert(out(id)._1 >= 4L && out(id)._2 > 0.3,
+        s"doc $id boilerplate not flagged: ${out(id)}")
+    // the standalone doc shares nothing
+    assert(out(5L) == ((0L, 0.0)), s"standalone doc flagged: ${out(5L)}")
+  }
+
   test("per-row array MinHash signature ≡ the exploded-aggregation signature") {
     val sig1 = TextOps.minHashSignatures(TextOps.shingleSet(docs))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
