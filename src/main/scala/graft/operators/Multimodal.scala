@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE branch is real: `decodeImage`/`imageFeatures` decode PNG/JPEG
   * bytes with the JDK's `javax.imageio` (true width/height/mean-luminance).
-  * Audio/video decode remains a STUB — this container has no such codecs, so
-  * `decodeStub` derives deterministic fake media properties from the payload
+  * The AUDIO branch is real for WAV/AIFF/AU: `decodeAudio`/`audioFeatures`
+  * via `javax.sound.sampled` (true sample rate/channels/duration/RMS).
+  * VIDEO decode remains the one STUB — the JDK ships no video codec — and
+  * `decodeStub` derives deterministic fake media properties from payload
   * bytes (q40's synthetic testdata also flows through the stub: its payloads
-  * are text bytes, not images). Everything around the codec boundary is the
+  * are text bytes, not media). Everything around the codec boundary is the
   * real production shape:
   *   - schema: (doc_id, media_type, payload binary, meta struct)
   *   - partition-local batched processing via typed mapPartitions (the Scala
@@ -103,6 +105,62 @@ object Multimodal {
   }
 
   case class BinFile(path: String, payload: Array[Byte])
+
+  case class AudioFeatures(
+      path: String, byte_len: Long, sample_rate: Double, n_channels: Int,
+      n_frames: Long, duration_sec: Double, rms: Double)
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled` (public
+    * API, no new dependencies): WAV/AIFF/AU payloads decode to true sample
+    * rate, channel count, frame count, duration, and RMS amplitude of the
+    * PCM samples. Together with `decodeImage` this leaves VIDEO as the one
+    * remaining stub (the JDK ships no video codec — that boundary stays
+    * documented in `decodeStub`).
+    */
+  private[graft] def decodeAudio(path: String, payload: Array[Byte]): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      val bps = fmt.getSampleSizeInBits
+      require(bps == 16 || bps == 8, s"unsupported sample size $bps for $path")
+      var sumSq = 0.0
+      var n = 0
+      if (bps == 16) {
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN
+        val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+        n = sb.remaining()
+        var i = 0
+        while (i < n) { val v = sb.get(i) / 32768.0; sumSq += v * v; i += 1 }
+      } else {
+        n = bytes.length
+        var i = 0
+        while (i < n) { val v = ((bytes(i) & 0xff) - 128) / 128.0; sumSq += v * v; i += 1 }
+      }
+      AudioFeatures(path, payload.length.toLong, fmt.getSampleRate.toDouble,
+        fmt.getChannels, frames,
+        if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0)
+    } finally in.close()
+  }
+
+  /** Decode every audio file under `dir` (binaryFile scan → partition-local
+    * batched javax.sound decode) — the audio twin of `imageFeatures`.
+    */
+  def audioFeatures(spark: SparkSession, dir: String, glob: String = "*.wav"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map(f => decodeAudio(f.path, f.payload))
+        }
+      }
+      .toDF()
+  }
 
   /** Decode every image file under `dir` (binaryFile scan → partition-local
     * batched ImageIO decode): (path, byte_len, width, height, mean_luma).

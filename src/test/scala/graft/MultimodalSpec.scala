@@ -54,6 +54,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a._2 == new java.io.File(dir, "a.png").length())
   }
 
+  test("decodeAudio + audioFeatures: REAL WAV decode via javax.sound — true rate, frames, RMS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav").toFile
+    // 16-bit PCM mono 8000 Hz, 0.5 s sine at amplitude 0.5 → RMS = 0.5/√2
+    val rate = 8000f
+    val nFrames = 4000
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nFrames)
+      bb.putShort((0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, new java.io.File(dir, "tone.wav"))
+    val out = Multimodal.audioFeatures(spark, dir.getAbsolutePath, "*.wav").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getDouble(2) == 8000.0, s"sample rate wrong: $r")
+    assert(r.getInt(3) == 1 && r.getLong(4) == 4000L, s"channels/frames wrong: $r")
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-6, s"duration wrong: $r")
+    assert(math.abs(r.getDouble(6) - 0.5 / math.sqrt(2.0)) < 1e-3, s"RMS wrong: $r")
+  }
+
   test("extractFeatures: distributed, one feature row per media row") {
     val media = Multimodal.mediaTable(spark, sf).repartition(7)
     val feats = Multimodal.extractFeatures(spark, media)
