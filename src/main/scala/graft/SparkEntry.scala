@@ -355,9 +355,11 @@ object SparkEntry {
       Similarity.lshNearDup(Tables.embeddings(s, dir), 0.35)),
     "q39_ivf_knn" -> ((s, dir) => Similarity.ivfKnn(s, dir, 5, 3)),
     // label-free IVF: coarse centroids TRAINED by k-means instead of label
-    // seeding — the variant a real corpus (no labels) needs. Rows-only in the
-    // driver (k-means float-sum order is engine-specific); recall-vs-brute is
-    // pinned by SimilaritySpec on this exact registered configuration.
+    // seeding — the variant a real corpus (no labels) needs. FULLY oracled:
+    // the centroid quantization contract (see kmeansCentroids) makes the
+    // training loop deterministic, and the DuckDB oracle replays all three
+    // Lloyd iterations in unrolled SQL. Recall-vs-brute additionally pinned
+    // by SimilaritySpec at this registered configuration.
     "q73_ivf_knn_kmeans" -> ((s, dir) =>
       Similarity.ivfKnnKmeans(Tables.embeddings(s, dir), 5, 3, nCells = 8, nProbe = 3)),
 
@@ -1031,6 +1033,59 @@ WITH e AS (
 )
 SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
 FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "q73_ivf_knn_kmeans" -> {
+      // replay Similarity.kmeansCentroids + ivfWithCentroids exactly: seeds
+      // are the 8 vectors with smallest md5(vec_id) (portable, lexicographic
+      // hex order), then 3 unrolled Lloyd iterations whose centroid means
+      // are QUANTIZED to 6 decimals (the operator's determinism contract —
+      // it erases distributed-float-sum order noise), then nProbe=3 probing
+      // and the TopKByScore tie-break, all in plain SQL
+      val cos = (v: String, c: String) =>
+        s"list_dot_product($v, $c) / nullif(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)), 0)"
+      val iters = (1 to 3).map { i =>
+        val prev = s"cents${i - 1}"
+        s""", asg$i AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM e CROSS JOIN $prev c
+), cp$i AS (
+  SELECT cell, pos, round(avg(val), 6) + 0 AS c
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+        FROM asg$i WHERE crk = 1)
+  GROUP BY 1, 2
+), cents$i AS (
+  SELECT cell, list(c ORDER BY pos) AS cvec FROM cp$i GROUP BY cell
+)"""
+      }.mkString
+      s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sd AS (
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT 8
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM sd
+)$iters, fin AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM e CROSS JOIN cents3 c
+), assigned AS (
+  SELECT vec_id AS neighbor_id, cell, v AS ce FROM fin WHERE crk = 1
+), probes AS (
+  SELECT vec_id AS q_id, cell, v AS qe FROM fin WHERE crk <= 3 AND vec_id < 5
+), s AS (
+  SELECT p.q_id, a.neighbor_id, ${cos("p.qe", "a.ce")} AS sim
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.neighbor_id
+), r AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
+FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
 
     "q36_label_centroids" -> """
 WITH x AS (

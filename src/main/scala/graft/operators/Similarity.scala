@@ -184,17 +184,24 @@ object Similarity {
 
   /** Lloyd's k-means over embeddings, expressed as DataFrame ops: assignment
     * is a broadcast cross join against the (tiny) centroid relation + argmax,
-    * the update is one hash aggregation per iteration. Centroids are seeded
-    * from deterministic hash-sampled rows. The per-iteration cost is one scan
-    * + one shuffle of (cell, pos, partial-mean) — linear at any corpus size;
-    * the centroid relation (k × dim) always fits in a broadcast.
+    * the update is one hash aggregation per iteration. The per-iteration cost
+    * is one scan + one shuffle of (cell, pos, partial-mean) — linear at any
+    * corpus size; the centroid relation (k × dim) always fits in a broadcast.
+    *
+    * Two determinism contracts make the WHOLE training loop cross-engine
+    * verifiable (the q73 oracle replays it in unrolled SQL):
+    *  - seeds are the k vectors with the smallest `md5(vec_id)` (portable
+    *    hash, lexicographic on hex — no engine-specific sampling);
+    *  - centroid coordinates are QUANTIZED to 6 decimals after each mean
+    *    update, which erases the ~1e-15 partial-aggregation-order noise that
+    *    would otherwise make distributed float averages engine-specific. The
+    *    ≤5e-7 perturbation is far below the clustering's own noise floor.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    // deterministic seed: the k vectors with smallest xxhash64(vec_id)
     var cents = emb
-      .withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
       .withColumn("cell", row_number().over(Window.orderBy("h")).cast("long") - 1)
       .select(col("cell"), col("e").as("cvec"))
@@ -205,7 +212,7 @@ object Similarity {
         .withColumn("crk", row_number().over(wAssign))
         .filter(col("crk") === 1)
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("c"))
+        .groupBy("cell", "pos").agg(rd(avg(col("v")), 6).as("c"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("cvec"))
         .localCheckpoint(true) // cut lineage: each iteration re-reads 1 scan, not i scans
