@@ -111,6 +111,38 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Declared schema for JSONL document corpora — the interchange format
+    * training-data pipelines actually exchange (one JSON object per line).
+    */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true),
+    StructField("_corrupt_record", StringType, nullable = true)
+  ))
+
+  /** JSONL document ingest with the same contract as the lenient CSV path:
+    * DECLARED schema (no inference pass over 100 TB), PERMISSIVE mode, and
+    * malformed lines quarantined into `_corrupt_record` instead of failing
+    * the job or silently disappearing. Returns (clean rows in the documents
+    * schema, quarantined raw lines). The scan is line-splittable — JSONL
+    * parallelizes like CSV, one partition per split.
+    */
+  def readDocumentsJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(documentsJsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record columns must be materialized before filtering on them
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantined)
+  }
+
   /** S3/S6: truncate-and-reload ≡ overwrite; materialized-view refresh ≡
     * recompute + overwrite (reference `dags/financial_pipeline.py:43,182,203-212`).
     * `partitionByCols` is the 100 TB lever: facts written partitioned by date

@@ -251,6 +251,23 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(clean.head().getAs[String]("symbol") == "AAA")
   }
 
+  test("JSONL document ingest: declared schema, malformed lines quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id": 1, "text": "first document body", "lang": "en", "source": "web", "n_chars": 19}
+        |{"doc_id": 2, "text": "second one", "lang": "de", "source": "book", "n_chars": 10}
+        |{not valid json at all
+        |""".stripMargin)
+    val (clean, quarantined) = graft.sources.Tables.readDocumentsJsonl(spark, dir.toString)
+    assert(clean.count() == 2)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(clean.filter(col("doc_id") === 1L).head().getAs[String]("text") == "first document body")
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).startsWith("{not valid"), s"quarantine wrong: ${bad.toSeq}")
+    // the clean relation drops into the text-operator surface unchanged
+    assert(graft.operators.TextOps.qualityMetrics(clean).count() == 2)
+  }
+
   test("eventStream: streaming weekly agg matches the batch twin row-for-row") {
     val stream = StreamingOps.eventStream(spark, sf)
     assert(stream.isStreaming)
