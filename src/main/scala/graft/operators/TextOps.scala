@@ -383,8 +383,18 @@ object TextOps {
     while (changed > 0) {
       val nbMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("nl"))
-      val next = labels.join(nbMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // path compression: label(x) also shrinks through label(label(x)) —
+      // every label IS a node id of the same component (invariant holds by
+      // induction), so one extra equi-join halves remaining chain depth per
+      // round and convergence is O(log n) rounds instead of O(diameter).
+      // Same fixpoint: the component-minimum labeling.
+      val parent = labels.select(col("id").as("label"), col("label").as("pl"))
+      val next = labels
+        .join(nbMin.select(col("src").as("id"), col("nl")), Seq("id"), "left")
+        .join(parent, Seq("label"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("nl"), col("label")),
+          coalesce(col("pl"), col("label"))).as("label"))
         .localCheckpoint() // cut lineage: each round re-reads the previous round, not the chain
       changed = next.select(col("id"), col("label").as("nlab"))
         .join(labels, "id").filter(col("nlab") < col("label")).count()
