@@ -674,6 +674,21 @@ object TextOps {
   /** Per-doc quality metrics + composite score (length / punctuation /
     * stopword-density heuristics of a training-data filter).
     */
+  /** Composite quality score of a text column (un-rounded) — the same
+    * formula `qualityMetrics` reports, exposed as a reusable column so
+    * single-pass pipelines can gate without a metrics join.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("long")
+    val nTokens = size(regexp_extract_all(c, lit("[^\\s]+"), lit(0))).cast("long")
+    val alnumSpace = length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("long")
+    val punct = (nChars - alnumSpace).cast("double") / nullIfZero(nChars.cast("double"))
+    val stopRatio = hits(normText(c), StopEn).cast("double") /
+      nullIfZero(nTokens.cast("double"))
+    least(lit(1.0), nTokens.cast("double") / 100.0) * 0.4 +
+      (lit(1.0) - punct) * 0.3 + least(lit(1.0), stopRatio * 5.0) * 0.3
+  }
+
   def qualityMetrics(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nTokens = size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long")
@@ -682,13 +697,11 @@ object TextOps {
     val punct = (nChars - alnumSpace).cast("double") / nullIfZero(nChars.cast("double"))
     val stopHits = hits(normText(col("text")), StopEn)
     val stopRatio = stopHits.cast("double") / nullIfZero(nTokens.cast("double"))
-    val score = least(lit(1.0), nTokens.cast("double") / 100.0) * 0.4 +
-      (lit(1.0) - punct) * 0.3 + least(lit(1.0), stopRatio * 5.0) * 0.3
     docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
         rd(letterChars.cast("double") / nullIfZero(nTokens.cast("double")), 6).as("avg_token_len"),
         rd(punct, 6).as("punct_ratio"),
         rd(stopRatio, 6).as("stopword_ratio"),
-        rd(score, 6).as("quality_score"))
+        rd(qualityScore(col("text")), 6).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -709,13 +722,18 @@ object TextOps {
   private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val PhoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
 
+  /** Redaction as a pure column transform — composable into single-pass
+    * pipelines (no join, no second scan of the corpus).
+    */
+  def redactText(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
   /** PII scrubbing: redact email/phone patterns, report per-source counts.
     * One projection + one aggregation — the scrub itself never shuffles.
     */
   def redactPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]").as("text_redacted"),
+      redactText(col("text")).as("text_redacted"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
