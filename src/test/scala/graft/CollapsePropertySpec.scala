@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Randomized cross-IMPLEMENTATION equivalence for the collapse machinery:
+  * dup-heavy corpora are generated from seeds and every operator's output is
+  * compared against an independent PURE-SCALA reference (no Spark, no
+  * DuckDB) that runs the raw per-doc algorithm — signatures, banding,
+  * Jaccard, blocked Levenshtein, union-find components. The DuckDB oracles
+  * pin the real testdata; this suite pins the edge cases random fixtures
+  * surface (every-doc-duplicated, cross-lang dups, shingle-less texts).
+  */
+class CollapsePropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- pure-Scala reference implementation (mirrors the md5 family) ----
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  private def shingleSet(s: String): Set[String] = {
+    val t = norm(s).split(" ").toIndexedSeq.filter(_.nonEmpty)
+    if (t.size < 3) Set.empty
+    else (0 to t.size - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+  }
+
+  private def signature(sgs: Set[String]): IndexedSeq[Long] = {
+    val ab = sgs.toIndexedSeq.map { sg =>
+      val h = md5hex(sg)
+      (java.lang.Long.parseLong(h.substring(0, 15), 16),
+        java.lang.Long.parseLong(h.substring(15, 23), 16))
+    }
+    (0 until 32).map(i => ab.map { case (a, b) => a + (i + 1).toLong * b }.min)
+  }
+
+  private def bandBuckets(sig: IndexedSeq[Long]): IndexedSeq[String] =
+    (0 until 8).map(b => md5hex((0 until 4).map(r => sig(b * 4 + r)).mkString("|")))
+
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    rd6(a.intersect(b).size.toDouble / a.union(b).size)
+
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Raw per-doc minhash-LSH pairs (the algorithm the oracles compute). */
+  private def refPairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long, Double)] = {
+    val withSg = docs.map { case (id, t) => (id, shingleSet(t)) }.filter(_._2.nonEmpty)
+    val sigs = withSg.map { case (id, sgs) => (id, sgs, bandBuckets(signature(sgs)).toSet) }
+    (for {
+      (ia, sa, ba) <- sigs; (ib, sb, bb) <- sigs
+      if ia < ib && ba.intersect(bb).nonEmpty
+      j = jaccard(sa, sb) if j >= threshold
+    } yield (ia, ib, j)).toSet
+  }
+
+  /** Union-find components over the raw pair graph → doc -> min reachable. */
+  private def refComponents(pairs: Set[(Long, Long, Double)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b, _) <- pairs) { parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def mkCorpus(seed: Int): Seq[(Long, String, String, String, Long)] = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(seed)
+    val texts = (0 until 12).map(_ =>
+      (0 until (5 + rng.nextInt(6))).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    var id = 0L
+    val rows = scala.collection.mutable.Buffer[(Long, String, String, String, Long)]()
+    for (t <- texts; _ <- 0 until (1 + rng.nextInt(4))) {
+      id += 1
+      // punctuation/case noise that normalizes away — exact-dup clusters
+      val noisy = rng.nextInt(3) match {
+        case 0 => t + "!!"
+        case 1 => t.toUpperCase
+        case _ => t.replace(" ", "   ")
+      }
+      rows += ((id, noisy, if (rng.nextBoolean()) "en" else "de", "web", 0L))
+    }
+    rows += ((id + 1, "hi", "en", "web", 0L)) // shingle-less: must never pair
+    rows.toSeq
+  }
+
+  for (seed <- Seq(11, 23, 47)) {
+    test(s"seed $seed: collapsed minhash pairs ≡ pure-Scala raw algorithm") {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_prop$seed").toString
+      val rows = mkCorpus(seed)
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(d + "/documents.parquet")
+      val expected = refPairs(rows.map(r => (r._1, r._2)), 0.3)
+      val got = TextOps.minHashLshPairsPortable(spark, d, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"pairs diverge: missing=${expected -- got} extra=${got -- expected}")
+
+      // clusters: CC over the same pair graph, min-reachable labeling
+      val expComponents = refComponents(expected).toSeq.sortBy(_._1)
+      val gotComponents = TextOps.nearDupClusters(spark, d, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      assert(gotComponents == expComponents,
+        s"components diverge: exp=$expComponents got=$gotComponents")
+    }
+
+    test(s"seed $seed: collapsed fuzzy matches ≡ pure-Scala blocked Levenshtein") {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_propf$seed").toString
+      val rows = mkCorpus(seed)
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(d + "/documents.parquet")
+      val blocked = rows.map(r => (r._1, r._3, norm(r._2)))
+        .filter(_._3.length >= 12).map { case (id, lang, n) => (id, lang, n, n.substring(0, 12)) }
+      val expected = (for {
+        (ia, la, na, ba) <- blocked; (ib, lb, nb, bb) <- blocked
+        if ia < ib && la == lb && ba == bb
+        dist = levenshtein(na, nb) if dist <= 8
+      } yield (ia, ib, la, dist.toLong)).toSet
+      val got = TextOps.fuzzyMatches(
+        graft.sources.Tables.documents(spark, d), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"fuzzy diverges: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+}
