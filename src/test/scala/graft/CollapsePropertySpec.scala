@@ -95,6 +95,66 @@ class CollapsePropertySpec extends SparkSpecBase {
     rows.toSeq
   }
 
+  // ---- pure-Scala reference for the embedding near-dup scale path ----
+  private def refEmbeddingPairs(vecs: Seq[(Long, Array[Double])], threshold: Double,
+                                dim: Int): Set[(Long, Long, Double)] = {
+    val planes = graft.operators.Similarity.planes(dim)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Option[Double] = {
+      val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (den == 0) None else Some(rd6(dot(a, b) / den))
+    }
+    def buckets(v: Array[Double]): Set[(Int, Long)] =
+      (0 until 8).map { t =>
+        var bucket = 0L
+        for (r <- 0 until 8) if (dot(v, planes(t * 8 + r)) > 0) bucket |= (1L << r)
+        (t, bucket)
+      }.toSet
+    // collapse on identical vector content; reps band-join; members expand
+    val clusters = vecs.groupBy(_._2.toSeq).values.map(_.map(_._1).sorted).toSeq
+    val repOf = clusters.flatMap(c => c.map(_ -> c.head)).toMap
+    val vecOf = vecs.toMap
+    val reps = clusters.map(_.head)
+    val repPairs = for {
+      ra <- reps; rb <- reps
+      if ra < rb && buckets(vecOf(ra)).intersect(buckets(vecOf(rb))).nonEmpty
+      sim <- cosine(vecOf(ra), vecOf(rb)) if sim >= threshold
+    } yield (ra, rb, sim)
+    val cross = for {
+      (ra, rb, sim) <- repPairs.toSet[(Long, Long, Double)]
+      a <- clusters.find(_.head == ra).get; b <- clusters.find(_.head == rb).get
+    } yield (math.min(a, b), math.max(a, b), sim)
+    val intra = for {
+      c <- clusters.toSet[Seq[Long]] if dot(vecOf(c.head), vecOf(c.head)) > 0
+      a <- c; b <- c if a < b
+    } yield (a, b, 1.0)
+    (cross ++ intra).filter(_._3 >= threshold).map(p => (p._1, p._2, p._3))
+  }
+
+  for (seed <- Seq(11, 23, 47)) {
+    test(s"seed $seed: collapsed embedding near-dup ≡ pure-Scala raw algorithm") {
+      val rng = new scala.util.Random(seed)
+      val dim = 16
+      val bases = (0 until 8).map(_ => Array.fill(dim)(rng.nextGaussian()))
+      var id = 0L
+      val rows = scala.collection.mutable.Buffer[(Long, Array[Double])]()
+      for (b <- bases; _ <- 0 until (1 + rng.nextInt(3))) { id += 1; rows += ((id, b.clone())) }
+      // a planted near-dup of base 0 and a 2-member ZERO-vector cluster
+      // (zero norm: cosine undefined -> its intra pair must NOT emit)
+      id += 1; rows += ((id, bases(0).map(_ + 1e-4 * rng.nextGaussian())))
+      id += 1; rows += ((id, Array.fill(dim)(0.0)))
+      id += 1; rows += ((id, Array.fill(dim)(0.0)))
+      val expected = refEmbeddingPairs(rows.toSeq, 0.3, dim)
+      val got = graft.operators.Similarity
+        .lshNearDup(rows.toSeq.toDF("vec_id", "embedding"), 0.3, dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"embedding pairs diverge: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   for (seed <- Seq(11, 23, 47)) {
     test(s"seed $seed: collapsed minhash pairs ≡ pure-Scala raw algorithm") {
       val d = java.nio.file.Files.createTempDirectory(s"graft_prop$seed").toString
