@@ -50,8 +50,8 @@ object Bench {
     // plan-matches the timed queries' internal .cache() calls onto the
     // already-materialized warmup relations, which is exactly the warm
     // steady-state a long-lived engine session runs in.
-    // Two timed passes, per-query MINIMUM: the shared host shows load
-    // spikes that inflate single runs up to 3×; the min of two passes is a
+    // Three timed passes, per-query MINIMUM: the shared host shows load
+    // spikes that inflate single runs up to 3×; the min over passes is a
     // far more stable steady-state signal than one sample.
     def timedPass(): Seq[(String, Double, Option[String])] =
       ordered.map { case (name, fn) =>
@@ -60,10 +60,11 @@ object Bench {
                   catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((n, d1, e1), (_, d2, e2)) =>
-      (n, math.min(d1, d2), e1.orElse(e2))
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = ordered.indices.map { i =>
+      val samples = passes.map(_(i))
+      (samples.head._1, samples.map(_._2).min,
+        samples.flatMap(_._3).headOption)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
