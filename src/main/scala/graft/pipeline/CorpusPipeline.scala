@@ -32,9 +32,16 @@ final case class CorpusResult(
 object CorpusPipeline {
 
   def run(spark: SparkSession, dir: String, outDir: Option[String] = None,
-          minQuality: Double = 0.5, nearThreshold: Double = 0.9): CorpusResult = {
+          minQuality: Double = 0.5, nearThreshold: Double = 0.9): CorpusResult =
+    runFrom(spark, Tables.documents(spark, dir), outDir, minQuality, nearThreshold)
+
+  /** Same pipeline over ANY document relation — e.g. the clean side of
+    * `Tables.readDocumentsJsonl`, or a pre-filtered corpus.
+    */
+  def runFrom(spark: SparkSession, docs: DataFrame, outDir: Option[String] = None,
+              minQuality: Double = 0.5, nearThreshold: Double = 0.9): CorpusResult = {
     // 1. ingest
-    val raw = Tables.documents(spark, dir)
+    val raw = docs
     val nRaw = raw.count()
 
     // 2. PII redaction, MATERIALIZED before scoring: the redacted corpus is

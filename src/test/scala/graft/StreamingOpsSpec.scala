@@ -264,8 +264,11 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(clean.filter(col("doc_id") === 1L).head().getAs[String]("text") == "first document body")
     val bad = quarantined.collect().map(_.getString(0))
     assert(bad.length == 1 && bad(0).startsWith("{not valid"), s"quarantine wrong: ${bad.toSeq}")
-    // the clean relation drops into the text-operator surface unchanged
+    // the clean relation drops into the text-operator surface unchanged —
+    // including the full corpus pipeline (ingest-format agnosticism)
     assert(graft.operators.TextOps.qualityMetrics(clean).count() == 2)
+    val piped = graft.pipeline.CorpusPipeline.runFrom(spark, clean, None, minQuality = 0.0)
+    assert(piped.nRaw == 2L && piped.nFinal == 2L)
   }
 
   test("eventStream: streaming weekly agg matches the batch twin row-for-row") {
