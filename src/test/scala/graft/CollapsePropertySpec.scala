@@ -175,6 +175,65 @@ class CollapsePropertySpec extends SparkSpecBase {
         s"components diverge: exp=$expComponents got=$gotComponents")
     }
 
+    test(s"seed $seed: collapsed novelty/boilerplate/incremental ≡ pure-Scala references") {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_propn$seed").toString
+      val rows = mkCorpus(seed)
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(d + "/documents.parquet")
+      val sgOf = rows.map(r => r._1 -> shingleSet(r._2)).toMap
+
+      // novelty: first occurrence = smallest doc_id containing the shingle
+      val firstDoc = sgOf.toSeq.flatMap { case (id, sgs) => sgs.map(_ -> id) }
+        .groupBy(_._1).map { case (sg, xs) => sg -> xs.map(_._2).min }
+      val expNov = sgOf.filter(_._2.nonEmpty).map { case (id, sgs) =>
+        val novel = sgs.count(firstDoc(_) == id)
+        (id, sgs.size.toLong, novel.toLong, rd6(novel.toDouble / sgs.size))
+      }.toSet
+      val gotNov = TextOps.noveltyProfile(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotNov == expNov, s"novelty diverges: missing=${expNov -- gotNov} extra=${gotNov -- expNov}")
+
+      // boilerplate: df > 2 shingles fraction
+      val df = sgOf.toSeq.flatMap { case (id, sgs) => sgs.map(_ -> id) }
+        .groupBy(_._1).map { case (sg, xs) => sg -> xs.size }
+      val expBp = sgOf.filter(_._2.nonEmpty).map { case (id, sgs) =>
+        val common = sgs.count(df(_) > 2)
+        (id, sgs.size.toLong, common.toLong, rd6(common.toDouble / sgs.size))
+      }.toSet
+      val gotBp = TextOps.boilerplateProfile(spark, d, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotBp == expBp, s"boilerplate diverges: missing=${expBp -- gotBp} extra=${gotBp -- expBp}")
+
+      // incremental dedup of the "web" batch... all rows are source=web in
+      // mkCorpus, so retag half the corpus as historical for this check
+      val retag = rows.zipWithIndex.map { case (r, i) =>
+        (r._1, r._2, r._3, if (i % 2 == 0) "src0" else "hist", r._5)
+      }
+      val d2 = java.nio.file.Files.createTempDirectory(s"graft_propi$seed").toString
+      retag.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(d2 + "/documents.parquet")
+      val newDocs = retag.filter(_._4 == "src0")
+      val corpus = retag.filter(_._4 != "src0")
+      val corpusTexts = corpus.map(_._2).toSet
+      val expInc = newDocs.map { r =>
+        val best = (for {
+          c <- corpus if c._3 == r._3 // lang-bucketed
+          sa = shingleSet(r._2); sb = shingleSet(c._2)
+          if sa.nonEmpty && sb.nonEmpty && sa.intersect(sb).nonEmpty
+        } yield sa.intersect(sb).size.toDouble / sa.union(sb).size) match {
+          case Nil => None
+          case js => Some(rd6(js.max))
+        }
+        val status = if (corpusTexts.contains(r._2)) "exact_dup"
+          else if (best.exists(_ >= 0.5)) "near_dup" else "novel"
+        (r._1, status, best)
+      }.toSet
+      val gotInc = TextOps.incrementalDedup(spark, d2, "src0", 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(gotInc == expInc, s"incremental diverges: missing=${expInc -- gotInc} extra=${gotInc -- expInc}")
+    }
+
     test(s"seed $seed: collapsed fuzzy matches ≡ pure-Scala blocked Levenshtein") {
       val d = java.nio.file.Files.createTempDirectory(s"graft_propf$seed").toString
       val rows = mkCorpus(seed)
