@@ -139,6 +139,34 @@ object SparkEntry {
 )"""
   }
 
+  /** Shared oracle CTE chain for the portable SimHash signature (q57, q79):
+    * 60 signed bit counters over md5-derived 60-bit token hashes, sign →
+    * bit. Ends with `sig(doc_id, simhash)`; callers prepend `WITH ` and
+    * append their final SELECT.
+    */
+  private lazy val SimhashSigCtes: String = {
+    val counters = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n         ")
+    val bitsSum = (0 until 60).map(b =>
+      s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n         + ")
+    s"""d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+), hh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+), c AS (
+  SELECT doc_id,
+         $counters
+  FROM hh GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         CAST($bitsSum AS BIGINT) AS simhash
+  FROM c
+)"""
+  }
+
   // ---------------------------------------------------------------------------
   // Query surface
   // ---------------------------------------------------------------------------
@@ -279,6 +307,10 @@ object SparkEntry {
     }),
     "q29_simhash" -> ((s, dir) => TextOps.simHash(Tables.documents(s, dir))),
     "q57_simhash_portable" -> ((s, dir) => TextOps.simHashPortable(Tables.documents(s, dir))),
+    // simhash near-dup retrieval: chunk-banded on cluster reps, exhaustive
+    // for Hamming <= 3 by pigeonhole — fully oracled against the all-pairs
+    // raw answer
+    "q79_simhash_neardup" -> ((s, dir) => TextOps.simHashNearDups(s, dir, 3)),
     "q30_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q31_text_quality" -> ((s, dir) => TextOps.qualityMetrics(Tables.documents(s, dir))),
     "q32_token_counts" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -1397,30 +1429,21 @@ SELECT dv.symbol,
 FROM dv JOIN md ON dv.symbol = md.symbol
 GROUP BY dv.symbol ORDER BY dv.symbol"""),
 
-    "q57_simhash_portable" -> {
-      // twin of TextOps.simHashPortable: 60 signed bit counters over
-      // md5-derived 60-bit token hashes, sign → bit
-      val counters = (0 until 60).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n         ")
-      val bitsSum = (0 until 60).map(b =>
-        s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n         + ")
-      s"""
-WITH d AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-  FROM documents
-), t AS (
-  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
-), hh AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
-), c AS (
-  SELECT doc_id,
-         $counters
-  FROM hh GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST($bitsSum AS BIGINT) AS simhash
-FROM c ORDER BY doc_id"""
-    },
+    "q57_simhash_portable" ->
+      ("WITH " + SimhashSigCtes + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"),
+
+    "q79_simhash_neardup" ->
+      // the raw algorithm: every doc pair within Hamming distance 3. The
+      // Spark side never runs this all-pairs form — it chunk-bands cluster
+      // reps — but for maxHamming ≤ 3 the 4×15-bit banding is EXHAUSTIVE
+      // (pigeonhole: ≤3 differing bits cannot touch all 4 chunks), so the
+      // banded plan provably emits exactly this answer
+      ("WITH " + SimhashSigCtes + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY hamming, doc_a, doc_b"""),
 
     "q50_pii_redaction" -> """
 WITH m AS (

@@ -630,6 +630,46 @@ object TextOps {
     agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
+  /** SimHash near-dup retrieval over the PORTABLE 60-bit signature, at
+    * scale: 4×15-bit chunk banding on exact-dup cluster reps (identical
+    * normalized text ⇒ identical token set ⇒ identical signature), verified
+    * by bit_count(xor), then member expansion with intra-cluster pairs at
+    * Hamming 0. For `maxHamming` ≤ 3 the banding is EXHAUSTIVE by
+    * pigeonhole — ≤ 3 differing bits cannot touch all 4 chunks — so the
+    * banded plan provably equals the all-pairs answer (which is exactly
+    * what the DuckDB oracle computes), while candidate generation stays an
+    * equi-join on (chunk, value) over distinct texts.
+    */
+  def simHashNearDups(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is exhaustive only for maxHamming <= 3")
+    val base = dedupBase(spark, dir)
+    val reps = base.withRep.select(col("rep").as("doc_id")).distinct()
+    val sig = simHashPortable(
+      Tables.documents(spark, dir).join(reps, Seq("doc_id"), "left_semi"))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)).as(Seq("chunk", "v")))
+    val repPairs = chunks.as("x").join(chunks.as("y"), Seq("chunk", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(base.withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(base.withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // every doc has a signature (tokens, not shingles), so ALL clusters with
+    // >= 2 members produce intra pairs at exactly Hamming 0
+    val intra = base.withRep.as("x").join(base.withRep.as("y"), "ck")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** SimHash near-dup pairs: 4×16-bit chunk banding (any pair within Hamming
     * distance 3 shares a chunk), verified by bit_count(xor) ≤ maxHamming.
     */

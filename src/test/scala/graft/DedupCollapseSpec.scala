@@ -63,6 +63,19 @@ class DedupCollapseSpec extends SparkSpecBase {
       s"components wrong: ${out.toSeq}")
   }
 
+  test("simhash near-dups: exact-dup clusters at Hamming 0 — including short texts") {
+    val out = TextOps.simHashNearDups(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zero = out.filter(_._3 == 0L).map(t => (t._1, t._2)).toSet
+    // the three norm-identical docs pair at exactly 0
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(zero), s"exact dups missing: $zero")
+    // UNLIKE the shingle-based family, simhash is token-based: the two
+    // "hi there" docs have signatures and MUST pair at 0
+    assert(zero.contains((6L, 7L)), s"short-text dup pair missing: $zero")
+    // unrelated doc 5 never pairs within Hamming 3 of anything
+    assert(!out.exists(t => t._1 == 5L || t._2 == 5L), s"unrelated doc paired: ${out.toSeq}")
+  }
+
   test("fuzzy match collapse ≡ raw blocked Levenshtein on a dup-heavy fixture") {
     import graft.operators.TextOps.normText
     val d = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
