@@ -644,8 +644,10 @@ object TextOps {
     require(maxHamming <= 3, "4-chunk banding is exhaustive only for maxHamming <= 3")
     val base = dedupBase(spark, dir)
     val reps = base.withRep.select(col("rep").as("doc_id")).distinct()
+    // cached: the (rep, signature) relation is tiny and the chunk self-join
+    // would otherwise re-run the 60-counter aggregation for both sides
     val sig = simHashPortable(
-      Tables.documents(spark, dir).join(reps, Seq("doc_id"), "left_semi"))
+      Tables.documents(spark, dir).join(reps, Seq("doc_id"), "left_semi")).cache()
     val chunks = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)).as(Seq("chunk", "v")))
