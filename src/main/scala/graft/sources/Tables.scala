@@ -143,6 +143,15 @@ object Tables {
     (clean, quarantined)
   }
 
+  /** JSONL writer — the export half of the interchange contract: one JSON
+    * object per line, overwrite semantics, optionally partitioned (e.g. by
+    * split) so downstream consumers prune directories like the parquet path.
+    */
+  def writeJsonl(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).json(path)
+  }
+
   /** S3/S6: truncate-and-reload ≡ overwrite; materialized-view refresh ≡
     * recompute + overwrite (reference `dags/financial_pipeline.py:43,182,203-212`).
     * `partitionByCols` is the 100 TB lever: facts written partitioned by date

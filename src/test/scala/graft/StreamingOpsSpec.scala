@@ -269,6 +269,13 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(graft.operators.TextOps.qualityMetrics(clean).count() == 2)
     val piped = graft.pipeline.CorpusPipeline.runFrom(spark, clean, None, minQuality = 0.0)
     assert(piped.nRaw == 2L && piped.nFinal == 2L)
+    // write half of the interchange contract: JSONL out -> JSONL in, lossless
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_out").toString + "/docs"
+    graft.sources.Tables.writeJsonl(clean, out)
+    val (back, badBack) = graft.sources.Tables.readDocumentsJsonl(spark, out)
+    assert(badBack.count() == 0)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      clean.orderBy("doc_id").collect().toSeq, "JSONL round-trip not lossless")
   }
 
   test("eventStream: streaming weekly agg matches the batch twin row-for-row") {
