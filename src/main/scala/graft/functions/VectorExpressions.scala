@@ -198,6 +198,108 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Rank centroid cells by cosine similarity to a vector — the zero-shuffle
+  * argmax that replaces the `crossJoin + row_number().over(Window.partitionBy
+  * (vec_id))` formulation for IVF/k-means cell assignment. The window version
+  * forces a full-corpus hash exchange + sort PER LLOYD ITERATION (petabytes
+  * of avoidable shuffle at 100 TB); here the (tiny, k×dim) centroid relation
+  * rides in as ONE broadcast array-of-structs column and the argmax is a
+  * per-row loop inside the projection — the corpus never moves.
+  *
+  * Input:  left  = array<float|double>                      (the vector)
+  *         right = array<struct<cell: long, cvec: array<double>>> (centroids)
+  * Output: array<struct<cell: long, csim: double>> sorted by csim DESC
+  *         (NULL-on-zero-norm last), cell ASC — EXACTLY the ordering of
+  *         `Window.orderBy(csim.desc, cell.asc)` it replaces, so
+  *         element_at(.., 1) is the assignment and slice(.., 1, nProbe) the
+  *         probe set. Cosine arithmetic is bit-identical to CosineSimilarity
+  *         (strict ascending-index fold, min-prefix length, NULL on zero
+  *         denominator) to preserve the cross-engine oracle contract.
+  */
+case class CellRank(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "cell_rank"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("csim", DoubleType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(FloatType | DoubleType, _), _, _))), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<struct<long, array<float|double>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def centIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fields(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Shared by both eval paths (called from generated code too). */
+  def compute(vec: ArrayData, cents: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val vFloat = vecIsFloat
+    val cFloat = centIsFloat
+    val k = cents.numElements()
+    val n = vec.numElements()
+    val cells = new Array[Long](k)
+    val sims = new Array[Double](k) // zero-norm (SQL NULL) encoded -Inf: sorts last, like NULLS LAST
+    val isNull = new Array[Boolean](k)
+    var i = 0
+    while (i < k) {
+      val st = cents.getStruct(i, 2)
+      cells(i) = st.getLong(0)
+      val cv = st.getArray(1)
+      val m = math.min(n, cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < m) {
+        val xv = if (vFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        val yv = if (cFloat) cv.getFloat(j).toDouble else cv.getDouble(j)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) { isNull(i) = true; sims(i) = Double.NegativeInfinity }
+      else sims(i) = dot / denom
+      i += 1
+    }
+    // csim DESC (NaN greatest, matching Spark sort semantics), cell ASC
+    val order = Array.range(0, k).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(sims(a), sims(b))
+      if (c != 0) c > 0 else cells(a) < cells(b)
+    }
+    val rows = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      val o = order(i)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cells(o), if (isNull(o)) null else sims(o)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(vec: Any, cents: Any): Any =
+    compute(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cellRankExpr", this, classOf[CellRank].getName)
+    defineCodeGen(ctx, ev, (v, c) => s"$self.compute($v, $c)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API and SQL-registry front doors. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.SqlShim.{column, expression}
@@ -206,6 +308,8 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
   def lshBuckets(vec: Column, planes: Array[Array[Double]], tables: Int, bits: Int): Column =
     column(LshBuckets(expression(vec), planes, tables, bits))
+  def cellRank(vec: Column, cents: Column): Column =
+    column(CellRank(expression(vec), expression(cents)))
 
   /** Register `vec_dot` / `cosine_sim` for SQL callers on a live session
     * (SparkSessionExtensions isn't an option when the session is built by the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Fx._
-import graft.functions.VectorFunctions.{cosineSim, vecDot}
+import graft.functions.VectorFunctions.{cellRank, cosineSim, vecDot}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -206,11 +206,7 @@ object Similarity {
       .withColumn("cell", row_number().over(Window.orderBy("h")).cast("long") - 1)
       .select(col("cell"), col("e").as("cvec"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-      cents = emb.crossJoin(broadcast(cents))
-        .withColumn("csim", cosineSim(col("e"), col("cvec")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
+      cents = assignCells(emb, cents)
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(rd(avg(col("v")), 6).as("c"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
@@ -245,25 +241,36 @@ object Similarity {
     ivfWithCentroids(emb.select(col("vec_id"), col("e")), cents, nQueries, k, nProbe)
   }
 
+  /** The (tiny, k×dim) centroid relation folded into ONE broadcastable row:
+    * an array-of-structs column the CellRank expression scans per corpus row.
+    */
+  private def centsArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+
+  /** Zero-shuffle nearest-cell assignment: broadcast-nested-loop against the
+    * single-row centroid array, per-row argmax inside the projection. The
+    * corpus side NEVER exchanges (PlanSpec-pinned) — the window formulation
+    * this replaces hash-partitioned and sorted the full corpus per call.
+    * Ordering contract (csim desc, zero-norm last, cell asc) lives in
+    * CellRank and is spec-pinned ≡ the window path.
+    */
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centsArray(cents)))
+      .withColumn("cell", element_at(cellRank(col("e"), col("cents")), 1).getField("cell"))
+      .drop("cents")
+
   /** Shared IVF mechanics over any centroid relation (cell, cvec). */
   private def ivfWithCentroids(emb: DataFrame, cents: DataFrame,
                                nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
     // corpus: each vector lands in exactly its nearest cell (inverted list)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col("e"), col("cvec")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+    val assigned = assignCells(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("cell"))
-    // queries: probe the nProbe nearest cells
+    // queries: probe the nProbe nearest cells — same ranked array, sliced
     val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col("qe"), col("cvec")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)))
-      .filter(col("crk") <= nProbe)
-      .select(col("q_id"), col("qe"), col("cell"))
+      .crossJoin(broadcast(centsArray(cents)))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(slice(cellRank(col("e"), col("cents")), 1, nProbe)).as("cc"))
+      .select(col("q_id"), col("qe"), col("cc.cell").as("cell"))
     rankTopK(
       probes.join(assigned, "cell")
         .filter(col("q_id") =!= col("neighbor_id"))

@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpecBase {
     assert(q.size == 3)
   }
 
+  test("IVF/k-means cell assignment: corpus side never exchanges (broadcast argmax)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = Seq((0L, Seq.fill(64)(0.1)), (1L, Seq.fill(64)(-0.1)))
+      .toDF("cell", "cvec")
+    val df = graft.operators.Similarity.assignCells(emb, cents)
+    df.collect() // AQE finalizes the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid array is not broadcast-joined:\n$plan")
+    assert(!plan.contains("Window"), s"window argmax crept back into assignment:\n$plan")
+    // the ONLY allowed exchange is the single-row centroid fold on the
+    // broadcast side (SinglePartition); the corpus must never hash-partition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle in cell assignment:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->aggregate path") {
     val df = Stars.pricingSummary(spark, sf)
     df.collect() // AQE reports codegen spans only in the final executed plan

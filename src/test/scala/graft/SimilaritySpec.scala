@@ -101,6 +101,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.85, s"k-means IVF recall $recall at registered params too low")
   }
 
+  test("assignCells ≡ the window-argmax formulation it replaced (ties + zero-norms included)") {
+    import graft.functions.VectorFunctions.cosineSim
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(23)
+    val dim = 8
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rng.nextGaussian()))) :+
+      (40L, Array.fill(dim)(0.0)) // zero-norm vector: ALL csims NULL
+    val emb = vecs.toDF("vec_id", "e")
+    val shared = Array.fill(dim)(rng.nextGaussian()).toSeq
+    val cents = Seq(
+      (0L, shared), (1L, shared), // identical centroids: exact csim tie -> cell asc
+      (2L, Array.fill(dim)(rng.nextGaussian()).toSeq),
+      (3L, Seq.fill(dim)(0.0))) // zero-norm centroid: NULL csim, never wins
+      .toDF("cell", "cvec")
+    val got = Similarity.assignCells(emb, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // the pre-round-5 formulation, verbatim (full-corpus window shuffle)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    val want = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineSim(col("e"), col("cvec")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(40L) == 0L) // all-NULL ranking degenerates to smallest cell, both paths
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -64,6 +64,36 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(run(codegen = false) == out)
   }
 
+  test("cell_rank: full ranking by csim desc, exact-tie -> cell asc, zero-norm last, both eval paths") {
+    // cells 10/11 share one centroid (exact tie), 12 is orthogonal-ish, 13 is
+    // zero-norm (NULL cosine -> must sort LAST like the window's NULLS LAST)
+    val cents = Seq(
+      (11L, Seq(1.0, 0.0)), (10L, Seq(1.0, 0.0)),
+      (12L, Seq(0.0, 1.0)), (13L, Seq(0.0, 0.0)))
+    val df = Seq((1L, Array(2.0, 0.5)))
+      .toDF("id", "v")
+      .crossJoin(cents.toDF("cell", "cvec")
+        .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents")))
+    def run(codegen: Boolean): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select(explode(cellRank(col("v"), col("cents"))).as("x"))
+        .select(col("x.cell")).as[Long].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val out = run(codegen = true)
+    // v is closest to (1,0): tie between cells 10 and 11 -> 10 first; the
+    // zero-norm cell 13 is last regardless of the unsorted input order
+    assert(out == Seq(10L, 11L, 12L, 13L), s"got $out")
+    assert(run(codegen = false) == out)
+    // zero-norm VECTOR: every csim NULL -> pure cell-asc order
+    val zv = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
+      .crossJoin(cents.toDF("cell", "cvec")
+        .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents")))
+      .select(explode(cellRank(col("v"), col("cents"))).as("x"))
+      .select(col("x.cell")).as[Long].collect().toSeq
+    assert(zv == Seq(10L, 11L, 12L, 13L))
+  }
+
   test("SQL registration: vec_dot / cosine_sim callable from spark.sql") {
     register(spark)
     vecs.createOrReplaceTempView("vtest")
