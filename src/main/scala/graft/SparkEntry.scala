@@ -399,6 +399,11 @@ object SparkEntry {
     "q40_media_profile" -> ((s, dir) =>
       Multimodal.mediaProfile(s, dir).drop("avg_frame_mean")),
 
+    // -- REAL decode: javax.imageio + javax.sound over deterministic PNG/WAV
+    //    fixtures whose features are closed-form constants; the oracle states
+    //    those constants as literals, hash-verifying the true decode path --
+    "q80_real_decode" -> ((s, _) => Multimodal.realDecodeProfile(s)),
+
     // -- A15: grand mean of per-ticker aggregates (notebook reference lines) --
     "q41_market_overview" -> ((s, dir) => {
       val m = MarketView.fact(s, dir)
@@ -1210,6 +1215,35 @@ SELECT media_type,
        round(avg(64 + (byte_len * 7) % 512), 4) + 0 AS avg_height,
        CAST(sum(CASE WHEN media_type = 'video' THEN 1 + byte_len % 8 ELSE 1 END) AS BIGINT) AS total_frames
 FROM m GROUP BY media_type ORDER BY media_type""",
+
+    // closed-form expected features of the deterministic media fixtures:
+    // solid-color PNGs decode to exact (r+g+b)/3 mean luminance; the PCM
+    // payloads (±0.5 alternating mono, constant 0.25 stereo) have exact
+    // binary-double RMS. The Spark side runs the REAL decoders; matching
+    // these literals verifies them end-to-end.
+    "q80_real_decode" -> """
+SELECT item, metric, CAST(value AS DOUBLE) AS value FROM (VALUES
+  ('dc_stereo.wav', 'duration_sec', 0.5),
+  ('dc_stereo.wav', 'n_channels', 2.0),
+  ('dc_stereo.wav', 'n_frames', 2000.0),
+  ('dc_stereo.wav', 'rms', 0.25),
+  ('dc_stereo.wav', 'sample_rate', 4000.0),
+  ('img_a.png', 'height', 10.0),
+  ('img_a.png', 'mean_luma', 60.0),
+  ('img_a.png', 'width', 20.0),
+  ('img_b.png', 'height', 5.0),
+  ('img_b.png', 'mean_luma', 255.0),
+  ('img_b.png', 'width', 7.0),
+  ('img_c.png', 'height', 16.0),
+  ('img_c.png', 'mean_luma', 24.0),
+  ('img_c.png', 'width', 16.0),
+  ('sq_mono.wav', 'duration_sec', 1.0),
+  ('sq_mono.wav', 'n_channels', 1.0),
+  ('sq_mono.wav', 'n_frames', 8000.0),
+  ('sq_mono.wav', 'rms', 0.5),
+  ('sq_mono.wav', 'sample_rate', 8000.0)
+) AS t(item, metric, value)
+ORDER BY item, metric""",
 
     "q41_market_overview" -> (FACT + """, m AS (
   SELECT symbol, stddev_samp(variacao_diaria) AS vol, avg(variacao_diaria) AS vm

@@ -238,9 +238,10 @@ case class CellRank(left: Expression, right: Expression) extends BinaryExpressio
         s"got (${l.simpleString}, ${r.simpleString})")
   }
 
-  private def vecIsFloat: Boolean =
+  // lazy vals: resolved once per expression instance, not re-traversed per row
+  private lazy val vecIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def centIsFloat: Boolean =
+  private lazy val centIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
       .fields(1).dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -272,10 +273,16 @@ case class CellRank(left: Expression, right: Expression) extends BinaryExpressio
       else sims(i) = dot / denom
       i += 1
     }
-    // csim DESC (NaN greatest, matching Spark sort semantics), cell ASC
+    // csim DESC (NaN greatest, matching Spark sort semantics), cell ASC.
+    // Primitive == first: Spark's double ordering (SQLOrderingUtil) equates
+    // -0.0 == 0.0, where raw Double.compare would order 0.0 > -0.0 — the
+    // tie must fall through to cell ASC exactly as the window sort it mirrors.
     val order = Array.range(0, k).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(sims(a), sims(b))
-      if (c != 0) c > 0 else cells(a) < cells(b)
+      if (sims(a) == sims(b)) cells(a) < cells(b)
+      else {
+        val c = java.lang.Double.compare(sims(a), sims(b))
+        if (c != 0) c > 0 else cells(a) < cells(b)
+      }
     }
     val rows = new Array[Any](k)
     i = 0

@@ -219,6 +219,80 @@ object Multimodal {
 
   private val BatchSize = 256
 
+  /** Deterministic on-disk media fixtures for the registered REAL-decode
+    * query (q80): three solid-color PNGs and two PCM WAVs whose decoded
+    * features are closed-form constants. Solid color ⇒ mean luminance is
+    * exactly (r+g+b)/3 (PNG is lossless); constant/alternating PCM ⇒ RMS is
+    * an exact binary double (¼, ½). Idempotent and atomic: each file is
+    * written to a temp name and moved into place only if absent, so repeated
+    * sessions (and the Verify/Bench drivers) reuse the same bytes.
+    */
+  private[graft] def ensureMediaFixtures(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_media_fixtures_v1")
+    Files.createDirectories(dir)
+    def place(name: String)(write: java.io.File => Unit): Unit = {
+      val target = dir.resolve(name)
+      if (!Files.exists(target)) {
+        val tmp = dir.resolve(s".$name.tmp${System.nanoTime()}")
+        write(tmp.toFile)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    def png(name: String, w: Int, h: Int, rgb: Int): Unit = place(name) { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      require(javax.imageio.ImageIO.write(img, "png", f))
+    }
+    def wav(name: String, rate: Float, channels: Int, nFrames: Int,
+            sample: Int => Short): Unit = place(name) { f =>
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < nFrames * channels) { bb.putShort(sample(i)); i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, f)
+    }
+    png("img_a.png", 20, 10, (30 << 16) | (60 << 8) | 90) // mean luma = 60.0
+    png("img_b.png", 7, 5, 0xffffff)                      // mean luma = 255.0
+    png("img_c.png", 16, 16, (12 << 16) | (24 << 8) | 36) // mean luma = 24.0
+    // mono 8 kHz, 1 s, alternating ±16384 (±0.5) ⇒ RMS = 0.5, duration = 1.0
+    wav("sq_mono.wav", 8000f, 1, 8000, i => if (i % 2 == 0) 16384 else -16384)
+    // stereo 4 kHz, 0.5 s, constant 8192 (0.25) ⇒ RMS = 0.25, duration = 0.5
+    wav("dc_stereo.wav", 4000f, 2, 2000, _ => 8192)
+    dir.toString
+  }
+
+  /** REAL-decode profile (registered as q80): runs the true `javax.imageio`
+    * and `javax.sound.sampled` decoders — NOT `decodeStub` — over the
+    * deterministic fixture corpus and emits (item, metric, value) rows whose
+    * values are closed-form constants, so the driver's DuckDB oracle states
+    * them as literals and hash-verifies the real decode path end-to-end.
+    */
+  def realDecodeProfile(spark: SparkSession): DataFrame = {
+    val dir = ensureMediaFixtures()
+    val item = element_at(split(col("path"), "/"), -1).as("item")
+    val imgs = imageFeatures(spark, dir, "*.png")
+      .select(item,
+        explode(map(
+          lit("width"), col("width").cast("double"),
+          lit("height"), col("height").cast("double"),
+          lit("mean_luma"), col("mean_luma"))).as(Seq("metric", "value")))
+    val wavs = audioFeatures(spark, dir, "*.wav")
+      .select(item,
+        explode(map(
+          lit("sample_rate"), col("sample_rate"),
+          lit("n_channels"), col("n_channels").cast("double"),
+          lit("n_frames"), col("n_frames").cast("double"),
+          lit("duration_sec"), col("duration_sec"),
+          lit("rms"), col("rms"))).as(Seq("metric", "value")))
+    imgs.unionAll(wavs).orderBy("item", "metric")
+  }
+
   /** Feature extraction: partition-local, batched. Batching matters when the
     * decoder has per-call setup (model weights, codec contexts) — the stub
     * keeps the shape so a real decoder drops in.

@@ -243,6 +243,10 @@ object Similarity {
 
   /** The (tiny, k×dim) centroid relation folded into ONE broadcastable row:
     * an array-of-structs column the CellRank expression scans per corpus row.
+    * Precondition: `cents` is non-empty (k ≥ 1 — always true for label/
+    * k-means callers). An empty relation would still emit one row with an
+    * empty array, yielding NULL cells, where the old crossJoin produced zero
+    * rows — degenerate but documented.
     */
   private def centsArray(cents: DataFrame): DataFrame =
     cents.agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
@@ -253,6 +257,11 @@ object Similarity {
     * this replaces hash-partitioned and sorted the full corpus per call.
     * Ordering contract (csim desc, zero-norm last, cell asc) lives in
     * CellRank and is spec-pinned ≡ the window path.
+    *
+    * NULL embeddings are OUT OF CONTRACT for the IVF family (the embeddings
+    * table declares them non-null): CellRank is null-intolerant, so a NULL
+    * `e` gets cell = NULL and drops out of the inverted list — spec-pinned
+    * in SimilaritySpec so the behavior is explicit, not accidental.
     */
   private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centsArray(cents)))

@@ -845,28 +845,27 @@ object TextOps {
     // B-clusters' sizes, per-doc shared-shingle counts multiply by the
     // A-cluster size. Identical output to the raw per-doc join (the oracle
     // computes that), with pair space scaling by distinct texts.
-    val docs = Tables.documents(spark, dir)
-      .filter(col("source").isin(sourceA, sourceB))
-    val mem = docs.select(col("doc_id"), col("lang"), col("source"),
-      md5(normText(col("text"))).as("nk"))
-    val reps = mem.groupBy("lang", "source", "nk")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
-    val repSh = shingleSet(
-      docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
-    val a = repSh.filter(col("source") === sourceA)
+    //
+    // The rep relation is the SHARED bucketed `dedupBase` (the same cached
+    // (lang, source, norm)-keyed collapse q27's Jaccard runs on): source is
+    // part of the cluster key, so restricting to {A, B} after collapse yields
+    // exactly the clusters a pre-filtered collapse would — reps, member
+    // counts, and shingle sets are identical, and the corpus-wide relations
+    // are computed once per session instead of once per query.
+    val base = dedupBase(spark, dir, bucketed = true)
+    val m = base.withRep.groupBy("rep").agg(count(lit(1)).as("m"))
+    val a = base.repSh.filter(col("source") === sourceA)
       .select(col("lang"), col("doc_id").as("ra"), col("sg"))
-    val b = repSh.filter(col("source") === sourceB)
+    val b = base.repSh.filter(col("source") === sourceB)
       .select(col("lang"), col("doc_id").as("rb"), col("sg"))
     val hits = a.join(b, Seq("lang", "sg"))
     val rbHits = hits.select("lang", "ra", "rb").distinct()
-      .join(reps.filter(col("source") === sourceB)
-        .select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .join(m.select(col("rep").as("rb"), col("m").as("mb")), "rb")
       .groupBy("lang", "ra").agg(sum("mb").as("n_docs_hit"))
     val shShared = hits.groupBy("lang", "ra")
       .agg(countDistinct(col("sg")).as("n_shared_shingles"))
     shShared.join(rbHits, Seq("lang", "ra"))
-      .join(reps.filter(col("source") === sourceA)
-        .select(col("rep").as("ra"), col("m").as("ma")), "ra")
+      .join(m.select(col("rep").as("ra"), col("m").as("ma")), "ra")
       .groupBy("lang")
       .agg(sum(col("ma")).as("n_contaminated_docs"),
         sum(col("ma") * col("n_shared_shingles")).as("total_shared_shingles"),
@@ -1001,18 +1000,28 @@ object TextOps {
 
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
     * text (winnowing-style rolling signature; the min over a hash family is
-    * order-independent and distributes as a plain min-aggregate).
+    * order-independent and computes per row).
+    *
+    * The window min is a per-row `aggregate(sequence(...))` fold — NO row
+    * explosion. The previous explode-then-groupBy formulation emitted one row
+    * per window (≈ len rows per doc: a 1000× amplification plus a full
+    * re-aggregation shuffle on KB-scale web documents); the fold keeps one
+    * running min per document inside the projection, so the operator is a
+    * shuffle-free map at any document length.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val n = normText(col("text"))
     docs.select(col("doc_id"), n.as("norm"))
       .filter(length(col("norm")) >= 8)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("norm")) - 7)).as("i"),
-        col("norm"))
-      .select(col("doc_id"), md5(col("norm").substr(col("i"), lit(8))).as("h"))
-      .groupBy("doc_id")
-      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_windows"))
+        aggregate(
+          sequence(lit(1), length(col("norm")) - 7),
+          lit(null).cast("string"),
+          (acc, i) => {
+            val h = md5(col("norm").substr(i, lit(8)))
+            when(acc.isNull || h < acc, h).otherwise(acc)
+          }).as("fingerprint"),
+        (length(col("norm")) - 7).cast("long").as("n_windows"))
       .orderBy("doc_id")
   }
 }

@@ -91,6 +91,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6) - 0.5 / math.sqrt(2.0)) < 1e-3, s"RMS wrong: $r")
   }
 
+  test("q80 registered path: REAL decoders over deterministic fixtures yield the closed-form constants") {
+    val out = SparkEntry.queries("q80_real_decode")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val want = Seq(
+      ("dc_stereo.wav", "duration_sec", 0.5),
+      ("dc_stereo.wav", "n_channels", 2.0),
+      ("dc_stereo.wav", "n_frames", 2000.0),
+      ("dc_stereo.wav", "rms", 0.25),
+      ("dc_stereo.wav", "sample_rate", 4000.0),
+      ("img_a.png", "height", 10.0),
+      ("img_a.png", "mean_luma", 60.0),
+      ("img_a.png", "width", 20.0),
+      ("img_b.png", "height", 5.0),
+      ("img_b.png", "mean_luma", 255.0),
+      ("img_b.png", "width", 7.0),
+      ("img_c.png", "height", 16.0),
+      ("img_c.png", "mean_luma", 24.0),
+      ("img_c.png", "width", 16.0),
+      ("sq_mono.wav", "duration_sec", 1.0),
+      ("sq_mono.wav", "n_channels", 1.0),
+      ("sq_mono.wav", "n_frames", 8000.0),
+      ("sq_mono.wav", "rms", 0.5),
+      ("sq_mono.wav", "sample_rate", 8000.0))
+    assert(out.toSeq == want, s"real-decode features diverge: ${out.toSeq}")
+  }
+
   test("extractFeatures: distributed, one feature row per media row") {
     val media = Multimodal.mediaTable(spark, sf).repartition(7)
     val feats = Multimodal.extractFeatures(spark, media)

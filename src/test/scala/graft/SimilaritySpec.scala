@@ -128,6 +128,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(40L) == 0L) // all-NULL ranking degenerates to smallest cell, both paths
   }
 
+  test("assignCells: NULL embeddings are out of contract — cell = NULL, row drops from the inverted list") {
+    // the embeddings table declares non-null vectors; this pins the documented
+    // degenerate behavior (CellRank is null-intolerant) so it stays explicit
+    val rng = new scala.util.Random(29)
+    val dim = 4
+    val emb = Seq(
+      (0L, Option(Array.fill(dim)(rng.nextGaussian()))),
+      (1L, Option.empty[Array[Double]]))
+      .toDF("vec_id", "e")
+    val cents = Seq((0L, Seq.fill(dim)(1.0))).toDF("cell", "cvec")
+    val got = Similarity.assignCells(emb, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(0L).isDefined)
+    assert(got(1L).isEmpty)
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -224,4 +224,22 @@ class TextOpsSpec extends SparkSpecBase {
     val norm = "the quick brown fox jumps over the lazy dog"
     assert(out.find(_._1 == 1L).get._3 == norm.length - 7)
   }
+
+  test("fingerprints: multi-KB doc matches a pure-Scala rolling min-MD5; no row explosion in the plan") {
+    val rng = new scala.util.Random(31)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel")
+    val text = Seq.fill(900)(words(rng.nextInt(words.length))).mkString(" ") // ~5.5 KB
+    val df = Seq((1L, "en", "src0", text)).toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.fingerprints(df)
+    // the per-row fold must not explode one row per window
+    assert(!out.queryExecution.executedPlan.toString.contains("Generate"),
+      "fingerprints plan contains a Generate (row explosion)")
+    val row = out.collect().head
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0 to norm.length - 8).map(i => md5hex(norm.substring(i, i + 8))).min
+    assert(row.getString(1) == want)
+    assert(row.getLong(2) == norm.length - 7)
+  }
 }
