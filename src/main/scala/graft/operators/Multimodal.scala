@@ -53,12 +53,105 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").cast("binary").as("payload"))
 
-  /** STUB decode: deterministic fake media properties from payload bytes.
-    * A real implementation would hand each batch to a codec (JPEG decode,
-    * PCM resample, keyframe extraction); the signature and batch mechanics
-    * would not change.
+  case class VideoMeta(container: String, width: Int, height: Int,
+                       duration_sec: Double, n_frames: Long)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long = (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourCC(b: Array[Byte], o: Int): String = new String(b, o, 4, "ISO-8859-1")
+
+  /** REAL video CONTAINER metadata — pure public byte-format parsing, zero
+    * dependencies (the JDK ships no video codec, so frame DECODE stays the
+    * documented stub; container headers need no codec).
+    *
+    *  - RIFF/AVI: walks RIFF chunks to LIST('hdrl') → 'avih' (MainAVIHeader:
+    *    µs/frame, total frames, width, height — all u32 little-endian).
+    *  - MP4 (ISO BMFF): walks boxes to moov → mvhd (timescale + duration,
+    *    v0/v1) → trak/tkhd (width/height as 16.16 fixed-point) →
+    *    stbl/stts (frame count = Σ sample counts).
+    *
+    * Returns None unless the payload carries the container magic
+    * (RIFF…AVI␣ / leading ftyp box), so non-video bytes never parse.
+    */
+  private[graft] def videoMeta(b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length >= 12 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "AVI ") {
+      // top-level chunk walk; avih lives inside LIST('hdrl')
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = fourCC(b, o)
+        val sz = le32(b, o + 4).toInt
+        val dataEnd = math.min(b.length, o + 8 + sz)
+        if (id == "LIST" && o + 12 <= b.length && fourCC(b, o + 8) == "hdrl") {
+          var p = o + 12
+          while (p + 8 <= dataEnd) {
+            if (fourCC(b, p) == "avih" && p + 8 + 40 <= dataEnd) {
+              val d = p + 8
+              val usPerFrame = le32(b, d)
+              val frames = le32(b, d + 16)
+              return Some(VideoMeta("avi", le32(b, d + 32).toInt, le32(b, d + 36).toInt,
+                frames * usPerFrame / 1e6, frames))
+            }
+            p += 8 + le32(b, p + 4).toInt + (le32(b, p + 4).toInt & 1)
+          }
+        }
+        o = dataEnd + (sz & 1)
+      }
+      None
+    } else if (b.length >= 8 && fourCC(b, 4) == "ftyp") {
+      var timescale = 0L; var dur = 0L; var w = 0; var h = 0; var frames = 0L
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val sz = be32(b, o)
+          if (sz != 0 && sz < 8) return // malformed
+          val end = if (sz == 0) to else math.min(to, o + sz.toInt)
+          fourCC(b, o + 4) match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(o + 8, end)
+            case "mvhd" if o + 12 <= to =>
+              if ((b(o + 8) & 0xff) == 1) { timescale = be32(b, o + 28); dur = be64(b, o + 32) }
+              else { timescale = be32(b, o + 20); dur = be32(b, o + 24) }
+            case "tkhd" if o + 12 <= to =>
+              val wOff = if ((b(o + 8) & 0xff) == 1) o + 96 else o + 84
+              if (wOff + 8 <= to) {
+                // 16.16 fixed-point
+                w = math.max(w, (be32(b, wOff) >> 16).toInt)
+                h = math.max(h, (be32(b, wOff + 4) >> 16).toInt)
+              }
+            case "stts" if o + 16 <= to =>
+              val n = be32(b, o + 12).toInt
+              var i = 0
+              while (i < n && o + 16 + i * 8 + 4 <= to) { frames += be32(b, o + 16 + i * 8); i += 1 }
+            case _ =>
+          }
+          o = end
+        }
+      }
+      walk(0, b.length)
+      if (timescale > 0)
+        Some(VideoMeta("mp4", w, h, dur.toDouble / timescale, frames))
+      else None
+    } else None
+  }
+
+  /** STUB decode for video FRAME content: deterministic fake media properties
+    * from payload bytes. Real AVI/MP4 payloads first go through `videoMeta`
+    * (true container width/height/frames); only payloads with no recognizable
+    * container — like q40's synthetic text bytes — fall through to the fake.
+    * A real implementation would hand each batch to a codec (keyframe
+    * extraction); the signature and batch mechanics would not change.
     */
   private[graft] def decodeStub(row: MediaRow): MediaFeatures = {
+    if (row.media_type == "video") {
+      videoMeta(row.payload) match {
+        case Some(m) =>
+          return MediaFeatures(row.doc_id, row.media_type, row.payload.length.toLong,
+            m.width, m.height, m.n_frames.toInt, Array.empty[Double])
+        case None =>
+      }
+    }
     val len = row.payload.length.toLong
     val width = (64 + len % 512).toInt
     val height = (64 + (len * 7) % 512).toInt

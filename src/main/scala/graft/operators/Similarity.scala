@@ -85,16 +85,49 @@ object Similarity {
     * multi-probe. The corpus index is n·L rows keyed by (table, bucket); the
     * join is a plain equi-join on that short key, so candidate volume tracks
     * true bucket collisions — never corpus². Scale path: the index is built
-    * once per corpus and is reusable across query batches.
+    * once per corpus (`lshIndexOf`), persisted once (`writeLshIndex`), and
+    * reused across query batches (`readLshIndex` → `lshKnnIndexed`).
     */
-  def lshKnnFrom(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
-    val emb = embeddings
+  def lshKnnFrom(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame =
+    lshKnnIndexed(lshIndexOf(embeddings, dim),
+      embeddings.filter(col("vec_id") < nQueries), k, dim)
+
+  /** The LSH corpus index relation: (vec_id, e, tbl, bucket) — n·L rows.
+    * Deterministic for a given corpus (fixed-seed hyperplanes), so it is
+    * write-once per corpus version.
+    */
+  private[graft] def lshIndexOf(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bks", buckets(col("e"), dim))
+      .select(col("vec_id"), col("e"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+
+  /** Persist the LSH corpus index as parquet partitioned by table: a probe
+    * touching table t prunes to its directory at the scan, and within a table
+    * the (bucket) equi-join key is a plain pushed column. At 100 TB the index
+    * is built ONCE per corpus snapshot and re-read by every query session —
+    * never rebuilt per batch (the build costs a full corpus scan; the read
+    * costs only the probed partitions).
+    */
+  def writeLshIndex(embeddings: DataFrame, path: String, dim: Int = 64): Unit =
+    lshIndexOf(embeddings, dim)
+      .write.mode("overwrite").partitionBy("tbl").parquet(path)
+
+  /** Read a persisted LSH index back into the probe-ready relation. */
+  def readLshIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("e"), col("tbl").cast("int").as("tbl"), col("bucket"))
+
+  /** Probe any LSH index relation (in-session or persisted) with a query
+    * batch: per table, own bucket + all B Hamming-1 neighbors (multi-probe).
+    * Identical arithmetic to the in-session path — persisted-index results
+    * are spec-pinned ≡ `lshKnnFrom`.
+    */
+  def lshKnnIndexed(index: DataFrame, queries: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    val corpus = index.select(
+      col("vec_id").as("neighbor_id"), col("e").as("ce"), col("tbl"), col("bucket"))
+    val probes = queries
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("bks", buckets(col("e"), dim))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-      posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    // query probes: per table, own bucket + all B Hamming-1 neighbors
-    val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         posexplode(col("bks")).as(Seq("tbl", "b0")))
       .select(col("q_id"), col("qe"), col("tbl"),
@@ -225,6 +258,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     ivfWithCentroids(emb, kmeansCentroids(embeddings, nCells, iters), nQueries, k, nProbe)
   }
+
+  /** Persist trained IVF centroids: a k×dim relation — trivially small at any
+    * corpus size (the expensive part is the Lloyd iterations' corpus scans,
+    * which persisting makes one-time). Quantized coordinates (see
+    * `kmeansCentroids`) round-trip parquet bit-exactly, so a probe against
+    * re-read centroids is identical to the in-session one.
+    */
+  def writeIvfCentroids(cents: DataFrame, path: String): Unit =
+    cents.write.mode("overwrite").parquet(path)
+
+  /** Read persisted IVF centroids back into the probe-ready (cell, cvec)
+    * relation.
+    */
+  def readIvfCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("cell"), col("cvec"))
+
+  /** Probe an IVF index whose centroids came from anywhere (freshly trained
+    * or `readIvfCentroids`) — persisted-centroid results are spec-pinned ≡
+    * the train-in-session path.
+    */
+  def ivfKnnWithCentroids(embeddings: DataFrame, cents: DataFrame,
+                          nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    ivfWithCentroids(
+      embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      cents, nQueries, k, nProbe)
 
   /** Core IVF over any (vec_id, label, embedding) relation; `label` seeds the
     * coarse centroids.

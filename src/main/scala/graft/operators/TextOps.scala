@@ -365,21 +365,85 @@ object TextOps {
 
   /** DataFrame-level twin of `nearDupClusters` for pipeline stages operating
     * on an already-transformed document relation (no per-dir memo).
+    * `algorithm`: "minlabel" (label propagation with path compression — the
+    * oracled default) or "largestar" (large-star/small-star edge contraction
+    * — fewer rounds on high-diameter graphs; same component-minimum
+    * fixpoint, property-pinned equivalent in CollapsePropertySpec).
     */
-  def nearDupClustersFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDupClustersFrom(docs: DataFrame, threshold: Double,
+                          algorithm: String = "minlabel"): DataFrame = {
     val base = dedupBaseFrom(docs, bucketed = false)
     clustersFromBase(base,
       verifyCandidatePairs(base.repSh,
         bandCandidates(bandsFromWide(minHashWide(md5AB(base.repSh)), md5Bucket)),
-        threshold).select("doc_a", "doc_b"))
+        threshold).select("doc_a", "doc_b"), algorithm)
   }
 
-  private def clustersFromBase(base: DedupBase, repPairs: DataFrame): DataFrame = {
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm): each round is two
+    * groupBy+join passes that rewire every node's strictly-greater neighbors
+    * to its minimum neighbor (large-star), then contract the ≤-side the same
+    * way (small-star). The edge list itself CONTRACTS toward one star per
+    * component, converging in O(log n) rounds on high-diameter graphs —
+    * the alternative trade-off to `minlabel`'s per-node label relation (which
+    * keeps |V| label rows but needs the path-compression join to match the
+    * round count). Both reach the identical fixpoint: every node labeled with
+    * its component minimum.
+    *
+    * Input: (u, v) pair rows (any orientation, self-loops ignored).
+    * Output: (id, label) for every node present in the input.
+    */
+  private[graft] def ccLargeSmallStar(pairs: DataFrame): DataFrame = {
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+    var edges = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var prevSig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
+    var sig: (Long, BigDecimal) = (0L, BigDecimal(0))
+    while (sig != prevSig) {
+      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
+      // output edges (m, v) keep the min on the left by construction
+      val nb = undirected(edges)
+      val ls = nb.join(
+          nb.groupBy("u").agg(min("v").as("mn"))
+            .select(col("u"), least(col("mn"), col("u")).as("m")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+      // small-star: every node with smaller neighbors N⁻(u) rewires
+      // N⁻(u) ∪ {u} onto m = min(N⁻(u))
+      val sm = undirected(ls).filter(col("v") < col("u"))
+      val smin = sm.groupBy("u").agg(min("v").as("m"))
+      val ss = sm.join(smin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .union(smin.select(col("m").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint(true)
+      edges = ss
+      prevSig = sig
+      // decimal sum: ANSI mode throws on bigint overflow, decimal(38) cannot
+      val row = edges.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      sig = (row.getLong(0), BigDecimal(row.getDecimal(1)))
+    }
+    // converged: disjoint stars rooted at component minima
+    edges.select(col("v").as("id"), col("u").as("label"))
+      .union(edges.select(col("u").as("id"), col("u").as("label")))
+      .distinct()
+  }
+
+  private def clustersFromBase(base: DedupBase, repPairs: DataFrame,
+                               algorithm: String = "minlabel"): DataFrame = {
     val edges = repPairs.union(repPairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    var labels =
+      if (algorithm == "largestar") ccLargeSmallStar(repPairs)
+        .select(col("id"), col("label")).localCheckpoint()
+      else edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+    var changed = if (algorithm == "largestar") 0L else 1L
     while (changed > 0) {
       val nbMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("nl"))
@@ -846,26 +910,40 @@ object TextOps {
     // A-cluster size. Identical output to the raw per-doc join (the oracle
     // computes that), with pair space scaling by distinct texts.
     //
-    // The rep relation is the SHARED bucketed `dedupBase` (the same cached
-    // (lang, source, norm)-keyed collapse q27's Jaccard runs on): source is
-    // part of the cluster key, so restricting to {A, B} after collapse yields
-    // exactly the clusters a pre-filtered collapse would — reps, member
-    // counts, and shingle sets are identical, and the corpus-wide relations
-    // are computed once per session instead of once per query.
-    val base = dedupBase(spark, dir, bucketed = true)
-    val m = base.withRep.groupBy("rep").agg(count(lit(1)).as("m"))
-    val a = base.repSh.filter(col("source") === sourceA)
+    // Rep relation routing MEASURED AND REJECTED (round 6, interleaved
+    // min-of-6 probes at sf0.1): (a) reusing the shared corpus-wide bucketed
+    // `dedupBase` memo ran ~1.4× SLOWER than this scoped rebuild — the cached
+    // all-source repSh scan (row filter over an InMemoryRelation 2.5× the
+    // size) loses to the codegen parquet recompute whose source IN (A, B)
+    // predicate is pushed to the scan; (b) replacing the double `hits`
+    // consumption with a semi-join vocabulary pass was ~2× slower — AQE's
+    // ReusedExchange already shares the (lang, sg) shuffles between the two
+    // aggregations, so the "saved" join was free and the extra distinct
+    // wasn't. The scoped collapse + exchange-reused double aggregation below
+    // is the fastest measured formulation; its pair space is bucketed by
+    // (lang, shingle), never |A|×|B|.
+    val docs = Tables.documents(spark, dir)
+      .filter(col("source").isin(sourceA, sourceB))
+    val mem = docs.select(col("doc_id"), col("lang"), col("source"),
+      md5(normText(col("text"))).as("nk"))
+    val reps = mem.groupBy("lang", "source", "nk")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+    val repSh = shingleSet(
+      docs.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val a = repSh.filter(col("source") === sourceA)
       .select(col("lang"), col("doc_id").as("ra"), col("sg"))
-    val b = base.repSh.filter(col("source") === sourceB)
+    val b = repSh.filter(col("source") === sourceB)
       .select(col("lang"), col("doc_id").as("rb"), col("sg"))
     val hits = a.join(b, Seq("lang", "sg"))
     val rbHits = hits.select("lang", "ra", "rb").distinct()
-      .join(m.select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .join(reps.filter(col("source") === sourceB)
+        .select(col("rep").as("rb"), col("m").as("mb")), "rb")
       .groupBy("lang", "ra").agg(sum("mb").as("n_docs_hit"))
     val shShared = hits.groupBy("lang", "ra")
       .agg(countDistinct(col("sg")).as("n_shared_shingles"))
     shShared.join(rbHits, Seq("lang", "ra"))
-      .join(m.select(col("rep").as("ra"), col("m").as("ma")), "ra")
+      .join(reps.filter(col("source") === sourceA)
+        .select(col("rep").as("ra"), col("m").as("ma")), "ra")
       .groupBy("lang")
       .agg(sum(col("ma")).as("n_contaminated_docs"),
         sum(col("ma") * col("n_shared_shingles")).as("total_shared_shingles"),

@@ -162,6 +162,45 @@ object StreamingOps {
         graft.functions.Fx.rd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Streaming near-dup with a GROWING corpus index — the incremental
+    * maintenance variant of `nearDupStream`'s static index: each micro-batch
+    * (1) probes the on-disk band index as it stood BEFORE this batch (so a
+    * doc matches any document that arrived in ANY earlier batch), writing
+    * matches to `matchesPath`, then (2) upserts its own band entries into the
+    * index via dynamic partition overwrite on `_batch_id` — a REPLAYED batch
+    * (failure recovery) overwrites exactly its own partition instead of
+    * appending duplicates, which keeps the maintenance idempotent without
+    * a read-modify-write of the whole index. At 100 TB this is the crawl
+    * pipeline's standing index: partitioned by arrival batch, probed by
+    * (band, bucket) equi-join, never rebuilt.
+    */
+  def nearDupStreamWithGrowingIndex(docs: DataFrame, indexPath: String,
+                                    matchesPath: String, checkpoint: String,
+                                    threshold: Double) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val batchDocs = batch.localCheckpoint(true) // probe + index from one materialization
+        // 1. probe the index as of the previous batch (fresh read: new file
+        //    listing each micro-batch, so entries from all earlier batches —
+        //    including replays — are visible)
+        val prior = scala.util.Try(
+          spark.read.parquet(indexPath).drop("_batch_id")).toOption
+        prior.foreach { idx =>
+          nearDupStream(batchDocs, idx, threshold)
+            .write.mode("append").parquet(matchesPath)
+        }
+        // 2. upsert this batch's band entries (idempotent on replay)
+        nearDupBandIndex(batchDocs)
+          .withColumn("_batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(indexPath)
+      }
+
   /** Watermarked stream-stream inner join: match rows of two live streams on
     * a key within a bounded event-time band. Both sides buffer in the state
     * store, sharded by the join key like a shuffle; the watermark + time

@@ -145,6 +145,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(1L).isEmpty)
   }
 
+  test("persisted LSH index: write -> read -> probe is row-identical to the in-session path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeLshIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val persisted = rows(Similarity.lshKnnIndexed(
+      Similarity.readLshIndex(spark, dir), emb.filter(col("vec_id") < 5), 3))
+    val inSession = rows(Similarity.lshKnn(spark, sf, 5, 3))
+    assert(persisted == inSession,
+      s"persisted-index probe diverges: $persisted vs $inSession")
+  }
+
+  test("persisted IVF centroids: write -> read -> probe is row-identical to training in session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcents").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writeIvfCentroids(Similarity.kmeansCentroids(emb, 8, 3), dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val persisted = rows(Similarity.ivfKnnWithCentroids(
+      emb, Similarity.readIvfCentroids(spark, dir), 5, 3, nProbe = 3))
+    val inSession = rows(Similarity.ivfKnnKmeans(emb, 5, 3, nCells = 8, nProbe = 3))
+    assert(persisted == inSession,
+      s"persisted-centroid probe diverges: $persisted vs $inSession")
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

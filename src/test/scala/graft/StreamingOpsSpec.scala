@@ -80,6 +80,36 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupStreamWithGrowingIndex: doc matches a document that arrived two batches earlier") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_growidx")
+    val (idxPath, matchPath, ckpt) = (s"$tmp/index", s"$tmp/matches", s"$tmp/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps
+      .nearDupStreamWithGrowingIndex(docs, idxPath, matchPath, ckpt, 0.5).start()
+    try {
+      input.addData((100L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable() // batch 0: index seeded, nothing to probe
+      input.addData((200L, "completely different corpus content goes right here"))
+      q.processAllAvailable() // batch 1: novel, index grows
+      input.addData(
+        (300L, "the quick brown fox jumps over the lazy cat"), // near dup of batch-0's 100
+        (301L, "nothing in common with anything stored at all"))
+      q.processAllAvailable() // batch 2: must match TWO batches back
+      val out = spark.read.parquet(matchPath)
+        .select("doc_id", "corpus_doc", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((300L, 100L, 0.75)), s"match across two batches missed: $out")
+      assert(!out.exists(_._1 == 301L), s"novel doc matched: $out")
+      assert(!out.exists(_._1 == 200L), s"batch-1 doc had nothing to match: $out")
+      // the index keeps one partition per arrival batch (replay overwrites its own)
+      val batches = spark.read.parquet(idxPath)
+        .select("_batch_id").distinct().as[Long].collect().toSet
+      assert(batches == Set(0L, 1L, 2L), s"unexpected index partitions: $batches")
+    } finally q.stop()
+  }
+
   test("sessionWindows: 30-min gap splits sessions per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
