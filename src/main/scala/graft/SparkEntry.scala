@@ -404,6 +404,10 @@ object SparkEntry {
     //    those constants as literals, hash-verifying the true decode path --
     "q80_real_decode" -> ((s, _) => Multimodal.realDecodeProfile(s)),
 
+    // -- REAL video container metadata: RIFF/AVI + MP4 byte parsing over
+    //    deterministic fixtures; closed-form literal oracle like q80 --
+    "q81_video_meta" -> ((s, _) => Multimodal.videoMetaProfile(s)),
+
     // -- A15: grand mean of per-ticker aggregates (notebook reference lines) --
     "q41_market_overview" -> ((s, dir) => {
       val m = MarketView.fact(s, dir)
@@ -1242,6 +1246,22 @@ SELECT item, metric, CAST(value AS DOUBLE) AS value FROM (VALUES
   ('sq_mono.wav', 'n_frames', 8000.0),
   ('sq_mono.wav', 'rms', 0.5),
   ('sq_mono.wav', 'sample_rate', 8000.0)
+) AS t(item, metric, value)
+ORDER BY item, metric""",
+
+    // closed-form expected container metadata of the deterministic video
+    // fixtures: AVI 320×240 at 25 fps × 250 frames = 10.0 s; MP4 640×360
+    // with duration 1200 at timescale 600 = 2.0 s, 300 frames from stts
+    "q81_video_meta" -> """
+SELECT item, metric, CAST(value AS DOUBLE) AS value FROM (VALUES
+  ('vid_a.avi', 'duration_sec', 10.0),
+  ('vid_a.avi', 'height', 240.0),
+  ('vid_a.avi', 'n_frames', 250.0),
+  ('vid_a.avi', 'width', 320.0),
+  ('vid_b.mp4', 'duration_sec', 2.0),
+  ('vid_b.mp4', 'height', 360.0),
+  ('vid_b.mp4', 'n_frames', 300.0),
+  ('vid_b.mp4', 'width', 640.0)
 ) AS t(item, metric, value)
 ORDER BY item, metric""",
 

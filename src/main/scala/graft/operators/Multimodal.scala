@@ -136,6 +136,80 @@ object Multimodal {
     } else None
   }
 
+  /** Deterministic minimal-but-valid container fixtures, built byte-by-byte
+    * from the public format specs (RIFF/AVI MainAVIHeader; ISO BMFF
+    * mvhd/tkhd/stts) — the video half of the q80/q81 fixture corpus and the
+    * byte-level ground truth MultimodalSpec parses back.
+    */
+  private[graft] def mkAviFixture(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1024).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
+    cc("RIFF"); bb.putInt(4 + 12 + 64); cc("AVI ")
+    cc("LIST"); bb.putInt(4 + 64); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(frames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private[graft] def mkMp4Fixture(w: Int, h: Int, timescale: Int, duration: Int,
+                                  frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1024).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
+    def box(size: Int, typ: String) = { bb.putInt(size); cc(typ) }
+    box(16, "ftyp"); cc("isom"); bb.putInt(0)
+    val sttsSize = 8 + 4 + 4 + 8
+    val stblSize = 8 + sttsSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val tkhdSize = 92
+    val trakSize = 8 + tkhdSize + mdiaSize
+    val mvhdSize = 108
+    box(8 + mvhdSize + trakSize, "moov")
+    box(mvhdSize, "mvhd"); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    bb.putInt(timescale); bb.putInt(duration)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putInt(0); bb.putInt(0)
+    for (_ <- 0 until 9) bb.putInt(0)
+    for (_ <- 0 until 6) bb.putInt(0)
+    bb.putInt(2)
+    box(trakSize, "trak")
+    box(tkhdSize, "tkhd"); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(duration)
+    bb.putInt(0); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    for (_ <- 0 until 9) bb.putInt(0)
+    bb.putInt(w << 16); bb.putInt(h << 16)
+    box(mdiaSize, "mdia"); box(minfSize, "minf"); box(stblSize, "stbl")
+    box(sttsSize, "stts"); bb.putInt(0)
+    bb.putInt(1); bb.putInt(frames); bb.putInt(duration / frames)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Parse every video container under `dir` (binaryFile scan →
+    * partition-local batched `videoMeta`) — the video twin of
+    * `imageFeatures`/`audioFeatures`. Unparseable payloads are dropped
+    * (container magic is the filter; pair with a quarantine scan if the
+    * corpus may hold corrupt files).
+    */
+  def videoFeatures(spark: SparkSession, dir: String, glob: String = "*.{avi,mp4}"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { f =>
+            videoMeta(f.payload).map(m =>
+              (f.path, m.container, m.width, m.height, m.duration_sec, m.n_frames))
+          }
+        }
+      }
+      .toDF("path", "container", "width", "height", "duration_sec", "n_frames")
+  }
+
   /** STUB decode for video FRAME content: deterministic fake media properties
     * from payload bytes. Real AVI/MP4 payloads first go through `videoMeta`
     * (true container width/height/frames); only payloads with no recognizable
@@ -357,7 +431,29 @@ object Multimodal {
     wav("sq_mono.wav", 8000f, 1, 8000, i => if (i % 2 == 0) 16384 else -16384)
     // stereo 4 kHz, 0.5 s, constant 8192 (0.25) ⇒ RMS = 0.25, duration = 0.5
     wav("dc_stereo.wav", 4000f, 2, 2000, _ => 8192)
+    // video containers: 25 fps × 250 frames ⇒ 10.0 s; 600-tick 1200-dur ⇒ 2.0 s
+    place("vid_a.avi") { f =>
+      java.nio.file.Files.write(f.toPath, mkAviFixture(320, 240, usPerFrame = 40000, frames = 250)); () }
+    place("vid_b.mp4") { f =>
+      java.nio.file.Files.write(f.toPath, mkMp4Fixture(640, 360, timescale = 600, duration = 1200, frames = 300)); () }
     dir.toString
+  }
+
+  /** REAL video-container profile (registered as q81): runs the true
+    * RIFF/MP4 byte parser — NOT the stub — over the deterministic container
+    * fixtures; like q80, the expected values are closed-form constants the
+    * DuckDB oracle states as literals.
+    */
+  def videoMetaProfile(spark: SparkSession): DataFrame = {
+    val dir = ensureMediaFixtures()
+    videoFeatures(spark, dir)
+      .select(element_at(split(col("path"), "/"), -1).as("item"),
+        explode(map(
+          lit("width"), col("width").cast("double"),
+          lit("height"), col("height").cast("double"),
+          lit("duration_sec"), col("duration_sec"),
+          lit("n_frames"), col("n_frames").cast("double"))).as(Seq("metric", "value")))
+      .orderBy("item", "metric")
   }
 
   /** REAL-decode profile (registered as q80): runs the true `javax.imageio`

@@ -117,55 +117,13 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.toSeq == want, s"real-decode features diverge: ${out.toSeq}")
   }
 
-  // minimal-but-valid container fixtures, built byte-by-byte from the public
-  // format specs (RIFF/AVI MainAVIHeader; ISO BMFF mvhd/tkhd/stts)
-  private def buildAvi(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(1024).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
-    cc("RIFF"); bb.putInt(4 + 12 + 64) ; cc("AVI ")
-    cc("LIST"); bb.putInt(4 + 64); cc("hdrl")
-    cc("avih"); bb.putInt(56)
-    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
-    bb.putInt(frames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
-    bb.putInt(w); bb.putInt(h)
-    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
-    java.util.Arrays.copyOf(bb.array(), bb.position())
-  }
-
-  private def buildMp4(w: Int, h: Int, timescale: Int, duration: Int, frames: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(1024).order(java.nio.ByteOrder.BIG_ENDIAN)
-    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
-    def cc2(size: Int, typ: String) = { bb.putInt(size); cc(typ) }
-    cc2(16, "ftyp"); cc("isom"); bb.putInt(0)
-    // moov = mvhd(108) + trak(8 + tkhd 92 + mdia 8+8+8 stbl with stts 24) — sizes below
-    val sttsSize = 8 + 4 + 4 + 8          // header + ver/flags + count + 1 entry
-    val stblSize = 8 + sttsSize
-    val minfSize = 8 + stblSize
-    val mdiaSize = 8 + minfSize
-    val tkhdSize = 92
-    val trakSize = 8 + tkhdSize + mdiaSize
-    val mvhdSize = 108
-    cc2(8 + mvhdSize + trakSize, "moov")
-    cc2(mvhdSize, "mvhd"); bb.putInt(0) // version 0 + flags
-    bb.putInt(0); bb.putInt(0)          // creation, modification
-    bb.putInt(timescale); bb.putInt(duration)
-    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
-    bb.putInt(0); bb.putInt(0)          // reserved
-    for (_ <- 0 until 9) bb.putInt(0)   // matrix
-    for (_ <- 0 until 6) bb.putInt(0)   // pre_defined
-    bb.putInt(2)                        // next_track_ID
-    cc2(trakSize, "trak")
-    cc2(tkhdSize, "tkhd"); bb.putInt(0)
-    bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(duration)
-    bb.putInt(0); bb.putInt(0)          // reserved[2]
-    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
-    for (_ <- 0 until 9) bb.putInt(0)   // matrix
-    bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
-    cc2(mdiaSize, "mdia"); cc2(minfSize, "minf"); cc2(stblSize, "stbl")
-    cc2(sttsSize, "stts"); bb.putInt(0)
-    bb.putInt(1); bb.putInt(frames); bb.putInt(duration / frames)
-    java.util.Arrays.copyOf(bb.array(), bb.position())
-  }
+  // container fixtures come from the shared byte-level builders in
+  // Multimodal (mkAviFixture/mkMp4Fixture); independence of the check comes
+  // from q81's literal oracle and the spec's closed-form expectations
+  private def buildAvi(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] =
+    Multimodal.mkAviFixture(w, h, usPerFrame, frames)
+  private def buildMp4(w: Int, h: Int, timescale: Int, duration: Int, frames: Int): Array[Byte] =
+    Multimodal.mkMp4Fixture(w, h, timescale, duration, frames)
 
   test("videoMeta: RIFF/AVI and MP4 container headers parse to true geometry, duration, and frames") {
     val avi = Multimodal.videoMeta(buildAvi(320, 240, usPerFrame = 40000, frames = 250))
@@ -175,6 +133,21 @@ class MultimodalSpec extends SparkSpecBase {
     // non-container bytes (q40's synthetic text payloads) must never parse
     assert(Multimodal.videoMeta("the quick brown fox jumps over it".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.videoMeta(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q81 registered path: REAL container parsing over deterministic fixtures yields the closed-form constants") {
+    val out = SparkEntry.queries("q81_video_meta")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val want = Seq(
+      ("vid_a.avi", "duration_sec", 10.0),
+      ("vid_a.avi", "height", 240.0),
+      ("vid_a.avi", "n_frames", 250.0),
+      ("vid_a.avi", "width", 320.0),
+      ("vid_b.mp4", "duration_sec", 2.0),
+      ("vid_b.mp4", "height", 360.0),
+      ("vid_b.mp4", "n_frames", 300.0),
+      ("vid_b.mp4", "width", 640.0))
+    assert(out.toSeq == want, s"video metadata diverges: ${out.toSeq}")
   }
 
   test("extractFeatures routes real video containers through the true parser, stub only as fallback") {
