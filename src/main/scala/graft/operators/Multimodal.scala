@@ -210,6 +210,23 @@ object Multimodal {
       .toDF("path", "container", "width", "height", "duration_sec", "n_frames")
   }
 
+  /** Unparseable-container quarantine — the binary twin of the CSV/JSONL
+    * quarantine contract: paths under `dir` whose bytes carry no recognizable
+    * container magic (or malformed headers) are listed instead of silently
+    * dropped, so a crawl pipeline can count/inspect its corrupt tail.
+    */
+  def videoQuarantine(spark: SparkSession, dir: String, glob: String = "*.{avi,mp4}"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.collect { case f if videoMeta(f.payload).isEmpty => f.path }
+        }
+      }
+      .toDF("path")
+  }
+
   /** STUB decode for video FRAME content: deterministic fake media properties
     * from payload bytes. Real AVI/MP4 payloads first go through `videoMeta`
     * (true container width/height/frames); only payloads with no recognizable

@@ -150,6 +150,54 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.toSeq == want, s"video metadata diverges: ${out.toSeq}")
   }
 
+  test("videoMeta: MP4 version-1 boxes (64-bit times) and multi-track files parse correctly") {
+    // v1 mvhd/tkhd fixture built inline: creation/modification/duration are
+    // 64-bit, so timescale sits at box+28 and tkhd geometry at box+96
+    val bb = java.nio.ByteBuffer.allocate(1024).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
+    def box(size: Int, typ: String) = { bb.putInt(size); cc(typ) }
+    box(16, "ftyp"); cc("isom"); bb.putInt(0)
+    val mvhdSize = 8 + 4 + 28 + 80 // header + ver/flags + v1 times/scale/dur + rate..next_track = 120
+    val tkhdSize = 8 + 4 + 32 + 8 + 8 + 36 + 8 // header + ver/flags + v1 ids/times + reserved + layer.. + matrix + geometry = 104
+    val trakSize = 8 + tkhdSize
+    box(8 + mvhdSize + 2 * trakSize, "moov")
+    box(mvhdSize, "mvhd"); bb.put(1.toByte); bb.put(Array[Byte](0, 0, 0))
+    bb.putLong(0L); bb.putLong(0L)       // creation, modification (64-bit)
+    bb.putInt(1000); bb.putLong(2500L)   // timescale, duration -> 2.5 s
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putInt(0); bb.putInt(0)
+    for (_ <- 0 until 9) bb.putInt(0)
+    for (_ <- 0 until 6) bb.putInt(0)
+    bb.putInt(3)
+    def trak(w: Int, h: Int): Unit = {
+      box(trakSize, "trak")
+      box(tkhdSize, "tkhd"); bb.put(1.toByte); bb.put(Array[Byte](0, 0, 0))
+      bb.putLong(0L); bb.putLong(0L)     // creation, modification (64-bit)
+      bb.putInt(1); bb.putInt(0); bb.putLong(2500L) // track, reserved, duration
+      bb.putInt(0); bb.putInt(0)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      for (_ <- 0 until 9) bb.putInt(0)
+      bb.putInt(w << 16); bb.putInt(h << 16)
+    }
+    trak(0, 0)        // audio track: zero geometry must not clobber video's
+    trak(1920, 1080)  // video track
+    val payload = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val m = Multimodal.videoMeta(payload)
+    assert(m.contains(Multimodal.VideoMeta("mp4", 1920, 1080, 2.5, 0)), s"got $m")
+  }
+
+  test("videoQuarantine lists unparseable containers; videoFeatures drops them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidq")
+    java.nio.file.Files.write(dir.resolve("good.avi"),
+      Multimodal.mkAviFixture(320, 240, 40000, 250))
+    java.nio.file.Files.write(dir.resolve("corrupt.mp4"),
+      "not a container at all, just text".getBytes("UTF-8"))
+    val feats = Multimodal.videoFeatures(spark, dir.toString).collect()
+    assert(feats.length == 1 && feats(0).getString(0).endsWith("good.avi"))
+    val quarantined = Multimodal.videoQuarantine(spark, dir.toString).collect()
+    assert(quarantined.length == 1 && quarantined(0).getString(0).endsWith("corrupt.mp4"))
+  }
+
   test("extractFeatures routes real video containers through the true parser, stub only as fallback") {
     val media = Seq(
       (1L, "video", buildAvi(320, 240, 40000, 250)),
