@@ -358,10 +358,11 @@ object TextOps {
   private def md5Bucket: Seq[Column] => Column =
     cols => md5(concat_ws("|", cols.map(_.cast("string")): _*))
 
-  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double,
+                      algorithm: String = "minlabel"): DataFrame =
     clustersFromBase(dedupBase(spark, dir),
       verifiedRepPairs(spark, dir, "md5", md5AB, md5Bucket, threshold)
-        .select("doc_a", "doc_b"))
+        .select("doc_a", "doc_b"), algorithm)
 
   /** DataFrame-level twin of `nearDupClusters` for pipeline stages operating
     * on an already-transformed document relation (no per-dir memo).
