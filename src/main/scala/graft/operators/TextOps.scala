@@ -1095,7 +1095,9 @@ object TextOps {
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
     val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-    val tot = tok.groupBy("lang").agg(count(lit(1)).as("tot"))
+    // lang totals roll up from the vocabulary aggregate (vocab-sized input),
+    // not from a second scan of the corpus-token stream
+    val tot = freq.groupBy("lang").agg(sum("cnt").as("tot"))
     tok.join(freq, Seq("lang", "tok"))
       .join(broadcast(tot), "lang")
       .groupBy("doc_id", "lang")
