@@ -374,6 +374,10 @@ object SparkEntry {
     "q82_unigram_surprisal" -> ((s, dir) => TextOps.unigramSurprisal(s, dir)),
     // GPT-style concat-then-chunk packing via distributed prefix sum
     "q83_pack_sequences" -> ((s, dir) => TextOps.packSequences(s, dir, 512)),
+    // materialized spans of that packing: documents split across sequence
+    // boundaries — (seq_id, doc_id, start_tok, n_tok), the relation a
+    // training loader consumes. Per-row generator over the offsets pass.
+    "q84_packed_spans" -> ((s, dir) => TextOps.packedSpans(s, dir, 512)),
 
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
@@ -1576,14 +1580,35 @@ WITH d AS (
   FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
   FROM d
 )
 SELECT doc_id, n_tokens, token_offset,
        token_offset // 512 AS seq_id,
        token_offset % 512 AS pos_in_seq
 FROM o ORDER BY doc_id""",
+
+    "q84_packed_spans" -> """
+WITH d AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM d
+), s AS (
+  SELECT doc_id, n_tokens, token_offset,
+         unnest(generate_series(token_offset // 512,
+                                (token_offset + n_tokens - 1) // 512)) AS seq_id
+  FROM o WHERE n_tokens > 0
+)
+SELECT seq_id, doc_id,
+       greatest(token_offset, seq_id * 512) - token_offset AS start_tok,
+       least(token_offset + n_tokens, (seq_id + 1) * 512)
+         - greatest(token_offset, seq_id * 512) AS n_tok
+FROM s ORDER BY seq_id, doc_id""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

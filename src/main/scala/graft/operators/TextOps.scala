@@ -1127,7 +1127,14 @@ object TextOps {
   def packSequences(spark: SparkSession, dir: String, budget: Long): DataFrame =
     packSequencesFrom(Tables.documents(spark, dir), budget)
 
-  def packSequencesFrom(docs: DataFrame, budget: Long): DataFrame = {
+  def packSequencesFrom(docs: DataFrame, budget: Long): DataFrame =
+    packOffsetsFrom(docs, budget).orderBy("doc_id")
+
+  /** Offsets relation shared by [[packSequencesFrom]] (assignment view) and
+    * [[packedSpansFrom]] (materialized spans) — unsorted so each consumer
+    * pays only its own final sort.
+    */
+  private def packOffsetsFrom(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"sequence budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1155,7 +1162,42 @@ object TextOps {
         }
       }
       .toDF("doc_id", "n_tokens", "token_offset", "seq_id", "pos_in_seq")
-      .orderBy("doc_id")
+  }
+
+  /** Materialized packed-sequence spans — the relation a training data
+    * loader actually consumes. Documents are concatenated in doc_id order
+    * and chunked into fixed `budget`-token sequences (same contract as
+    * [[packSequencesFrom]]); a document that straddles one or more sequence
+    * boundaries is SPLIT, emitting one span per sequence it touches:
+    * (seq_id, doc_id, start_tok, n_tok) where start_tok is the 0-based
+    * offset INSIDE the document and n_tok the span length. Invariants:
+    * sum(n_tok) over a seq_id = budget for every sequence but the last,
+    * and sum(n_tok) over a doc_id = that document's token count.
+    *
+    * Scale shape: the global offsets come from the two-phase distributed
+    * prefix sum above; the boundary split is a per-row generator
+    * (explode over the tiny seq range a document touches — 1-2 rows for
+    * any document shorter than `budget`), so no join, no window, no
+    * re-shuffle is added on top of the offsets pass.
+    */
+  def packedSpans(spark: SparkSession, dir: String, budget: Long): DataFrame =
+    packedSpansFrom(Tables.documents(spark, dir), budget)
+
+  def packedSpansFrom(docs: DataFrame, budget: Long): DataFrame = {
+    val b = lit(budget)
+    packOffsetsFrom(docs, budget)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        explode(sequence(col("seq_id"),
+          expr(s"(token_offset + n_tokens - 1) div $budget"))).as("sid"))
+      .select(
+        col("sid").as("seq_id"),
+        col("doc_id"),
+        (greatest(col("token_offset"), col("sid") * b) - col("token_offset"))
+          .as("start_tok"),
+        (least(col("token_offset") + col("n_tokens"), (col("sid") + 1L) * b)
+          - greatest(col("token_offset"), col("sid") * b)).as("n_tok"))
+      .orderBy("seq_id", "doc_id")
   }
 
   /** Document fingerprint: min-MD5 over all 8-char windows of the normalized

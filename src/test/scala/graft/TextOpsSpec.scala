@@ -264,6 +264,54 @@ class TextOpsSpec extends SparkSpecBase {
     assert(docs.rdd.getNumPartitions >= 1)
   }
 
+  test("packedSpans: every sequence but the last holds exactly `budget` tokens; docs reassemble exactly") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val budget = 512L
+    val spans = TextOps.packedSpansFrom(corpus, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    // 1. packing invariant: sum(n_tok) per seq_id = budget except the final sequence
+    val perSeq = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (sid, tot) =>
+      if (sid != lastSeq) assert(tot == budget, s"seq $sid holds $tot tokens, want $budget")
+      else assert(tot > 0 && tot <= budget, s"final seq $sid holds $tot")
+    }
+    // 2. document invariant: each doc's spans are contiguous from 0 and sum to its token count
+    val nTok = corpus.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"doc $doc first span starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $doc spans not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == nTok(doc), s"doc $doc spans don't reassemble")
+      // consecutive seq_ids — a doc never skips a sequence
+      sorted.map(_._1).sliding(2).foreach {
+        case Array(a, b) => assert(b == a + 1, s"doc $doc skips a sequence")
+        case _ =>
+      }
+    }
+    // 3. zero-token docs emit no spans; every token-bearing doc appears
+    assert(spans.map(_._2).toSet == nTok.filter(_._2 > 0).keySet)
+    // 4. spans agree with a pure-Scala reference split of the sequential cumsum
+    val ref = nTok.toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1).flatMap { case (id, n, inclusive) =>
+        val off = inclusive - n
+        if (n == 0) Seq.empty
+        else (off / budget to (off + n - 1) / budget).map { sid =>
+          val st = math.max(off, sid * budget)
+          val en = math.min(off + n, (sid + 1) * budget)
+          (sid, id, st - off, en - st)
+        }
+      }.sortBy(s => (s._1, s._2))
+    assert(spans.toSeq == ref, "distributed spans diverge from the sequential reference")
+  }
+
   test("fingerprints: multi-KB doc matches a pure-Scala rolling min-MD5; no row explosion in the plan") {
     val rng = new scala.util.Random(31)
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel")
