@@ -379,6 +379,20 @@ object SparkEntry {
     // training loader consumes. Per-row generator over the offsets pass.
     "q84_packed_spans" -> ((s, dir) => TextOps.packedSpans(s, dir, 512)),
 
+    // -- streaming on the correctness gate: a REAL Structured Streaming run
+    // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
+    // to completion) whose materialized result is oracled with the
+    // batch-equivalent SQL — the §2.9 batch≡stream equivalence as a
+    // hash-exact driver row, not just a spec --
+    "q85_stream_weekly" -> ((s, dir) =>
+      graft.streaming.StreamingOps.weeklyTumblingParity(s, dir)),
+
+    // -- corrupt-input quarantine profile: lenient CSV / JSONL / video
+    // container ingest over a deterministic corrupt fixture corpus; the
+    // quarantine counts are closed-form constants stated as a literal oracle
+    // (q80/q81 technique) — malformed inputs are counted, never dropped --
+    "q86_quarantine_profile" -> ((s, _) => Quality.quarantineProfile(s)),
+
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
     "q35_knn_lsh" -> ((s, dir) => Similarity.lshKnn(s, dir, 5, 3)),
@@ -1609,6 +1623,20 @@ SELECT seq_id, doc_id,
        least(token_offset + n_tokens, (seq_id + 1) * 512)
          - greatest(token_offset, seq_id * 512) AS n_tok
 FROM s ORDER BY seq_id, doc_id""",
+
+    "q85_stream_weekly" -> """
+SELECT event_type,
+       CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS semana,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, semana""",
+
+    "q86_quarantine_profile" -> """
+SELECT * FROM (VALUES
+  ('csv',   CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+  ('jsonl', CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
+  ('video', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(source, n_clean, n_quarantined) ORDER BY source""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -37,6 +37,51 @@ object StreamingOps {
       .select(col("window.start").cast("date").as("semana"),
         col("event_type"), col("n_events"), col("n_users_approx"), col("sum_value"))
 
+  private val gateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Batch-parity gate for the weekly tumbling aggregate (correctness-gate
+    * entry `q85_stream_weekly`): runs a REAL Structured Streaming query —
+    * file source → window aggregation → memory sink — to completion with
+    * `Trigger.AvailableNow`, then returns the materialized result for the
+    * DuckDB batch-SQL oracle. This is the "does streaming match batch?"
+    * question answered with a hash-exact row, not a spec.
+    *
+    * Determinism notes (what makes a streaming run oracle-able):
+    *   - Complete output mode: the sink holds the FINAL state of every
+    *     window regardless of micro-batch boundaries or watermark position
+    *     (Append would withhold windows the end-of-stream watermark never
+    *     passed). The production path with bounded state stays
+    *     [[weeklyTumbling]]; Complete is correct here because the gate's
+    *     result relation is weeks × event-types — tiny by construction.
+    *   - value sums as DECIMAL(30,6): incremental decimal addition is exact,
+    *     so the result is independent of how rows split into micro-batches
+    *     (a double sum would vary in the last bits with batch boundaries).
+    *   - count/window-start are integer/calendar arithmetic — exact.
+    * No exact count-distinct column: distinct aggregation is unsupported in
+    * streaming by design (unbounded per-window state); the approx twin lives
+    * in [[weeklyTumbling]] under the q53-style sketch contract.
+    */
+  def weeklyTumblingParity(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_weekly_gate_${gateRuns.incrementAndGet()}"
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sum_dec"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .select(col("event_type"),
+        graft.functions.Fx.dateStr(col("window.start").cast("date")).as("semana"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type", "semana")
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

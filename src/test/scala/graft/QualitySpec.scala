@@ -47,6 +47,12 @@ class QualitySpec extends SparkSpecBase {
     assert(!Quality.referentialIntegrity(fact, "symbol", partialDim, "symbol_dim").passed)
   }
 
+  test("quarantineProfile: every ingest surface counts its corrupt tail exactly") {
+    val rows = Quality.quarantineProfile(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("csv", 5L, 2L), ("jsonl", 4L, 3L), ("video", 2L, 2L)), s"got $rows")
+  }
+
   test("enforce raises listing every failed check") {
     val e = intercept[IllegalArgumentException] {
       Quality.enforce(Seq(

@@ -11,6 +11,18 @@ class StreamingOpsSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("weeklyTumblingParity: AvailableNow file-source run is row-identical to the batch aggregation") {
+    val streamed = StreamingOps.weeklyTumblingParity(spark, sf)
+      .select("event_type", "semana", "n_events", "sum_value")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = graft.operators.EventOps.weeklyTumbling(spark, sf)
+      .select(col("event_type"), graft.functions.Fx.dateStr(col("semana")).as("semana"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
