@@ -167,6 +167,47 @@ object SparkEntry {
 )"""
   }
 
+  private def cosSql(v: String, c: String): String =
+    s"list_dot_product($v, $c) / nullif(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)), 0)"
+
+  /** Shared oracle CTE chain replaying `Similarity.kmeansCentroids` (q73,
+    * q90): md5-seeded centroids, 3 unrolled Lloyd iterations with means
+    * QUANTIZED to 6 decimals (the operator's determinism contract), ending
+    * with `fin(vec_id, cell, v, crk)` — crk = 1 is each vector's nearest
+    * trained cell. Callers prepend `WITH ` is included; append CTEs with a
+    * leading comma and then the final SELECT.
+    */
+  private lazy val KmeansCellsCtes: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"cents${i - 1}"
+      s""", asg$i AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM e CROSS JOIN $prev c
+), cp$i AS (
+  SELECT cell, pos, round(avg(val), 6) + 0 AS c
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+        FROM asg$i WHERE crk = 1)
+  GROUP BY 1, 2
+), cents$i AS (
+  SELECT cell, list(c ORDER BY pos) AS cvec FROM cp$i GROUP BY cell
+)"""
+    }.mkString
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sd AS (
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT 8
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM sd
+)$iters, fin AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM e CROSS JOIN cents3 c
+)"""
+  }
+
   // ---------------------------------------------------------------------------
   // Query surface
   // ---------------------------------------------------------------------------
@@ -378,6 +419,23 @@ object SparkEntry {
     // boundaries — (seq_id, doc_id, start_tok, n_tok), the relation a
     // training loader consumes. Per-row generator over the offsets pass.
     "q84_packed_spans" -> ((s, dir) => TextOps.packedSpans(s, dir, 512)),
+    // CCNet-style head/middle/tail quality tertiles per language over the
+    // q82 surprisal scores — the stratification step before sampling
+    "q88_surprisal_buckets" -> ((s, dir) => TextOps.surprisalBuckets(s, dir)),
+    // temperature-based (α = 1/2) source mixture weights + sample factors —
+    // the multi-domain sampling census a training loader consumes
+    "q89_mixture_weights" -> ((s, dir) => TextOps.mixtureWeights(s, dir)),
+    // deterministic per-epoch shuffle plan over the packed sequences: every
+    // sequence keyed by md5(epoch:seq_id), read in key order — no global
+    // rank window, so the "shuffle" is a distributed range sort at any scale
+    "q91_epoch_shuffle" -> ((s, dir) =>
+      TextOps.epochShufflePlan(s, dir, 512, epochs = 2)),
+    // content-defined chunking dedup census: hash-derived boundaries, chunk
+    // digests, per-source duplicated-chunk ratio — array-native, no
+    // per-character explosion
+    "q92_cdc_chunks" -> ((s, dir) => TextOps.cdcChunkProfile(s, dir)),
+    // BPE merge-candidate statistics: top-5 adjacent token pairs per lang
+    "q93_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(s, dir, 5)),
 
     // -- streaming on the correctness gate: a REAL Structured Streaming run
     // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
@@ -386,6 +444,13 @@ object SparkEntry {
     // hash-exact driver row, not just a spec --
     "q85_stream_weekly" -> ((s, dir) =>
       graft.streaming.StreamingOps.weeklyTumblingParity(s, dir)),
+
+    // the harder streaming gate: SESSION windows in Append mode — the
+    // emitted set is the sessions finalized by the end-of-stream watermark,
+    // a pure function of the data that the oracle's gaps-and-islands SQL
+    // states explicitly (last_ts + gap <= max(ts) - delay)
+    "q87_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionParity(s, dir)),
 
     // -- corrupt-input quarantine profile: lenient CSV / JSONL / video
     // container ingest over a deterministic corrupt fixture corpus; the
@@ -416,6 +481,12 @@ object SparkEntry {
     // by SimilaritySpec at this registered configuration.
     "q73_ivf_knn_kmeans" -> ((s, dir) =>
       Similarity.ivfKnnKmeans(Tables.embeddings(s, dir), 5, 3, nCells = 8, nProbe = 3)),
+    // SemDeDup-style semantic dedup: within-k-means-cluster cosine pruning,
+    // lower-id wins — pairwise ONLY inside a cell (equi-join on cell), the
+    // paper's own scale argument. Oracle replays the same Lloyd training as
+    // q73's, then the drop rule in plain SQL.
+    "q90_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), nCells = 8, iters = 3, tau = 0.35)),
 
     // -- multimodal binary-column pipeline (north-star extension; decode stubbed) --
     "q40_media_profile" -> ((s, dir) =>
@@ -1103,43 +1174,15 @@ FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
       // hex order), then 3 unrolled Lloyd iterations whose centroid means
       // are QUANTIZED to 6 decimals (the operator's determinism contract —
       // it erases distributed-float-sum order noise), then nProbe=3 probing
-      // and the TopKByScore tie-break, all in plain SQL
-      val cos = (v: String, c: String) =>
-        s"list_dot_product($v, $c) / nullif(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)), 0)"
-      val iters = (1 to 3).map { i =>
-        val prev = s"cents${i - 1}"
-        s""", asg$i AS (
-  SELECT e.vec_id, c.cell, e.v,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cell) AS crk
-  FROM e CROSS JOIN $prev c
-), cp$i AS (
-  SELECT cell, pos, round(avg(val), 6) + 0 AS c
-  FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
-        FROM asg$i WHERE crk = 1)
-  GROUP BY 1, 2
-), cents$i AS (
-  SELECT cell, list(c ORDER BY pos) AS cvec FROM cp$i GROUP BY cell
-)"""
-      }.mkString
+      // and the TopKByScore tie-break, all in plain SQL (the Lloyd replay is
+      // the shared KmeansCellsCtes prefix, reused by q90)
       s"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), sd AS (
-  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT 8
-), cents0 AS (
-  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM sd
-)$iters, fin AS (
-  SELECT e.vec_id, c.cell, e.v,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cell) AS crk
-  FROM e CROSS JOIN cents3 c
-), assigned AS (
+$KmeansCellsCtes, assigned AS (
   SELECT vec_id AS neighbor_id, cell, v AS ce FROM fin WHERE crk = 1
 ), probes AS (
   SELECT vec_id AS q_id, cell, v AS qe FROM fin WHERE crk <= 3 AND vec_id < 5
 ), s AS (
-  SELECT p.q_id, a.neighbor_id, ${cos("p.qe", "a.ce")} AS sim
+  SELECT p.q_id, a.neighbor_id, ${cosSql("p.qe", "a.ce")} AS sim
   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.neighbor_id
 ), r AS (
   SELECT q_id, neighbor_id, sim,
@@ -1148,6 +1191,26 @@ WITH e AS (
 )
 SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
 FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
+
+    "q90_semantic_dedup" -> {
+      // same Lloyd replay as q73 (shared KmeansCellsCtes), then the SemDeDup
+      // drop rule: a vector is dropped iff a LOWER-id vector in its trained
+      // cell has rounded cosine >= 0.35 — pairwise strictly within cells
+      s"""
+$KmeansCellsCtes, asgn AS (
+  SELECT vec_id, cell, v FROM fin WHERE crk = 1
+), dropped AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(${cosSql("a.v", "b.v")}, 6) + 0 >= 0.35
+)
+SELECT CAST(g.cell AS BIGINT) AS cell,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM asgn g LEFT JOIN dropped d ON g.cell = d.cell AND g.vec_id = d.vec_id
+GROUP BY 1 ORDER BY cell"""
     },
 
     "q36_label_centroids" -> """
@@ -1637,6 +1700,159 @@ SELECT * FROM (VALUES
   ('jsonl', CAST(4 AS BIGINT), CAST(3 AS BIGINT)),
   ('video', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
 ) AS t(source, n_clean, n_quarantined) ORDER BY source""",
+
+    // gaps-and-islands replay of the streaming session gate: a new session
+    // starts at a gap >= 30 min (Spark merges only OVERLAPPING [t, t+gap)
+    // windows); the append-mode emission cut is stated explicitly — the
+    // end-of-stream watermark is max(ts) floored to MILLISECONDS (Spark
+    // tracks event-time stats in ms) minus the 30-min delay, and a session
+    // is emitted iff its window end (last event + gap) has been passed
+    "q87_stream_sessions" -> """
+WITH x AS (
+  -- ONE total order (tus, event_id) for both windows: the lag flags and the
+  -- running session counter must bracket tie groups identically
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus,
+         lag(epoch_ns(ts) // 1000)
+           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, value, tus,
+         sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+), s AS (
+  SELECT user_id, sid,
+         min(tus) AS session_start_us, max(tus) AS last_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+  FROM g GROUP BY 1, 2
+), wm AS (
+  SELECT (max(epoch_ns(ts) // 1000000) - 1800000) * 1000 AS w_us FROM events
+)
+SELECT user_id, session_start_us, n_events, sum_value
+FROM s CROSS JOIN wm
+WHERE last_us + 1800000000 <= w_us
+ORDER BY user_id, session_start_us""",
+
+    "q88_surprisal_buckets" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (
+  SELECT doc_id, lang, tok FROM t WHERE length(tok) > 0
+), f AS (
+  SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2
+), g AS (
+  SELECT lang, count(*) AS tot FROM tk GROUP BY 1
+), sc AS (
+  SELECT tk.doc_id, tk.lang, count(*) AS n_tokens,
+         round(avg(-ln(CAST(cnt AS DOUBLE) / tot)), 6) + 0 AS avg_surprisal
+  FROM tk JOIN f USING (lang, tok) JOIN g USING (lang)
+  GROUP BY 1, 2
+), n AS (
+  SELECT lang, n_tokens, avg_surprisal,
+         ntile(3) OVER (PARTITION BY lang ORDER BY avg_surprisal, doc_id) AS t3
+  FROM sc
+)
+SELECT lang,
+       CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(avg_surprisal), 6) + 0 AS avg_surprisal
+FROM n GROUP BY 1, 2 ORDER BY lang, bucket""",
+
+    "q89_mixture_weights" -> """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[^\s]+', 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / tot AS p,
+         sqrt(CAST(n_tokens AS DOUBLE) / tot) AS wr
+  FROM per CROSS JOIN t
+), z AS (SELECT sum(wr) AS z FROM s)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) + 0 AS p,
+       round(wr / z, 6) + 0 AS weight,
+       round(wr / z / p, 6) + 0 AS sample_factor
+FROM s CROSS JOIN z ORDER BY source""",
+
+    "q91_epoch_shuffle" -> """
+WITH d AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM d
+), sp AS (
+  SELECT doc_id, n_tokens, token_offset,
+         unnest(generate_series(token_offset // 512,
+                                (token_offset + n_tokens - 1) // 512)) AS seq_id
+  FROM o WHERE n_tokens > 0
+), spans AS (
+  SELECT seq_id, doc_id,
+         least(token_offset + n_tokens, (seq_id + 1) * 512)
+           - greatest(token_offset, seq_id * 512) AS n_tok
+  FROM sp
+), q AS (
+  SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
+  FROM spans GROUP BY seq_id
+), ep AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS epoch)
+SELECT epoch, seq_id, md5(epoch || ':' || seq_id) AS shuffle_key, n_docs, n_tok
+FROM q CROSS JOIN ep
+ORDER BY epoch, shuffle_key, seq_id""",
+
+    // content-defined chunking: boundary at position i iff the 8-char window
+    // hash starts with nibble '0' — same predicate, same [2, len-7] range,
+    // same last-chunk arithmetic as the Spark array expressions
+    "q92_cdc_chunks" -> """
+WITH d AS (
+  SELECT source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), b AS (
+  SELECT source, norm,
+         list_prepend(1, CASE WHEN length(norm) >= 9
+           THEN list_filter(range(2, length(norm) - 6),
+                            i -> substr(md5(substr(norm, i, 8)), 1, 1) = '0')
+           ELSE [] END) AS bs
+  FROM d WHERE length(norm) >= 8
+), c AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(bs) + 1), j ->
+           substr(norm, bs[j],
+                  CASE WHEN j < len(bs) THEN bs[j + 1] - bs[j]
+                       ELSE length(norm) - bs[j] + 1 END))) AS chunk
+  FROM b
+)
+SELECT source, count(*) AS n_chunks,
+       CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
+       round(1.0 - CAST(count(DISTINCT md5(chunk)) AS DOUBLE) / count(*), 6) + 0 AS dup_ratio
+FROM c GROUP BY source ORDER BY source""",
+
+    "q93_bpe_pairs" -> """
+WITH d AS (
+  SELECT lang, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), p AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM d WHERE len(toks) >= 2
+), f AS (
+  SELECT lang, pair, count(*) AS cnt FROM p GROUP BY 1, 2
+), r AS (
+  SELECT lang, pair, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rk
+  FROM f
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, pair, cnt
+FROM r WHERE rk <= 5 ORDER BY lang, rk""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

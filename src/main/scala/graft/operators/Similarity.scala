@@ -374,4 +374,45 @@ object Similarity {
         rd(cosineSim(col("va"), col("vb")), 6).as("sim"))
       .orderBy("label_a", "label_b")
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus embeddings with the deterministic k-means of
+    * [[kmeansCentroids]], then — within each cluster only — drop every
+    * vector that has a cosine-similar neighbor (sim ≥ τ) with a LOWER
+    * vec_id. "Lower id wins" is the deterministic stand-in for the paper's
+    * keep-one-per-duplicate-group choice, making the whole operator
+    * cross-engine exact. Emits the per-cluster dedup profile:
+    * (cell, n_vecs, n_dropped, n_kept).
+    *
+    * Scale shape — the paper's own argument: pairwise similarity runs ONLY
+    * inside a cluster (equi-join on `cell`, never a corpus cross join), so
+    * the pair space is Σ|cell|² with k chosen to keep clusters bounded
+    * (k ≈ corpus/10⁴ at web scale; the Lloyd pass is linear per iteration
+    * and the centroid relation always broadcasts). The drop rule needs no
+    * iteration or connected components — one join, one aggregation.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 8, iters: Int = 3,
+                    tau: Double = 0.35): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val asg = assignCells(emb, kmeansCentroids(embeddings, nCells, iters))
+      .localCheckpoint(true) // both join sides + census read ONE materialization
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("e").as("be"))
+    val dropped = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      // threshold on the 6-decimal ROUNDED sim (q56's convention): both
+      // engines then compare identical doubles at the τ boundary
+      .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
+      .select(col("cell"), col("b_id").as("vec_id"))
+      .distinct()
+    asg.select("cell", "vec_id")
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("cell", "vec_id"), "left")
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        coalesce(sum("is_dropped"), lit(0L)).as("n_dropped"),
+        (count(lit(1)) - coalesce(sum("is_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
 }

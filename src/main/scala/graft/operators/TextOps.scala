@@ -1226,4 +1226,180 @@ object TextOps {
         (length(col("norm")) - 7).cast("long").as("n_windows"))
       .orderBy("doc_id")
   }
+
+  /** Content-defined chunking dedup profile (the rolling-hash boundary
+    * technique of LBFS/rsync, as used for storage-level and partial-overlap
+    * dedup): chunk boundaries fall where the hash of the 8-char window
+    * STARTING at a position has first hex nibble 0 (P = 1/16 ⇒ ~16-char
+    * expected chunks) — a pure function of LOCAL content, so a shared
+    * passage chunks identically in every document that contains it, no
+    * matter its offset (the property fixed-size blocks lack). Emits the
+    * per-source chunk census: total chunks, distinct chunk digests, and
+    * the duplicated-chunk ratio.
+    *
+    * Scale shape: boundary detection and chunk slicing are per-row ARRAY
+    * expressions (no per-character row explosion — same discipline as the
+    * `fingerprints` fold); only the ~len/16 chunks per document explode,
+    * which is the operator's actual output, and the census is one hash
+    * aggregation on (source, digest). At 100 TB the distinct-digest
+    * relation is the dedup store a chunk-level storage system maintains.
+    */
+  def cdcChunkProfile(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkProfileFrom(Tables.documents(spark, dir))
+
+  def cdcChunkProfileFrom(docs: DataFrame): DataFrame = {
+    val L = length(col("norm"))
+    // boundary positions: 1 plus every i in [2, L-7] whose 8-char window
+    // hash starts with nibble '0'. The [2, L-7] range is empty below L = 9
+    // (guarded: Spark's sequence(2, 1) would count DOWN, not stay empty).
+    val bounds = concat(
+      array(lit(1)),
+      when(L >= 9,
+        filter(sequence(lit(2), L - 7),
+          i => md5(col("norm").substr(i, lit(8))).startsWith("0")))
+        .otherwise(array().cast("array<int>")))
+    docs
+      .select(col("source"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .withColumn("bs", bounds)
+      .withColumn("chunk",
+        explode(transform(sequence(lit(1), size(col("bs"))), j =>
+          col("norm").substr(
+            element_at(col("bs"), j),
+            when(j < size(col("bs")), element_at(col("bs"), j + 1) - element_at(col("bs"), j))
+              .otherwise(L - element_at(col("bs"), j) + 1)))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(md5(col("chunk"))).as("n_distinct_chunks"),
+        rd(lit(1.0) - countDistinct(md5(col("chunk"))).cast("double") / count(lit(1)), 6)
+          .as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  /** Adjacent-pair statistics — the counting step of a BPE tokenizer-training
+    * iteration (Sennrich et al. 2016): per language, the top-k most frequent
+    * adjacent whitespace-token pairs, i.e. the merge candidates. The rank
+    * window runs over the aggregated pair vocabulary (like TF-IDF's), never
+    * the corpus pair stream.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, k: Int): DataFrame =
+    bpePairStatsFrom(Tables.documents(spark, dir), k)
+
+  def bpePairStatsFrom(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("pair"))
+    docs
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("pair"))
+      .groupBy("lang", "pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("pair"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): per
+    * language, rank documents by unigram-LM surprisal and split into
+    * head / middle / tail tertiles — the standard quality-stratification
+    * step before sampling training data (head = most fluent). Built
+    * directly on [[unigramSurprisalFrom]]'s rounded scores so both engines
+    * rank identical doubles; ties break on doc_id.
+    *
+    * Scale note: `ntile` partitions by lang, so each language is one sorted
+    * window partition — exact and oracle-able, with parallelism across
+    * languages. At 100 TB per language, production CCNet computes the two
+    * tertile THRESHOLDS on a sample and assigns by comparison (a shuffle-free
+    * map against broadcast cutoffs); the registered exact form is the
+    * deterministic contract that variant is validated against.
+    */
+  def surprisalBuckets(spark: SparkSession, dir: String): DataFrame =
+    surprisalBucketsFrom(Tables.documents(spark, dir))
+
+  def surprisalBucketsFrom(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_surprisal"), col("doc_id"))
+    unigramSurprisalFrom(docs)
+      .withColumn("t", ntile(3).over(w))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("t")))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        rd(avg(col("avg_surprisal")), 6).as("avg_surprisal"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Temperature-based source mixture weights (the multilingual /
+    * multi-domain sampling scheme of Conneau & Lample 2019, §3.1, with
+    * α = 0.5): each source's natural token share p_i is re-weighted to
+    * w_i = p_i^α / Σ_j p_j^α, up-sampling low-resource sources. Emits the
+    * per-source token census, natural share, mixture weight, and the
+    * resulting sample factor w_i / p_i a data loader applies.
+    *
+    * α is FIXED at 1/2 so the re-weighting is `sqrt` — IEEE-754
+    * correctly-rounded in every engine, making the relation hash-exact
+    * cross-engine (an arbitrary-α `pow` is libm-dependent in its last ulp).
+    *
+    * Scale shape: one hash aggregation over the corpus to a sources-sized
+    * relation; everything after is arithmetic on that tiny relation (the
+    * second "global" aggregate runs over #sources rows). No window, no
+    * join back to the corpus.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsFrom(Tables.documents(spark, dir))
+
+  def mixtureWeightsFrom(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
+          .cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("wr", sqrt(col("p")))
+    val z = shared.agg(sum("wr").as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        rd(col("p"), 6).as("p"),
+        rd(col("wr") / col("z"), 6).as("weight"),
+        rd(col("wr") / col("z") / col("p"), 6).as("sample_factor"))
+      .orderBy("source")
+  }
+
+  /** Deterministic per-epoch shuffle plan over the packed sequences of
+    * [[packedSpansFrom]] — the reshuffle a training loader needs between
+    * epochs, as data: for each epoch, every sequence keyed by
+    * md5(epoch:seq_id) with its document/token census. Consumers read in
+    * shuffle_key order; the key is reproducible from (epoch, seq_id) alone,
+    * so any worker can recompute its shard's order without coordination.
+    *
+    * Scale shape: a seq_id-grained aggregation of the span relation plus a
+    * per-row hash — no global rank column ON PURPOSE: a row_number over the
+    * full corpus would serialize through one window partition, while
+    * ordering by the hash key is a range-partitioned distributed sort.
+    */
+  def epochShufflePlan(spark: SparkSession, dir: String,
+                       budget: Long, epochs: Int): DataFrame =
+    epochShufflePlanFrom(Tables.documents(spark, dir), budget, epochs)
+
+  def epochShufflePlanFrom(docs: DataFrame, budget: Long, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val seqs = packedSpansFrom(docs, budget)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tok"))
+    seqs
+      .select(col("*"), explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("seq_id"),
+        md5(concat_ws(":", col("epoch"), col("seq_id"))).as("shuffle_key"),
+        col("n_docs"), col("n_tok"))
+      .orderBy("epoch", "shuffle_key", "seq_id")
+  }
 }

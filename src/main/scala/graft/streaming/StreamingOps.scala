@@ -82,6 +82,52 @@ object StreamingOps {
       .orderBy("event_type", "semana")
   }
 
+  /** Batch-parity gate for SESSION windows (correctness-gate entry
+    * `q87_stream_sessions`): a real Structured Streaming run of the
+    * gap-based session aggregation — file source → session_window → memory
+    * sink, Append mode, Trigger.AvailableNow — whose emitted rows are
+    * oracled against the batch gaps-and-islands SQL.
+    *
+    * What makes THIS one deterministic (it is the harder gate than q85):
+    *   - Append mode emits exactly the sessions FINALIZED by the
+    *     end-of-stream watermark. AvailableNow runs a final no-data
+    *     micro-batch (`noDataMicroBatches`, on by default) that advances
+    *     the watermark to max(ts) − delay, so the emitted set is a pure
+    *     function of the data: sessions whose window end (last event +
+    *     gap) the final watermark passed. The oracle states the SAME cut:
+    *     `last_ts + gap ≤ max(ts) − delay` — no wall clock anywhere.
+    *   - Session identity is calendar/µs-integer arithmetic: a new session
+    *     starts when the gap to the previous event is ≥ 30 min (Spark
+    *     merges windows that OVERLAP; a gap exactly equal to the window
+    *     length does not overlap [t, t+gap)).
+    *   - value sums as DECIMAL(30,6): exact under any micro-batch split
+    *     and any within-session merge order.
+    * Session starts ride as unix MICROS (the timestamps' native precision
+    * here) so the oracle compares integers, never timestamp formatting.
+    */
+  def sessionParity(spark: SparkSession, dir: String,
+                    gapMin: Int = 30): DataFrame = {
+    val name = s"stream_sessions_gate_${gateRuns.incrementAndGet()}"
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupBy(session_window(col("ts"), s"$gapMin minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sum_dec"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

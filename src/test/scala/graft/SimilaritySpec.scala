@@ -209,4 +209,22 @@ class SimilaritySpec extends SparkSpecBase {
       val s = r.getDouble(2); s >= -1.0000001 && s <= 1.0000001
     })
   }
+
+  test("semanticDedup: census integrity, τ-monotonicity, and the τ=-1 keep-one-per-cell limit") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val total = emb.count()
+    def census(tau: Double) = Similarity.semanticDedup(emb, 8, 3, tau)
+      .select("cell", "n_vecs", "n_dropped", "n_kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val at35 = census(0.35)
+    assert(at35.map(_._2).sum == total, "cells don't partition the corpus")
+    assert(at35.forall(r => r._3 + r._4 == r._2), "dropped + kept != vecs")
+    assert(at35.map(_._3).sum > 0, "τ=0.35 should drop some near-dups on this corpus")
+    // lowering τ can only drop MORE (the drop predicate is monotone in τ)
+    val at50 = census(0.5)
+    assert(at35.map(_._3).sum >= at50.map(_._3).sum, "drop count not monotone in τ")
+    // τ ≤ -1 accepts every pair: each cell keeps exactly its lowest vec_id
+    val atAll = census(-1.0)
+    assert(atAll.forall(_._4 == 1L), s"τ=-1 must keep exactly one per cell: $atAll")
+  }
 }

@@ -23,6 +23,40 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
   }
 
+  test("sessionParity: AvailableNow session-window run matches batch gaps-and-islands under the watermark cut") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = StreamingOps.sessionParity(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed.nonEmpty, "no sessions emitted — watermark flush failed")
+
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts_ns div 1000").as("tus"))
+    val ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = ev
+      .withColumn("prev", lag("tus", 1).over(ord))
+      .withColumn("flag",
+        when(col("prev").isNull || col("tus") - col("prev") >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("flag").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("session_start_us"), max("tus").as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 6))).as("sum_dec"))
+    // end-of-stream watermark: Spark tracks event-time stats in MILLISECONDS
+    val maxTus = ev.agg(max("tus")).as[Long].head()
+    val wmUs = (maxTus / 1000L - 1800000L) * 1000L
+    val batch = sess
+      .filter(col("last_us") + 1800000000L <= wmUs)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("sum_dec").cast("double"))
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"stream/batch session divergence: ${streamed.size} vs ${batch.size} rows")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]

@@ -329,4 +329,108 @@ class TextOpsSpec extends SparkSpecBase {
     assert(row.getString(1) == want)
     assert(row.getLong(2) == norm.length - 7)
   }
+
+  test("cdcChunkProfile: census matches a pure-Scala chunker; shared passage chunks identically at different offsets") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      if (norm.length < 8) return Seq.empty
+      val bs = 1 +: (2 to norm.length - 7).filter(i =>
+        md5hex(norm.substring(i - 1, i + 7)).startsWith("0"))
+      bs.indices.map { j =>
+        val st = bs(j) - 1
+        val en = if (j < bs.length - 1) bs(j + 1) - 1 else norm.length
+        norm.substring(st, en)
+      }
+    }
+    val rng = new scala.util.Random(7)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    def sent(n: Int) = Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    val shared = sent(40) // ~250 chars, shared at DIFFERENT offsets
+    val a = sent(13) + " " + shared
+    val b = sent(29) + " " + shared
+    val df = Seq((1L, "en", "srcA", a), (2L, "en", "srcA", b))
+      .toDF("doc_id", "lang", "source", "text")
+    val row = TextOps.cdcChunkProfileFrom(df)
+      .as[(String, Long, Long, Double)].collect().head
+    val all = chunksOf(a) ++ chunksOf(b)
+    assert(row._2 == all.size, "chunk count diverges from the sequential chunker")
+    assert(row._3 == all.map(md5hex).distinct.size, "distinct digests diverge")
+    // the content-defined property: the shared passage must produce shared
+    // chunks even though its offsets differ between the two documents
+    assert(chunksOf(a).toSet.intersect(chunksOf(b).toSet).nonEmpty,
+      "planted shared passage produced no common chunk — boundaries are not content-defined")
+    assert(row._3 < row._2)
+  }
+
+  test("bpePairStats: top adjacent pairs on a hand-counted corpus") {
+    val df = Seq(
+      (1L, "en", "w", "a b a b c"),
+      (2L, "en", "w", "a b x"),
+      (3L, "fr", "w", "z z z")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.bpePairStatsFrom(df, 2)
+      .as[(String, Long, String, Long)].collect().toSeq
+    // en pairs: "a b"×3 ("a b a b c" has 2, "a b x" 1), "b a"×1, "b c"×1, "b x"×1
+    assert(out.filter(_._1 == "en").map(t => (t._2, t._3, t._4)) ==
+      Seq((1L, "a b", 3L), (2L, "b a", 1L)))
+    assert(out.filter(_._1 == "fr").map(t => (t._2, t._3, t._4)) ==
+      Seq((1L, "z z", 2L)))
+  }
+
+  test("surprisalBuckets: tertiles partition each language; head is most fluent") {
+    val rows = TextOps.surprisalBuckets(spark, sf)
+      .select("lang", "bucket", "n_docs", "avg_surprisal")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val perLang = rows.groupBy(_._1)
+    val docCounts = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).toSet == Set("head", "middle", "tail"), s"$lang missing a tertile")
+      val counts = bs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"$lang tertile sizes unbalanced: $counts")
+      assert(counts.sum == docCounts(lang), s"$lang tertiles don't partition the corpus")
+      val by = bs.map(b => b._2 -> b._4).toMap
+      assert(by("head") <= by("middle") && by("middle") <= by("tail"),
+        s"$lang bucket surprisal not monotone: $by")
+    }
+  }
+
+  test("mixtureWeights: shares and weights are distributions; sqrt-tempering up-samples low-resource sources") {
+    val rows = TextOps.mixtureWeights(spark, sf)
+      .select("source", "n_tokens", "p", "weight", "sample_factor")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "natural shares don't sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "mixture weights don't sum to 1")
+    // sample_factor = w/p ∝ p^(-1/2): strictly decreasing in token share
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach { case Seq(lo, hi) =>
+      if (lo._2 < hi._2)
+        assert(lo._5 >= hi._5,
+          s"sqrt-tempering not monotone: ${lo._1}(${lo._2})=${lo._5} vs ${hi._1}(${hi._2})=${hi._5}")
+      case _ => ()
+    }
+  }
+
+  test("epochShufflePlan: epochs carry the same sequence census in different, reproducible orders") {
+    val plan = TextOps.epochShufflePlan(spark, sf, 512, epochs = 2)
+      .select("epoch", "seq_id", "shuffle_key", "n_tok")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val byEpoch = plan.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L))
+    val census1 = byEpoch(1L).map(t => t._2 -> t._4).toMap
+    val census2 = byEpoch(2L).map(t => t._2 -> t._4).toMap
+    assert(census1 == census2, "epochs disagree on the sequence census")
+    // keys are reproducible md5(epoch:seq_id)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    plan.foreach { case (ep, sid, key, _) => assert(key == md5hex(s"$ep:$sid")) }
+    // and the two epochs order the sequences differently (55+ sequences —
+    // an identical permutation would mean the keys ignore the epoch)
+    val order1 = byEpoch(1L).sortBy(_._3).map(_._2)
+    val order2 = byEpoch(2L).sortBy(_._3).map(_._2)
+    assert(order1 != order2, "epoch reshuffle produced the identical order")
+  }
 }
