@@ -436,6 +436,20 @@ object SparkEntry {
     "q92_cdc_chunks" -> ((s, dir) => TextOps.cdcChunkProfile(s, dir)),
     // BPE merge-candidate statistics: top-5 adjacent token pairs per lang
     "q93_bpe_pairs" -> ((s, dir) => TextOps.bpePairStats(s, dir, 5)),
+    // custom keyed state on the gate: mapGroupsWithState running per-user
+    // profile (exact BigDecimal accumulation), final snapshot oracled
+    // against the batch groupBy
+    "q94_stream_running_stats" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runningStatsParity(s, dir)),
+    // directed containment: the asymmetric overlap Jaccard can't see —
+    // partial-copy detection over the same collapsed/bucketed shingle base
+    "q96_containment_pairs" -> ((s, dir) => TextOps.containmentPairs(s, dir, 20)),
+    // bloom-prefiltered exact dedup: the corpus digest set as ONE bloom
+    // artifact, batch probed before the verify semi-join; no false
+    // negatives, so the oracle is the bloom-free SQL — hash-equality IS
+    // the proof the prefilter changes nothing
+    "q95_bloom_prefilter" -> ((s, dir) =>
+      TextOps.bloomPrefilterDedup(s, dir, "src0")),
 
     // -- streaming on the correctness gate: a REAL Structured Streaming run
     // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
@@ -1853,6 +1867,54 @@ WITH d AS (
 )
 SELECT lang, CAST(rk AS BIGINT) AS rk, pair, cnt
 FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+
+    "q94_stream_running_stats" -> """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // the bloom-free statement of q95: hash-equality through the bloom path
+    // is the no-false-negatives proof
+    "q95_bloom_prefilter" -> """
+WITH c AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src0'
+), b AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src0'
+)
+SELECT b.doc_id,
+       CASE WHEN c.h IS NOT NULL THEN 'exact_dup' ELSE 'novel' END AS status
+FROM b LEFT JOIN c ON b.h = c.h
+ORDER BY b.doc_id""",
+
+    "q96_containment_pairs" -> """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, source, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), c AS (
+  SELECT doc_a, doc_b,
+         round(CAST(inter AS DOUBLE) / ca.n, 6) + 0 AS cont_a_in_b,
+         round(CAST(inter AS DOUBLE) / cb.n, 6) + 0 AS cont_b_in_a,
+         round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) + 0 AS jaccard
+  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+)
+SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a, jaccard
+FROM c
+ORDER BY greatest(cont_a_in_b, cont_b_in_a) DESC, doc_a, doc_b LIMIT 20""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -1227,6 +1227,130 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — the "does this crawl doc
+    * already exist in the 100 TB corpus?" fast path. The corpus digest set
+    * folds into ONE small Bloom filter artifact (a distributed
+    * `BloomFilterAggregate` — the same machinery Spark's runtime join
+    * filters use, reached through the Catalyst bridge since it has no public
+    * DataFrame API), the arriving batch probes it as a foldable literal
+    * (≈ a broadcast of the artifact, built once per corpus snapshot like
+    * the persisted IVF centroids), and ONLY the bloom hits reach the exact
+    * digest semi-join.
+    *
+    * Correctness contract: a Bloom filter has NO false negatives, so the
+    * final classification is PROVABLY identical to the plain semi-join —
+    * the DuckDB oracle states the bloom-free SQL and the result must
+    * hash-match through the bloom path. False positives only cost verify
+    * work: `bloomPrefilterProfile` exposes the pruning counts and
+    * `TextOpsSpec` pins candidates ⊇ dups and candidates ≪ batch.
+    * At 100 TB the semi-join's build side is the full corpus digest
+    * relation; the bloom probe discards the overwhelmingly-novel majority
+    * of a crawl batch BEFORE that shuffle — the verify join's input drops
+    * from |batch| to |dups| + ε·|batch|.
+    */
+  def bloomPrefilterDedup(spark: SparkSession, dir: String,
+                          newSource: String): DataFrame = {
+    val (batch, candidates, corpusH) = bloomParts(spark, dir, newSource)
+    val dups = candidates.join(corpusH, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
+    batch.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_dup"), "exact_dup").otherwise("novel").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Pruning census of the bloom prefilter (spec surface — candidate counts
+    * are bloom-parameter-specific, so they are pinned by invariant, not by
+    * the portable oracle): one row (n_batch, n_candidates, n_exact_dups).
+    */
+  def bloomPrefilterProfile(spark: SparkSession, dir: String,
+                            newSource: String): DataFrame = {
+    val (batch, candidates, corpusH) = bloomParts(spark, dir, newSource)
+    val nb = batch.count()
+    val nc = candidates.count()
+    val nd = candidates.join(corpusH, Seq("h"), "left_semi").count()
+    import spark.implicits._
+    Seq((nb, nc, nd)).toDF("n_batch", "n_candidates", "n_exact_dups")
+  }
+
+  private def bloomParts(spark: SparkSession, dir: String, newSource: String) = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.SqlShim.{column, expression}
+    val docs = Tables.documents(spark, dir)
+    val corpusH = docs.filter(col("source") =!= newSource)
+      .select(md5(col("text")).as("h")).distinct()
+    val bfAgg = column(new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("h"))))).toAggregateExpression())
+    // one row, one bounded artifact (sized by items/fpp, never by corpus
+    // rows) — the same driver-side class as the per-partition prefix totals
+    val bloom = corpusH.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val batch = docs.filter(col("source") === newSource)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val candidates = batch.filter(column(BloomFilterMightContain(
+      Literal(bloom), new XxHash64(Seq(expression(col("h")))))))
+    (batch, candidates, corpusH)
+  }
+
+  /** Top-k DIRECTED containment pairs — the asymmetric set-overlap measure
+    * Jaccard can't see: containment(A→B) = |A∩B| / |A| is high when A is a
+    * PARTIAL COPY embedded in a larger B (a quoted passage, an included
+    * boilerplate block) even though their Jaccard is low. Emits both
+    * directions plus Jaccard for each of the k pairs with the highest
+    * max-containment.
+    *
+    * Same scale skeleton as [[jaccardPairs]]: exact-dup collapse first, the
+    * pair space from the bucketed (lang, source, shingle) equi-join — never
+    * doc², members expanded after the rep-level cutoff (identical texts
+    * have identical shingle sets, so members inherit their rep's
+    * containment values exactly; intra-cluster pairs are (1, 1, 1)).
+    */
+  def containmentPairs(spark: SparkSession, dir: String, k: Int): DataFrame =
+    containmentPairsFrom(Tables.documents(spark, dir), k)
+
+  def containmentPairsFrom(docs: DataFrame, k: Int): DataFrame = {
+    val base = dedupBaseFrom(docs, bucketed = true)
+    val sh = base.repSh
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("lang"), col("source"), col("sg"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("lang", "source", "sg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val repPairs = inter
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        rd(col("inter").cast("double") / col("na"), 6).as("cab"),
+        rd(col("inter").cast("double") / col("nb"), 6).as("cba"),
+        rd(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .withColumn("maxc", greatest(col("cab"), col("cba")))
+      .cache()
+    val cut = repPairs.orderBy(col("maxc").desc).limit(k)
+      .agg(min(col("maxc")).as("ccut"))
+    val topReps = repPairs.join(broadcast(cut), col("maxc") >= col("ccut")).drop("ccut")
+    val cross = topReps
+      .join(base.withRep.select(col("rep").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(base.withRep.select(col("rep").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("cab")).otherwise(col("cba")).as("cont_a_in_b"),
+        when(col("da") < col("db"), col("cba")).otherwise(col("cab")).as("cont_b_in_a"),
+        col("jaccard"), col("maxc"))
+    val shingled = sh.select(col("doc_id").as("rep")).distinct()
+    val intraMem = base.withRep.join(shingled, "rep").select(col("ck"), col("doc_id"))
+    val intra = intraMem.as("x").join(intraMem.as("y"), "ck")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"),
+        lit(1.0).as("jaccard"), lit(1.0).as("maxc"))
+    cross.union(intra)
+      .orderBy(col("maxc").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+      .drop("maxc")
+  }
+
   /** Content-defined chunking dedup profile (the rolling-hash boundary
     * technique of LBFS/rsync, as used for storage-level and partial-overlap
     * dedup): chunk boundaries fall where the hash of the 8-char window

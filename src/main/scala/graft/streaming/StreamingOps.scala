@@ -128,6 +128,52 @@ object StreamingOps {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Batch-parity gate for CUSTOM KEYED STATE (correctness-gate entry
+    * `q94_stream_running_stats`): `mapGroupsWithState` maintains an exact
+    * per-user (count, decimal sum) profile across micro-batches — the
+    * operator family no built-in aggregation expresses — and the FINAL
+    * snapshot is oracled against the batch groupBy.
+    *
+    * Determinism: the state accumulates `java.math.BigDecimal` (exact under
+    * any arrival order or micro-batch split — a double sum would drift in
+    * the last bits), and the final snapshot per user is selected as the
+    * max-(n_events, sum) struct over the Update-mode emissions (n_events is
+    * strictly monotone per user, so "max" IS "latest" without any
+    * batch-id bookkeeping).
+    */
+  def runningStatsParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"stream_running_gate_${gateRuns.incrementAndGet()}"
+    val ev = eventStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("v"))
+      .as[(Long, java.math.BigDecimal)]
+    val out = ev.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.math.BigDecimal)],
+         state: GroupState[(Long, java.math.BigDecimal)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s = s.add(r._2) }
+          state.update((n, s))
+          (uid, n, s)
+      }
+    val q = out.toDF("user_id", "n_events", "sum_dec")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_dec"))).as("r"))
+      .select(col("user_id"), col("r.n_events").as("n_events"),
+        col("r.sum_dec").cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

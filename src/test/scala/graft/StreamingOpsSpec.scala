@@ -57,6 +57,20 @@ class StreamingOpsSpec extends SparkSpecBase {
       s"stream/batch session divergence: ${streamed.size} vs ${batch.size} rows")
   }
 
+  test("runningStatsParity: mapGroupsWithState final snapshot matches the batch groupBy exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = StreamingOps.runningStatsParity(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed.nonEmpty)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("sum_value"))
+      .orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == batch, "custom-state stream totals diverge from batch")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]

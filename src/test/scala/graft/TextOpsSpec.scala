@@ -330,6 +330,48 @@ class TextOpsSpec extends SparkSpecBase {
     assert(row.getLong(2) == norm.length - 7)
   }
 
+  test("bloomPrefilterDedup: classification identical to the bloom-free semi-join; the bloom actually prunes") {
+    val viaBloom = graft.operators.TextOps.bloomPrefilterDedup(spark, sf, "src0")
+      .as[(Long, String)].collect().toSeq
+    val d = graft.sources.Tables.documents(spark, sf)
+    val corpus = d.filter(col("source") =!= "src0").select(md5(col("text")).as("h")).distinct()
+    val plain = d.filter(col("source") === "src0")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.withColumn("hit", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("hit"), "exact_dup").otherwise("novel").as("status"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(viaBloom == plain, "bloom path changed the dedup answer")
+    val prof = graft.operators.TextOps.bloomPrefilterProfile(spark, sf, "src0")
+      .as[(Long, Long, Long)].collect().head
+    assert(prof._2 >= prof._3, "bloom dropped a true duplicate (false negative!)")
+    assert(prof._2 < prof._1, s"bloom pruned nothing: $prof")
+  }
+
+  test("containmentPairs: a planted partial copy scores near-1 containment with low jaccard") {
+    val rng = new scala.util.Random(19)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf")
+    def sent(n: Int) = Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    val passage = sent(20)
+    val big = passage + " " + sent(120)  // passage embedded in a much larger doc
+    val df = Seq(
+      (1L, "en", "w", passage),
+      (2L, "en", "w", big),
+      (3L, "en", "w", sent(40)),
+      (4L, "fr", "w", sent(40))
+    ).toDF("doc_id", "lang", "source", "text")
+    val top = TextOps.containmentPairsFrom(df, 3)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val p = top.find(t => t._1 == 1L && t._2 == 2L).get
+    // every shingle of the passage doc appears in the big doc (modulo the
+    // 2 seam shingles the concatenation adds only to big): cont ~ 1
+    assert(p._3 > 0.9, s"containment(passage in big) = ${p._3}")
+    assert(p._4 < 0.3, s"containment(big in passage) = ${p._4}")
+    assert(p._5 < 0.3, s"jaccard should be low for a partial copy: ${p._5}")
+    // and it must outrank the unrelated pair
+    assert(top.head == p, "partial copy is not the top containment pair")
+  }
+
   test("cdcChunkProfile: census matches a pure-Scala chunker; shared passage chunks identically at different offsets") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
