@@ -208,6 +208,40 @@ object SparkEntry {
 )"""
   }
 
+  /** Oracle for q98: the co-purchase edge CTEs plus `iters` unrolled
+    * PageRank rounds in the scaled formulation (r⁰ = 1,
+    * rᵗ⁺¹ = round(0.15 + 0.85·Σ rᵗ(u)/deg(u), 6)) — the same
+    * quantize-per-iteration replay technique as [[KmeansCellsCtes]].
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""", r$i AS (
+  SELECT d.node, round(0.15 + 0.85 * COALESCE(s.inflow, 0), 6) + 0 AS rank
+  FROM deg d LEFT JOIN (
+    SELECT u.v AS node, sum(r.rank / dg.deg) AS inflow
+    FROM u JOIN $prev r ON u.u = r.node JOIN deg dg ON u.u = dg.node
+    GROUP BY u.v) s ON d.node = s.node
+)"""
+    }.mkString
+    s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), u AS (
+  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst AS u, src AS v FROM e
+), deg AS (
+  SELECT u AS node, count(*) AS deg FROM u GROUP BY u
+), r0 AS (
+  SELECT node, 1.0 AS rank FROM deg
+)$rounds
+SELECT d.node AS partkey, CAST(d.deg AS BIGINT) AS degree, r.rank
+FROM deg d JOIN r$iters r ON d.node = r.node
+ORDER BY r.rank DESC, partkey"""
+  }
+
   // ---------------------------------------------------------------------------
   // Query surface
   // ---------------------------------------------------------------------------
@@ -450,6 +484,42 @@ object SparkEntry {
     // the proof the prefilter changes nothing
     "q95_bloom_prefilter" -> ((s, dir) =>
       TextOps.bloomPrefilterDedup(s, dir, "src0")),
+    // positional duplicated-passage coverage: fraction of each document's
+    // token positions inside at least one corpus-duplicated 3-gram — the
+    // span a span-level cleaner cuts; df read off an aggregate, never a
+    // self-join
+    "q97_dup_passages" -> ((s, dir) => TextOps.dupPassageCoverage(s, dir)),
+    // BM25 retrieval over the corpus for a fixed query-term set: postings
+    // filtered to the terms BEFORE aggregation, df/avgdl broadcast,
+    // top-k via sort+limit (TakeOrderedAndProject)
+    "q101_bm25" -> ((s, dir) =>
+      TextOps.bm25TopDocs(s, dir, Seq("table", "scan", "merge", "hash"), 20)),
+    // weighted sampling without replacement (Efraimidis–Spirakis md5 keys):
+    // reproducible on any worker, k smallest keys per source
+    "q102_weighted_sample" -> ((s, dir) => TextOps.weightedSample(s, dir, 5)),
+    // fixed-grid overlapping RAG chunks (size 32, stride 24): per-row
+    // generator, chunk digests for dedup — the retrieval-side twin of q84
+    "q104_rag_chunks" -> ((s, dir) => TextOps.ragChunks(s, dir, 32, 24)),
+    // cross-language quality calibration: per-lang percent-rank
+    // quantile normalization + decile buckets
+    "q105_quality_calibration" -> ((s, dir) => TextOps.qualityCalibration(s, dir)),
+    // 5-iteration PageRank over the part co-purchase graph — the iterative
+    // equi-join+aggregate loop (CC's execution shape, applied to ranking);
+    // ranks quantized 6dp per iteration (q73's determinism contract) so the
+    // oracle replays the loop in unrolled SQL
+    "q98_copurchase_pagerank" -> ((s, dir) => GraphOps.copurchasePageRank(s, dir)),
+    // calendar gap-fill + forward-fill of a sparse daily series: per-key
+    // spine explode, keyed left join, per-supplier ffill window
+    "q99_gap_fill" -> ((s, dir) => Analytics.gapFillDailySupplier(s, dir)),
+    // incremental MV maintenance contract: weekly stats REASSEMBLED from
+    // daily sufficient-statistic partials; the oracle states the DIRECT
+    // computation — hash-equality proves partial-merge ≡ direct
+    "q100_partial_merge" -> ((s, dir) =>
+      Analytics.weeklyFromPartials(Analytics.dailyValuePartials(s, dir))),
+    // streaming exact dedup on the gate: AvailableNow dropDuplicates whose
+    // emitted key set is oracled against batch DISTINCT
+    "q103_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupParity(s, dir)),
 
     // -- streaming on the correctness gate: a REAL Structured Streaming run
     // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
@@ -1915,6 +1985,172 @@ WITH d AS (
 SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a, jaccard
 FROM c
 ORDER BY greatest(cont_a_in_b, cont_b_in_a) DESC, doc_a, doc_b LIMIT 20""",
+
+    "q97_dup_passages" -> """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+), sh AS (
+  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), dup AS (
+  SELECT sg FROM (SELECT sg, count(DISTINCT doc_id) AS df FROM sh GROUP BY sg)
+  WHERE df > 1
+), cov AS (
+  SELECT doc_id, count(DISTINCT cp) AS covered
+  FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 3)) AS cp
+        FROM sh s JOIN dup USING (sg))
+  GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS coverage
+FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+ORDER BY n.doc_id""",
+
+    "q98_copurchase_pagerank" -> pageRankOracle(5),
+
+    "q99_gap_fill" -> """
+WITH daily AS (
+  SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS d, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price
+  FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY 1, 2
+), spine AS (
+  SELECT suppkey,
+         CAST(unnest(generate_series(DATE '1998-01-01', DATE '1998-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT suppkey FROM daily)
+), j AS (
+  SELECT s.suppkey, s.d, daily.n_items, daily.avg_price
+  FROM spine s LEFT JOIN daily ON s.suppkey = daily.suppkey AND s.d = daily.d
+)
+SELECT suppkey, strftime(d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(n_items, 0) AS BIGINT) AS n_items,
+       round(last_value(avg_price IGNORE NULLS) OVER (
+         PARTITION BY suppkey ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0 AS price_filled,
+       CAST(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+FROM j ORDER BY suppkey, day""",
+
+    // the DIRECT weekly computation over raw quotes: hash-equality through
+    // the daily-partials route proves incremental merge ≡ direct
+    "q100_partial_merge" -> """
+WITH e AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS d, value FROM events
+)
+SELECT symbol, strftime(date_trunc('week', d), '%Y-%m-%d') AS semana,
+       count(*) AS n_quotes,
+       count(DISTINCT d) AS n_days,
+       round(avg(value), 6) + 0 AS mean_value,
+       round(stddev_samp(value), 6) + 0 AS std_value
+FROM e GROUP BY 1, 2 ORDER BY symbol, semana""",
+
+    "q101_bm25" -> """
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), dls AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+), corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls
+), post AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN ('table', 'scan', 'merge', 'hash')
+  GROUP BY 1, 2
+), dfr AS (
+  SELECT tok, count(*) AS df FROM post GROUP BY tok
+), contrib AS (
+  SELECT p.doc_id, dls.dl,
+         ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS w
+  FROM post p JOIN dfr f USING (tok) JOIN dls USING (doc_id) CROSS JOIN corpus c
+), scored AS (
+  SELECT doc_id, dl AS n_tokens, count(*) AS n_terms_matched,
+         round(sum(w), 6) + 0 AS bm25
+  FROM contrib GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk,
+       doc_id, n_tokens, n_terms_matched, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""",
+
+    "q102_weighted_sample" -> """
+WITH k AS (
+  SELECT source, doc_id, n_chars,
+         -ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS DOUBLE) + 1.0)
+             / 1152921504606846976.0) / n_chars AS key
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_chars, key,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+  FROM k
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
+       round(key * 1000.0, 6) + 0 AS key_milli
+FROM r WHERE rk <= 5 ORDER BY source, rk""",
+
+    "q103_stream_dedup" -> """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q104_rag_chunks" -> """
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks FROM d
+), g AS (
+  SELECT doc_id, n, toks,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok,
+       md5(array_to_string(
+         list_slice(toks, chunk_id * 24 + 1,
+                    chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')) AS chunk_digest
+FROM g ORDER BY doc_id, chunk_id""",
+
+    "q105_quality_calibration" -> """
+WITH d AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
+    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
+  FROM m
+), q AS (
+  SELECT doc_id, lang,
+    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS quality_score
+  FROM r
+), p AS (
+  SELECT doc_id, lang, quality_score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS pr
+  FROM q
+)
+SELECT doc_id, lang, quality_score, round(pr, 6) + 0 AS pct_rank,
+       CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile
+FROM p ORDER BY doc_id""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -179,4 +179,82 @@ object Analytics {
         rd(avg(col("close")), 4).as("avg_close"),
         sum(col("volume")).as("volume_total"))
       .orderBy("ano", "mes")
+
+  /** Calendar gap-fill + forward-fill over a sparse daily series — the
+    * resampling step every time-series consumer needs (a supplier ships on
+    * ~20% of days; downstream models want a dense daily panel with the last
+    * observed price carried forward).
+    *
+    * Shape: (1) aggregate to the observed (suppkey, day) grain with an EXACT
+    * decimal sum (so the carried value is bit-identical cross-engine);
+    * (2) build the calendar spine as a per-key `explode(sequence(...))` —
+    * 365 rows per supplier, generated distributed, never a driver loop;
+    * (3) left-join observations onto the spine (keyed shuffle);
+    * (4) forward-fill with `last(ignoreNulls)` over a per-supplier ordered
+    * window — state shards by supplier, each partition sorts only its own
+    * series. Days before a supplier's first 1998 sale stay NULL (nothing to
+    * carry). `is_filled` marks synthesized rows.
+    */
+  def gapFillDailySupplier(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val daily = graft.sources.Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1998)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_shipdate").cast(DateType).as("day"),
+        col("l_extendedprice"))
+      .groupBy("suppkey", "day")
+      .agg(count(lit(1)).as("n_items"),
+        (exactSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+    val spine = daily.select("suppkey").distinct()
+      .select(col("suppkey"),
+        explode(sequence(
+          lit(java.sql.Date.valueOf("1998-01-01")),
+          lit(java.sql.Date.valueOf("1998-12-31")))).as("day"))
+    val w = Window.partitionBy("suppkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("suppkey", "day"), "left")
+      .select(col("suppkey"), dateStr(col("day")).as("day"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        rd(last(col("avg_price"), ignoreNulls = true).over(w), 6).as("price_filled"),
+        col("n_items").isNull.cast("long").as("is_filled"))
+      .orderBy("suppkey", "day")
+  }
+
+  /** Daily partial aggregates of the quote stream — the Bronze relation an
+    * INCREMENTAL weekly materialized view merges instead of rescanning raw
+    * history: per (symbol, date) the sufficient statistics (n, Σv, Σv²).
+    * At 100 TB only the arriving day's partition is aggregated; the weekly
+    * roll-up below touches partials (days × symbols rows), not quotes.
+    */
+  def dailyValuePartials(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    MarketView.quotes(spark, dir)
+      .groupBy("symbol", "date")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s"),
+        sum(col("value") * col("value")).as("q"))
+
+  /** Weekly stats REASSEMBLED from the daily partials — mean and sample
+    * stddev via the merged sufficient statistics
+    * (var = (Σv² − (Σv)²/n)/(n−1)), proving the incremental route is
+    * value-identical to aggregating raw quotes directly (the oracle states
+    * the DIRECT computation; hash-equality is the proof). This is the
+    * partial-aggregate reuse contract that makes a daily-refresh pipeline
+    * O(new data) instead of O(history).
+    */
+  def weeklyFromPartials(partials: DataFrame): DataFrame = {
+    val n = col("n_quotes").cast("double")
+    val variance = (col("q_sum") - col("s_sum") * col("s_sum") / n) / (n - 1.0)
+    partials
+      .groupBy(col("symbol"),
+        date_trunc("week", col("date")).cast(DateType).as("semana"))
+      .agg(sum("n").as("n_quotes"), count(lit(1)).as("n_days"),
+        sum("s").as("s_sum"), sum("q").as("q_sum"))
+      .select(col("symbol"), dateStr(col("semana")).as("semana"),
+        col("n_quotes"), col("n_days"),
+        rd(col("s_sum") / n, 6).as("mean_value"),
+        rd(when(col("n_quotes") > 1, sqrt(variance)).otherwise(lit(null)), 6)
+          .as("std_value"))
+      .orderBy("symbol", "semana")
+  }
 }

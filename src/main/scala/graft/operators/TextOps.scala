@@ -1526,4 +1526,205 @@ object TextOps {
         col("n_docs"), col("n_tok"))
       .orderBy("epoch", "shuffle_key", "seq_id")
   }
+
+  /** Per-document duplicated-passage coverage — the positional refinement of
+    * [[boilerplateProfile]]: not just WHAT fraction of a document's shingles
+    * are corpus-duplicated, but how many of its TOKEN POSITIONS sit inside at
+    * least one duplicated 3-gram (the span a span-level cleaner would cut).
+    * Emits (doc_id, n_tokens, covered_tokens, coverage); documents with no
+    * duplicated passage appear with coverage 0.
+    *
+    * Scale shape: the shingle document-frequency relation is
+    * vocabulary-sized (same base as novelty/boilerplate); only occurrences of
+    * df>1 shingles fan out — ×3 positions each, bounded by token count — and
+    * the coverage count is one per-doc aggregation. No pair space anywhere:
+    * corpus-duplication is read off the df aggregate, never off a self-join.
+    */
+  def dupPassageCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupPassageCoverageFrom(Tables.documents(spark, dir))
+
+  def dupPassageCoverageFrom(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val pos = tok
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
+    val df = pos.select(col("doc_id"), col("sg")).distinct()
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+    val covered = pos
+      .join(df.filter(col("df") > 1).select("sg"), Seq("sg"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("cp"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("cp")).as("covered_tokens"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        rd(coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring (Robertson/Sparck Jones, the Okapi form with
+    * k1 = 1.2, b = 0.75) of the corpus against a fixed query-term set — the
+    * ranking step of a retrieval-augmented pipeline over the training corpus.
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the non-negative variant
+    * Lucene uses); dl/avgdl is the standard length normalization.
+    *
+    * Scale shape: term postings are FILTERED to the query terms before any
+    * aggregation (the predicate reaches the token explode, so the shuffle
+    * carries query-term postings only — at 100 TB that is |terms| postings
+    * lists, not the corpus vocabulary); df/N/avgdl are tiny relations
+    * broadcast into the scoring projection; one per-doc aggregation sums
+    * ≤ |terms| contributions. Ranking sorts the rounded score so the
+    * (score, doc_id) tie-break is engine-stable.
+    */
+  def bm25TopDocs(spark: SparkSession, dir: String,
+                  terms: Seq[String], k: Int): DataFrame =
+    bm25TopDocsFrom(Tables.documents(spark, dir), terms, k)
+
+  def bm25TopDocsFrom(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // k1 = 1.2, b = 0.75, written as the PRE-FOLDED double literals 2.2 /
+    // 1.2 / 0.25 / 0.75 so the oracle SQL states bit-identical constants
+    // (k1 + 1.0 computed at runtime could round differently than the
+    // literal an oracle author writes)
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val corpus = tok.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val postings = tok
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfRel), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms_matched"), rd(sum("contrib"), 6).as("bm25"))
+    // top-k via sort+limit (TakeOrderedAndProject: per-partition heaps, never
+    // a single-partition rank window); the k-row result then numbers itself
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("dl").as("n_tokens"),
+        col("n_terms_matched"), col("bm25"))
+      .orderBy("rk")
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis exponential-jumps form): each document draws a
+    * reproducible uniform u ∈ (0, 1] from md5(doc_id) and competes with key
+    * −ln(u)/w, w = n_chars; the k smallest keys per source are the sample.
+    * Heavier documents draw systematically smaller keys, so the inclusion
+    * probability is proportional to weight — but the whole draw is a pure
+    * function of doc_id, reproducible on any worker, any engine, any re-run.
+    *
+    * Scale shape: a per-row key projection + a per-source top-k rank window
+    * (the stratified-sample q71 shape); no global sort, no RNG state, no
+    * driver round-trip. The key is emitted rounded; the RANKING uses the raw
+    * double — ln is deterministic on-host and a rank flip would need two
+    * keys within one ulp of each other.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int): DataFrame =
+    weightedSampleFrom(Tables.documents(spark, dir), k)
+
+  def weightedSampleFrom(docs: DataFrame, k: Int): DataFrame = {
+    val maxU = math.pow(16.0, 15) // 15 hex digits: fits a long exactly
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("double") + 1.0) / maxU
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("key").asc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+        rd(col("key") * 1e3, 6).as("key_milli"))
+      .orderBy("source", "rk")
+  }
+
+  /** Fixed-size overlapping RAG chunks: documents sliced into `size`-token
+    * windows every `stride` tokens (stride < size ⇒ overlap, the standard
+    * retrieval-chunking scheme), each chunk materialized as
+    * (doc_id, chunk_id, start_tok, n_tok, chunk_digest). Complements
+    * [[packedSpansFrom]] (training packing: splits at GLOBAL sequence
+    * boundaries, no overlap) and [[cdcChunkProfileFrom]] (content-defined
+    * boundaries): RAG chunking is per-document, fixed-grid, overlapping.
+    *
+    * Invariants (spec-pinned): chunks cover every token (last chunk end =
+    * n_tokens for every doc), consecutive chunks overlap by exactly
+    * size − stride tokens (when a next chunk exists), and the digest is the
+    * md5 of the space-joined token slice — the dedupable chunk identity.
+    *
+    * Scale shape: a single per-row generator (explode over the chunk grid —
+    * ⌈n/stride⌉ rows per doc) with the slice + hash computed inside the
+    * projection; no join, no window, no shuffle beyond the final sort.
+    */
+  def ragChunks(spark: SparkSession, dir: String,
+                size: Int, stride: Int): DataFrame =
+    ragChunksFrom(Tables.documents(spark, dir), size, stride)
+
+  def ragChunksFrom(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= size, got size=$chunkSize stride=$stride")
+    // `div`, not `/`: Spark's / on integers is fractional division
+    val nChunks = lit(1L) +
+      when(col("n") <= chunkSize, lit(0L))
+        .otherwise(expr(s"(n - $chunkSize + ${stride - 1}) div $stride"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+            least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride).cast("int"))))
+          .as("chunk_digest"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Cross-language quality calibration: raw quality scores are not
+    * comparable across languages (stopword lists, token lengths differ), so
+    * each document's score is re-expressed as its PERCENT RANK within its
+    * language — the quantile-normalization step a mixture filter applies
+    * before one global threshold. Ties share a rank (equal scores calibrate
+    * equally); `decile` is the coarse bucket a sampler keys on.
+    *
+    * Scale shape: per-row score projection + one rank window PARTITIONED BY
+    * lang (state shards by language; within a language the window is a
+    * range-sort, not a single-partition funnel — and at 100 TB the
+    * production variant computes per-lang quantile cutoffs on a sample and
+    * assigns by broadcast comparison, validated against this exact contract,
+    * the same pattern as [[surprisalBuckets]]).
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrationFrom(Tables.documents(spark, dir))
+
+  def qualityCalibrationFrom(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      rd(qualityScore(col("text")), 6).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("quality_score")
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        rd(col("pct_rank"), 6).as("pct_rank"),
+        least(floor(col("pct_rank") * 10).cast("long"), lit(9L)).as("decile"))
+      .orderBy("doc_id")
+  }
 }

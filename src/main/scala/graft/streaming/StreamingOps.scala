@@ -174,6 +174,35 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Batch-parity gate for STREAMING DEDUPLICATION (correctness-gate entry
+    * `q103_stream_dedup`): a real AvailableNow run of `dropDuplicates` on
+    * (user_id, event_type) — the streaming exact-dedup operator — whose
+    * emitted KEY SET is oracled against batch DISTINCT.
+    *
+    * Determinism: which representative ROW is emitted per key depends on
+    * arrival order inside a micro-batch, but the SET OF KEYS does not — the
+    * gate therefore aggregates the sink to (event_type, n_users), a pure
+    * function of the data. State here is unbounded by design (the
+    * whole-history dedup a backfill run wants); the watermark-evicting
+    * production variant for continuous streams stays [[dedupStream]].
+    */
+  def dedupParity(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_gate_${gateRuns.incrementAndGet()}"
+    val dedup = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

@@ -66,4 +66,46 @@ class MarketViewSpec extends SparkSpecBase {
     val withDup = bars.unionByName(bars.limit(1))
     assert(Analytics.qualityGate(withDup).head().getLong(2) == 0L)
   }
+
+  test("gapFillDailySupplier: dense 365-day panel per supplier, ffill carries the last observed price") {
+    val out = Analytics.gapFillDailySupplier(spark, sf)
+    val perSupp = out.groupBy("suppkey").agg(count(lit(1)).as("n"))
+      .select("n").distinct().as[Long].collect()
+    assert(perSupp.toSeq == Seq(365L), s"spine must be dense: $perSupp")
+    // observed rows are exactly the is_filled = 0 rows
+    val observed = graft.sources.Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === 1998)
+      .select(col("l_suppkey"), col("l_shipdate").cast("date")).distinct().count()
+    assert(out.filter(col("is_filled") === 0).count() == observed)
+    // per-supplier ffill: a filled row carries the most recent observed price
+    val one = out.filter(col("suppkey") === out.select("suppkey").head().getLong(0))
+      .orderBy("day")
+      .select("n_items", "price_filled")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    var last: Option[Double] = None
+    one.foreach { case (n, p) =>
+      if (n > 0) last = p
+      else assert(p == last, s"filled row carries $p, expected $last")
+    }
+  }
+
+  test("weeklyFromPartials: merged sufficient statistics are value-identical to the direct weekly aggregation") {
+    val viaPartials = Analytics.weeklyFromPartials(Analytics.dailyValuePartials(spark, sf))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), Option(r.get(5)))).toMap
+    val direct = MarketView.quotes(spark, sf)
+      .groupBy(col("symbol"),
+        date_trunc("week", col("date")).cast("date").as("semana"))
+      .agg(count(lit(1)).as("n_quotes"), countDistinct(col("date")).as("n_days"),
+        graft.functions.Fx.rd(avg("value"), 6).as("mean_value"),
+        graft.functions.Fx.rd(stddev_samp(col("value")), 6).as("std_value"))
+      .select(col("symbol"), graft.functions.Fx.dateStr(col("semana")).as("semana"),
+        col("n_quotes"), col("n_days"), col("mean_value"), col("std_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), Option(r.get(5)))).toMap
+    assert(viaPartials.keySet == direct.keySet)
+    viaPartials.foreach { case (k, v) =>
+      assert(v == direct(k), s"partial-merge diverges from direct at $k: $v vs ${direct(k)}")
+    }
+  }
 }

@@ -71,6 +71,17 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(streamed == batch, "custom-state stream totals diverge from batch")
   }
 
+  test("dedupParity: AvailableNow dropDuplicates key set matches batch DISTINCT") {
+    val streamed = StreamingOps.dedupParity(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"stream dedup/batch distinct divergence:\n$streamed\nvs\n$batch")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]

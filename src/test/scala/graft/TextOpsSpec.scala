@@ -475,4 +475,91 @@ class TextOpsSpec extends SparkSpecBase {
     val order2 = byEpoch(2L).sortBy(_._3).map(_._2)
     assert(order1 != order2, "epoch reshuffle produced the identical order")
   }
+
+  test("dupPassageCoverage: exact dups fully covered, partial dup covers the shared prefix, unique docs zero") {
+    val out = TextOps.dupPassageCoverageFrom(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1 and 4 are exact duplicates (9 tokens, all 7 trigrams df >= 2)
+    assert(out(1L) == ((9L, 9L, 1.0)))
+    assert(out(4L) == ((9L, 9L, 1.0)))
+    // doc 2 shares trigrams 0..5 with doc 1 ("the lazy cat" breaks the last
+    // one): covered positions 0..7 -> 8 of 9 tokens
+    assert(out(2L)._2 == 8L)
+    assert(out(2L)._3 == math.round(8.0 / 9.0 * 1e6) / 1e6)
+    // docs 3 and 5 share no trigram with anything
+    assert(out(3L)._2 == 0L && out(5L)._2 == 0L)
+    assert(out(3L)._3 == 0.0)
+  }
+
+  test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
+    val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    // docs containing fox: 1, 2, 4; cat only in 2 -> three results
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
+    assert(out.head._2 == 2L, s"doc 2 (fox + rare cat) must rank first: $out")
+    assert(out.find(_._2 == 2L).get._3 == 2L) // matched both terms
+    assert(out.forall(_._4 > 0.0))
+    assert(out.map(_._1).toSeq == (1L to out.length).toSeq)
+  }
+
+  test("weightedSample: deterministic, k per stratum, and the key is the stated -ln(u)/w transform") {
+    val d = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L), (4L, "a", 400L),
+      (5L, "b", 10L), (6L, "b", 10000L)
+    ).toDF("doc_id", "source", "n_chars")
+    val run1 = TextOps.weightedSampleFrom(d, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val run2 = TextOps.weightedSampleFrom(d, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(run1.toSeq == run2.toSeq, "weighted sample is not reproducible")
+    assert(run1.count(_._1 == "a") == 2 && run1.count(_._1 == "b") == 2)
+    // recompute one key from first principles: u = (hex15(md5(id)) + 1) / 16^15
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    run1.foreach { case (_, _, id, keyMilli) =>
+      val w = d.filter(col("doc_id") === id).select("n_chars").as[Long].head()
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).take(15), 16).toDouble + 1.0) /
+        math.pow(16.0, 15)
+      val expect = math.round(-math.log(u) / w * 1e3 * 1e6) / 1e6.toDouble
+      assert(math.abs(keyMilli - expect) < 1e-9, s"doc $id key $keyMilli != $expect")
+    }
+  }
+
+  test("ragChunks: exact grid on a tiny doc, full coverage and fixed overlap everywhere") {
+    val tiny = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val chunks = TextOps.ragChunksFrom(tiny, 3, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(chunks.toSeq == Seq(
+      (0L, 0L, 3L, md5hex("a b c")),
+      (1L, 2L, 3L, md5hex("c d e"))))
+    // invariants on the real corpus at the registered (32, 24) config
+    val all = TextOps.ragChunks(spark, sf, 32, 24)
+      .groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok")).as("covered"),
+        count(lit(1)).as("n_chunks"), min("n_tok").as("min_tok"))
+    val toks = graft.sources.Tables.documents(spark, sf).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val joined = all.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("covered") == r.getAs[Long]("n"),
+        s"chunks don't cover doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("min_tok") >= 1L)
+    }
+  }
+
+  test("qualityCalibration: pct_rank spans [0,1] per lang, ties calibrate equally, deciles bounded") {
+    val out = TextOps.qualityCalibrationFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+    assert(out.forall(t => t._5 >= 0L && t._5 <= 9L))
+    // docs 1 and 4 are identical texts -> identical scores -> identical rank
+    val byId = out.map(t => t._1 -> t._4).toMap
+    assert(byId(1L) == byId(4L), "equal scores must share a percent rank")
+    // every lang has a 0.0 (the minimum) when it has >1 distinct score
+    val en = out.filter(_._2 == "en")
+    assert(en.map(_._4).min == 0.0)
+  }
 }
