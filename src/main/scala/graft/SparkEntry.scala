@@ -520,6 +520,21 @@ ORDER BY r.rank DESC, partkey"""
     // emitted key set is oracled against batch DISTINCT
     "q103_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.dedupParity(s, dir)),
+    // SCD2-style temporal compaction: per-customer order-status runs
+    // compressed to constant-state intervals (gaps-and-islands; CDC log
+    // compaction read path)
+    "q106_status_intervals" -> ((s, dir) => Stars.statusIntervals(s, dir)),
+    // last-touch attribution via the as-of operator: every purchase
+    // attributed to the user's most recent view/click within 24 h
+    "q107_attribution" -> ((s, dir) => EventOps.lastTouchAttribution(s, dir)),
+    // stream-stream interval join on the gate (5th streaming gate row):
+    // AvailableNow clicks⋈purchases within 10 min, inner join — the emitted
+    // pair set is batch-identical by construction
+    "q108_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamJoinParity(s, dir)),
+    // rolling 30-day pairwise correlation: q68's static corr over a moving
+    // frame — one window scan per symbol pair
+    "q109_rolling_corr" -> ((s, dir) => Analytics.rollingCorrelation(s, dir)),
 
     // -- streaming on the correctness gate: a REAL Structured Streaming run
     // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
@@ -2151,6 +2166,66 @@ WITH d AS (
 SELECT doc_id, lang, quality_score, round(pr, 6) + 0 AS pct_rank,
        CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile
 FROM p ORDER BY doc_id""",
+
+    "q106_status_intervals" -> """
+WITH c AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM c
+)
+SELECT o_custkey AS custkey, CAST(island AS BIGINT) AS seq, o_orderstatus AS status,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS valid_to,
+       count(*) AS n_orders
+FROM i GROUP BY 1, 2, 3 ORDER BY custkey, seq""",
+
+    "q107_attribution" -> """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events
+  WHERE event_type = 'purchase'
+), t0 AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+), t AS (
+  SELECT user_id, tsn AS touch_tsn, max_by(event_type, event_id) AS touch_type
+  FROM t0 GROUP BY 1, 2
+), j AS (
+  SELECT p.user_id, p.tsn, t.touch_tsn, t.touch_type
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tsn >= t.touch_tsn
+)
+SELECT CASE WHEN touch_tsn IS NULL OR tsn - touch_tsn > 86400000000000 THEN 'none'
+            ELSE touch_type END AS attributed,
+       count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q108_stream_join" -> """
+WITH c AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, count(*) AS n_pairs, count(DISTINCT c.event_id) AS n_clicks
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.tsn >= c.tsn AND p.tsn <= c.tsn + 600000000000
+GROUP BY 1 ORDER BY 1""",
+
+    "q109_rolling_corr" -> (FACT + """, r AS (
+  SELECT symbol, date, variacao_diaria AS r FROM fact WHERE variacao_diaria IS NOT NULL
+), p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.date, a.r AS ra, b.r AS rb
+  FROM r a JOIN r b ON a.date = b.date AND a.symbol < b.symbol
+)
+SELECT sym_a, sym_b, strftime(date, '%Y-%m-%d') AS date,
+       round(corr(ra, rb) OVER (PARTITION BY sym_a, sym_b ORDER BY date
+         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) + 0 AS corr30
+FROM p ORDER BY sym_a, sym_b, date"""),
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -220,6 +220,33 @@ object Analytics {
       .orderBy("suppkey", "day")
   }
 
+  /** Rolling pairwise correlation — q68's static corr re-expressed over a
+    * moving 30-row frame per symbol pair: the time-varying co-movement
+    * signal a risk monitor tracks. One date-keyed self-join pairs the
+    * (already aggregated, symbols × days) return series — fan-out is
+    * symbols² per date, fine for ticker-cardinality keys — then ONE window
+    * scan per pair computes the frame correlation; state shards by pair.
+    * Frames with fewer than 2 points (or zero variance) yield NULL via the
+    * NaN shim, matching SQL semantics.
+    */
+  def rollingCorrelation(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         frameDays: Int = 30): DataFrame =
+    rollingCorrelationFrom(MarketView.fact(spark, dir), frameDays)
+
+  def rollingCorrelationFrom(factDf: DataFrame, frameDays: Int): DataFrame = {
+    val fact = factDf
+      .filter(col("variacao_diaria").isNotNull)
+      .select(col("symbol"), col("date"), col("variacao_diaria").as("r"))
+    val a = fact.toDF("sym_a", "date", "ra")
+    val b = fact.toDF("sym_b", "date", "rb")
+    val w = Window.partitionBy("sym_a", "sym_b").orderBy("date")
+      .rowsBetween(-(frameDays - 1), Window.currentRow)
+    a.join(b, Seq("date")).filter(col("sym_a") < col("sym_b"))
+      .withColumn("corr30", rd(nanToNull(corr(col("ra"), col("rb")).over(w)), 6))
+      .select(col("sym_a"), col("sym_b"), dateStr(col("date")).as("date"), col("corr30"))
+      .orderBy("sym_a", "sym_b", "date")
+  }
+
   /** Daily partial aggregates of the quote stream — the Bronze relation an
     * INCREMENTAL weekly materialized view merges instead of rescanning raw
     * history: per (symbol, date) the sufficient statistics (n, Σv, Σv²).

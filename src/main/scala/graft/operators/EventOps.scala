@@ -47,6 +47,46 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Last-touch attribution: every purchase is attributed to the user's most
+    * recent view/click at-or-before the purchase, provided it happened within
+    * `windowMinutes`; purchases with no touch in the window land in the
+    * 'none' bucket. The classic marketing-attribution join, expressed as the
+    * engine's as-of operator ([[AsOf.asofJoin]] — one shuffle on user_id +
+    * one running-frame window, never a per-purchase range scan).
+    *
+    * Determinism: touches are pre-deduplicated per (user, ts_ns) with a
+    * max_by(event_id) tie-break so the carried touch is a pure function of
+    * the data even if two touches share a nanosecond. All time arithmetic is
+    * on the raw nanosecond longs.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+                           windowMinutes: Long = 1440L): DataFrame =
+    lastTouchAttributionFrom(Tables.events(spark, dir), windowMinutes)
+
+  def lastTouchAttributionFrom(ev: DataFrame, windowMinutes: Long): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .groupBy("user_id", "ts_ns")
+      .agg(max(struct(col("event_id"), col("event_type")))
+        .getField("event_type").as("touch_type"))
+      // the as-of carries value columns only; the attribution window needs
+      // the touch's own timestamp too, so it rides as a second value column
+      .withColumn("touch_ts", col("ts_ns"))
+    val winNs = windowMinutes * 60L * 1000000000L
+    AsOf.asofJoin(purchases, touches, "user_id", "ts_ns",
+        Seq("touch_type", "touch_ts"))
+      .withColumn("attributed",
+        when(col("asof_touch_ts").isNull ||
+          col("ts_ns") - col("asof_touch_ts") > winNs, "none")
+          .otherwise(col("asof_touch_type")))
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("attributed")
+  }
+
   /** F-ext: JSON props parsing + rollup (`get_json_object`-shaped access on
     * the `props` column, SURVEY.md §2.8 note).
     */

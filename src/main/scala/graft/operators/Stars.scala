@@ -110,4 +110,40 @@ object Stars {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mes"))
       .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("total"))
       .orderBy("mes")
+
+  /** SCD2-style temporal compaction: each customer's time-ordered order
+    * stream compressed into constant-status intervals — the gaps-and-islands
+    * read path of slowly-changing-dimension maintenance (and of CDC log
+    * compaction: N change events → one row per run of equal state).
+    * Emits (custkey, seq, status, valid_from, valid_to, n_orders) where seq
+    * numbers a customer's intervals in time order.
+    *
+    * Shape: one shuffle on custkey, then two window scans over each
+    * customer's own series (change flag via lag, island id via running sum)
+    * and a hash aggregation on (custkey, island). Nothing global: state
+    * shards by customer exactly like the sessionize operator, so 100 TB of
+    * order history compacts with per-key parallelism. Total order inside a
+    * customer is (o_orderdate, o_orderkey) — orderkey breaks date ties
+    * deterministically.
+    */
+  def statusIntervals(spark: SparkSession, dir: String): DataFrame =
+    statusIntervalsFrom(Tables.orders(spark, dir))
+
+  def statusIntervalsFrom(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(w).isNull ||
+          lag(col("o_orderstatus"), 1).over(w) =!= col("o_orderstatus"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey").as("custkey"), col("island").as("seq"),
+        col("o_orderstatus").as("status"))
+      .agg(dateStr(min(col("o_orderdate"))).as("valid_from"),
+        dateStr(max(col("o_orderdate"))).as("valid_to"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("custkey", "seq")
+  }
 }

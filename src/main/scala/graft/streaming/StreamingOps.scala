@@ -203,6 +203,49 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** Batch-parity gate for STREAM-STREAM JOINS (correctness-gate entry
+    * `q106_stream_join`): a real AvailableNow run of the watermarked
+    * clicks⋈purchases interval join (purchase within `windowMin` minutes
+    * AFTER a click by the same user), aggregated to per-user pair counts and
+    * oracled against the plain batch join SQL.
+    *
+    * Determinism: an INNER stream-stream join emits every matching pair as
+    * soon as both sides are in state — unlike Append-mode aggregation
+    * nothing is withheld behind the watermark, so for a bounded input the
+    * emitted PAIR SET equals the batch join regardless of micro-batch
+    * boundaries (the watermark + time bound only govern state EVICTION; a
+    * pair could only be lost if one side arrived later than the eviction
+    * horizon, which a time-ordered file source never does). Timestamps
+    * compare as the raw nanosecond longs on both sides.
+    */
+  def streamJoinParity(spark: SparkSession, dir: String,
+                       windowMin: Int = 10): DataFrame = {
+    val name = s"stream_join_gate_${gateRuns.incrementAndGet()}"
+    def side(tpe: String, tsCol: String, idCol: String) =
+      eventStream(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsCol), col("ts_ns").as(s"${tsCol}_ns"),
+          col("event_id").as(idCol))
+        .withWatermark(tsCol, s"$windowMin minutes")
+    val clicks = side("click", "click_ts", "click_id")
+    val purchases = side("purchase", "p_ts", "p_id")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("p_ts_ns") >= col("click_ts_ns") &&
+        col("p_ts_ns") <= col("click_ts_ns") + expr(s"${windowMin}L * 60000000000L"))
+      .select(clicks("user_id").as("user_id"), col("click_id"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
+      .orderBy("user_id")
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

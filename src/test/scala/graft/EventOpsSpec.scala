@@ -23,6 +23,28 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out(8L) == ((1L, 1L)))
   }
 
+  test("lastTouchAttribution: in-window touch wins, stale touch and no-touch land in 'none'") {
+    val events = Seq(
+      // user 1: view 1000ns before the purchase -> attributed to view
+      (1L, 1000L, 1L, "view"),
+      (1L, 2000L, 2L, "purchase"),
+      // user 2: click far outside the 1-minute window -> none
+      (2L, 0L, 3L, "click"),
+      (2L, 2L * M, 4L, "purchase"),
+      // user 3: purchase with no touch at all -> none
+      (3L, 500L, 5L, "purchase"),
+      // user 4: click then view; view is the LATEST touch before purchase
+      (4L, 100L, 6L, "click"),
+      (4L, 200L, 7L, "view"),
+      (4L, 300L, 8L, "purchase")
+    ).toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = EventOps.lastTouchAttributionFrom(events, windowMinutes = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view") == ((2L, 2L)), s"got $out")
+    assert(out("none") == ((2L, 2L)), s"got $out")
+    assert(!out.contains("click"), s"stale click must not attribute: $out")
+  }
+
   test("weeklyTumbling: event counts are partitioned exactly (no loss/dup)") {
     val weekly = EventOps.weeklyTumbling(spark, sf)
     val total = weekly.agg(sum("n_events")).as[Long].head()

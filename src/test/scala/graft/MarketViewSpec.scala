@@ -89,6 +89,29 @@ class MarketViewSpec extends SparkSpecBase {
     }
   }
 
+  test("rollingCorrelation: perfectly (anti-)correlated fixtures pin ±1; single-point frames NULL") {
+    val fx = Seq(
+      ("A", d("2024-01-01"), 1.0), ("A", d("2024-01-02"), 2.0), ("A", d("2024-01-03"), -1.0),
+      ("B", d("2024-01-01"), 2.0), ("B", d("2024-01-02"), 4.0), ("B", d("2024-01-03"), -2.0),
+      ("C", d("2024-01-01"), -1.0), ("C", d("2024-01-02"), -2.0), ("C", d("2024-01-03"), 1.0)
+    ).toDF("symbol", "date", "variacao_diaria")
+    val out = Analytics.rollingCorrelationFrom(fx, 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    // day 1: one point in the frame -> NULL everywhere
+    assert(out(("A", "B", "2024-01-01")).isEmpty)
+    // B = 2*A -> +1; C = -A -> -1 from day 2 on
+    assert(out(("A", "B", "2024-01-02")).contains(1.0))
+    assert(out(("A", "B", "2024-01-03")).contains(1.0))
+    assert(out(("A", "C", "2024-01-02")).contains(-1.0))
+    assert(out(("B", "C", "2024-01-03")).contains(-1.0))
+    // real data: correlations bounded
+    val bad = Analytics.rollingCorrelation(spark, sf)
+      .filter(abs(col("corr30")) > 1.0 + 1e-9).count()
+    assert(bad == 0)
+  }
+
   test("weeklyFromPartials: merged sufficient statistics are value-identical to the direct weekly aggregation") {
     val viaPartials = Analytics.weeklyFromPartials(Analytics.dailyValuePartials(spark, sf))
       .collect().map(r => (r.getString(0), r.getString(1)) ->

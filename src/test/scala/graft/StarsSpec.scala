@@ -44,4 +44,27 @@ class StarsSpec extends SparkSpecBase {
     val plan = Stars.revenueByRegionNation(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
   }
+
+  test("statusIntervals: gaps-and-islands compaction with exact interval bounds") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 101L, ts("1998-01-01"), "O"),
+      (1L, 102L, ts("1998-01-05"), "O"),
+      (1L, 103L, ts("1998-01-09"), "F"),
+      (1L, 104L, ts("1998-01-12"), "O"),   // status returns -> NEW interval
+      (2L, 201L, ts("1998-02-01"), "P")
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val out = Stars.statusIntervalsFrom(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getLong(5))).toMap
+    assert(out((1L, 1L)) == (("O", "1998-01-01", "1998-01-05", 2L)))
+    assert(out((1L, 2L)) == (("F", "1998-01-09", "1998-01-09", 1L)))
+    assert(out((1L, 3L)) == (("O", "1998-01-12", "1998-01-12", 1L)))
+    assert(out((2L, 1L)) == (("P", "1998-02-01", "1998-02-01", 1L)))
+    // partition property on the real table: intervals cover every order once
+    val real = Stars.statusIntervals(spark, sf)
+    val total = real.agg(org.apache.spark.sql.functions.sum("n_orders")).as[Long].head()
+    assert(total == Tables.orders(spark, sf).count())
+  }
 }

@@ -82,6 +82,24 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream dedup/batch distinct divergence:\n$streamed\nvs\n$batch")
   }
 
+  test("streamJoinParity: AvailableNow stream-stream interval join emits exactly the batch pair set") {
+    val streamed = StreamingOps.streamJoinParity(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns").as("ctn"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_ns").as("ptn"))
+    val batch = c.join(p, c("user_id") === col("pu") &&
+        col("ptn") >= col("ctn") && col("ptn") <= col("ctn") + 600000000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("cid")).as("n_clicks"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"stream join/batch join divergence:\n$streamed\nvs\n$batch")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
