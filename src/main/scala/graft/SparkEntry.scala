@@ -535,6 +535,34 @@ ORDER BY r.rank DESC, partkey"""
     // rolling 30-day pairwise correlation: q68's static corr over a moving
     // frame — one window scan per symbol pair
     "q109_rolling_corr" -> ((s, dir) => Analytics.rollingCorrelation(s, dir)),
+    // salted exact distinct counts ON THE GATE: hash(value) salting keeps
+    // per-bucket distincts additive, so the result is PROVABLY the plain
+    // count-distinct — the oracle states the unsalted SQL and hash-equality
+    // is the proof (q95's framing, applied to skew mitigation)
+    "q110_salted_distinct" -> ((s, dir) =>
+      Skew.saltedDistinctCount(Tables.lineitem(s, dir), "l_suppkey", "l_partkey", 8)
+        .orderBy("l_suppkey")),
+    // the remaining window-function surface in one relation: lead, lag@2,
+    // nth_value over an explicit running frame, cume_dist
+    "q111_window_suite" -> ((s, dir) =>
+      Analytics.windowSuite(MarketView.dailyBars(s, dir))),
+    // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
+    // back to (semana, event_type, n), zero cells preserved
+    "q112_unpivot_weekly" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .select(date_trunc("week", col("date")).cast(org.apache.spark.sql.types.DateType).as("wk"),
+          col("event_type"))
+        .groupBy("wk")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(dateStr(col("wk")).as("semana"), col("click"), col("error"),
+          col("purchase"), col("signup"), col("view"))
+      wide.unpivot(Array(col("semana")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("semana", "event_type")
+    }),
 
     // -- streaming on the correctness gate: a REAL Structured Streaming run
     // (file source → tumbling-window agg → memory sink, Trigger.AvailableNow
@@ -2226,6 +2254,38 @@ SELECT sym_a, sym_b, strftime(date, '%Y-%m-%d') AS date,
        round(corr(ra, rb) OVER (PARTITION BY sym_a, sym_b ORDER BY date
          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) + 0 AS corr30
 FROM p ORDER BY sym_a, sym_b, date"""),
+
+    // the UNSALTED statement of q110: hash-equality through the salted
+    // two-phase plan is the proof salting changes nothing
+    "q110_salted_distinct" -> """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q111_window_suite" -> (BARS + """
+SELECT symbol, CAST(date AS VARCHAR) AS date, close,
+       lead(close, 1) OVER w AS next_close,
+       lag(close, 2) OVER w AS prev2_close,
+       nth_value(close, 2) OVER (PARTITION BY symbol ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_close,
+       round(cume_dist() OVER (PARTITION BY symbol ORDER BY close), 6) + 0 AS close_cume_dist
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY date)
+ORDER BY symbol, date"""),
+
+    "q112_unpivot_weekly" -> """
+WITH wk AS (
+  SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk FROM events
+), ty AS (
+  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type
+), cnt AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(w.wk AS VARCHAR) AS semana, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM wk w CROSS JOIN ty t
+LEFT JOIN cnt c ON w.wk = c.wk AND t.event_type = c.event_type
+ORDER BY semana, t.event_type""",
 
     "q71_stratified_sample" -> """
 WITH h AS (

@@ -247,6 +247,28 @@ object Analytics {
       .orderBy("sym_a", "sym_b", "date")
   }
 
+  /** Window-function suite over the daily bars — the remaining §2.8 window
+    * surface in one relation: lead (next close), lag at offset 2, nth_value
+    * over the running frame (second close seen), and cume_dist over the
+    * close distribution within each symbol. All windows PARTITION BY symbol,
+    * so state shards by ticker; frames are stated explicitly on both engine
+    * and oracle sides (nth_value's default frame differs between engines).
+    */
+  def windowSuite(bars: DataFrame): DataFrame = {
+    val wDate = Window.partitionBy("symbol").orderBy("date")
+    val wFrame = wDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wClose = Window.partitionBy("symbol").orderBy("close")
+    bars.select(col("symbol"), col("date"), col("close"))
+      .withColumn("next_close", lead(col("close"), 1).over(wDate))
+      .withColumn("prev2_close", lag(col("close"), 2).over(wDate))
+      .withColumn("second_close", nth_value(col("close"), 2).over(wFrame))
+      .withColumn("close_cume_dist", rd(cume_dist().over(wClose), 6))
+      .select(col("symbol"), dateStr(col("date")).as("date"), col("close"),
+        col("next_close"), col("prev2_close"), col("second_close"),
+        col("close_cume_dist"))
+      .orderBy("symbol", "date")
+  }
+
   /** Daily partial aggregates of the quote stream — the Bronze relation an
     * INCREMENTAL weekly materialized view merges instead of rescanning raw
     * history: per (symbol, date) the sufficient statistics (n, Σv, Σv²).

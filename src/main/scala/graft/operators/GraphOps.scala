@@ -48,17 +48,30 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // materialize the symmetrized edge list ONCE: und is referenced by both
+    // deg and adj, and is itself a union scanning the edge build twice — an
+    // un-checkpointed und recomputes the whole edge derivation ~4×
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
-      .localCheckpoint(true)
-    val adj = und.join(deg, und("u") === deg("node"))
+    val adj = und.join(broadcast(deg), und("u") === deg("node"))
       .select(col("u"), col("v"), col("deg").as("deg_u"))
       .localCheckpoint(true)
     var ranks = deg.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = adj.join(ranks, adj("u") === ranks("node"))
+      // ranks is node-cardinality (tiny next to the edge list) — broadcast
+      // it so the big adjacency relation never re-shuffles per iteration;
+      // the only exchange left is the partial-aggregate combine on v.
+      // NO per-iteration checkpoint: each rank relation is referenced
+      // exactly once by the next iteration, so the DAG is linear (adj is
+      // scanned once per iteration from ITS checkpoint) — materializing
+      // 5 intermediate 20k-row relations only adds job barriers. (The CC
+      // loop keeps per-round checkpoints because it iterates to an
+      // UNBOUNDED fixpoint with a count() action per round; a fixed
+      // 5-iteration chain is one job.)
+      val contrib = adj.join(broadcast(ranks), adj("u") === ranks("node"))
         .select(col("v"), (col("rank") / col("deg_u")).as("c"))
         .groupBy("v").agg(sum("c").as("inflow"))
       ranks = deg
@@ -66,9 +79,8 @@ object GraphOps {
         .select(col("node"),
           rd(lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
             .as("rank"))
-        .localCheckpoint(true)
     }
-    deg.join(ranks, "node")
+    deg.join(broadcast(ranks), "node")
       .select(col("node"), col("deg").as("degree"), col("rank"))
   }
 

@@ -57,6 +57,19 @@ class EventOpsSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("unpivot(pivot(x)) recovers the long form with zero cells preserved") {
+    val counts = SparkEntry.queries("q112_unpivot_weekly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("date")).cast("date").as("wk"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // every direct cell appears; every remaining unpivoted cell is a zero fill
+    direct.foreach { case (k, n) => assert(counts(k) == n, s"cell $k") }
+    (counts.keySet -- direct.keySet).foreach { k => assert(counts(k) == 0L, s"cell $k") }
+    assert(counts.size >= direct.size)
+  }
+
   test("propsRollup parses k from JSON props") {
     val out = EventOps.propsRollup(spark, sf)
     assert(out.count() > 0)

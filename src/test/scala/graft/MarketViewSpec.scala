@@ -89,6 +89,19 @@ class MarketViewSpec extends SparkSpecBase {
     }
   }
 
+  test("windowSuite: lead/lag@2/nth_value/cume_dist hand-computed on the fixture") {
+    val out = Analytics.windowSuite(bars)
+      .filter(col("symbol") === "A").orderBy("date")
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), r.getDouble(6)))
+    // A closes: 10, 12, 9 on consecutive days
+    assert(out(0)._1.contains(12.0) && out(1)._1.contains(9.0) && out(0)._2.isEmpty)
+    assert(out(2)._2.contains(10.0))                  // lag@2 on day 3
+    assert(out(0)._3.isEmpty)                         // nth_value(2): frame has 1 row
+    assert(out(1)._3.contains(12.0) && out(2)._3.contains(12.0))
+    // cume_dist over closes {9,10,12}: day1 close 10 -> 2/3
+    assert(math.abs(out(0)._4 - math.round(2.0 / 3.0 * 1e6) / 1e6) < 1e-12)
+  }
+
   test("rollingCorrelation: perfectly (anti-)correlated fixtures pin ±1; single-point frames NULL") {
     val fx = Seq(
       ("A", d("2024-01-01"), 1.0), ("A", d("2024-01-02"), 2.0), ("A", d("2024-01-03"), -1.0),

@@ -24,6 +24,6 @@ class SparkEntrySpec extends SparkSpecBase {
   }
 
   test("query names are unique and stable-format qNN_*") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 }
