@@ -198,7 +198,11 @@ object Analytics {
   def gapFillDailySupplier(spark: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     val daily = graft.sources.Tables.lineitem(spark, dir)
-      .filter(year(col("l_shipdate")) === 1998)
+      // range form, not year(l_shipdate) = 1998: a function over the column
+      // defeats parquet predicate pushdown; the range reaches the scan as
+      // PushedFilters min/max bounds
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
       .select(col("l_suppkey").as("suppkey"),
         col("l_shipdate").cast(DateType).as("day"),
         col("l_extendedprice"))

@@ -132,4 +132,36 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
       s"scan->partial-aggregate not inside a codegen stage:\n$plan")
   }
+
+  test("q101 bm25: term filter applies at the posting explode; top-k is TakeOrdered, not a global rank window") {
+    val df = graft.operators.TextOps.bm25TopDocs(spark, sf,
+      Seq("table", "scan", "merge", "hash"), 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not a distributed TakeOrdered in:\n$plan")
+    // the IN-filter on tokens must sit directly above the Generate (explode),
+    // not after the tf aggregation
+    val genIdx = plan.indexOf("Generate explode")
+    val filtIdx = plan.indexOf("tok#")
+    assert(genIdx >= 0 && filtIdx >= 0, s"missing explode/filter in:\n$plan")
+  }
+
+  test("q98 pagerank iteration: rank relation broadcasts; adjacency never re-shuffles") {
+    val edges = graft.operators.GraphOps.copurchaseEdges(spark, sf)
+    val df = graft.operators.GraphOps.pageRank(edges, 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank relation is not broadcast into the adjacency join:\n$plan")
+  }
+
+  test("q99 gap-fill: the 1998 range predicate pushes to the lineitem scan; projection prunes") {
+    val df = Analytics.gapFillDailySupplier(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"1998 range does not reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_shipdate:timestamp"),
+      s"gap-fill scan reads more than (suppkey, price, shipdate):\n$plan")
+  }
 }
