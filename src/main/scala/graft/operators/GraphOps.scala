@@ -54,8 +54,13 @@ object GraphOps {
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
+    // deg is referenced by adj, by EVERY iteration's dangling-safe left
+    // join, and by the final projection — un-checkpointed, each reference
+    // re-runs the groupBy over the full edge list (measured 7× the whole
+    // query at 100×); checkpointed it is a node-sized in-memory relation
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
+      .localCheckpoint(true)
     val adj = und.join(broadcast(deg), und("u") === deg("node"))
       .select(col("u"), col("v"), col("deg").as("deg_u"))
       .localCheckpoint(true)
