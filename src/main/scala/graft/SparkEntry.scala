@@ -546,6 +546,21 @@ ORDER BY r.rank DESC, partkey"""
     // nth_value over an explicit running frame, cume_dist
     "q111_window_suite" -> ((s, dir) =>
       Analytics.windowSuite(MarketView.dailyBars(s, dir))),
+    // the custom TopKByScore TypedImperativeAggregate ON THE GATE directly:
+    // map-side k-heaps mean the shuffle carries <= k rows per partition per
+    // group (never all candidates); the oracle states the rank-window SQL —
+    // hash-equality proves the heap aggregate == the window formulation
+    "q113_topk_aggregate" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          rd(TextOps.qualityScore(col("text")), 6).as("score"))
+      scored.groupBy("lang")
+        .agg(graft.functions.TopKByScore.topK(col("score"), col("doc_id"), 3).as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("lang"), col("e.rk").as("rk"), col("e.id").as("doc_id"),
+          col("e.score").as("score"))
+        .orderBy("lang", "rk")
+    }),
     // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
     // back to (semana, event_type, n), zero cells preserved
     "q112_unpivot_weekly" -> ((s, dir) => {
@@ -2271,6 +2286,39 @@ SELECT symbol, CAST(date AS VARCHAR) AS date, close,
 FROM bars
 WINDOW w AS (PARTITION BY symbol ORDER BY date)
 ORDER BY symbol, date"""),
+
+    // the rank-window statement of q113: hash-equality through the k-heap
+    // aggregate proves the bounded-shuffle plan computes the same relation
+    "q113_topk_aggregate" -> """
+WITH d AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
+    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
+  FROM m
+), q AS (
+  SELECT doc_id, lang,
+    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS score
+  FROM r
+), w AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+  FROM q
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, score
+FROM w WHERE rk <= 3 ORDER BY lang, rk""",
 
     "q112_unpivot_weekly" -> """
 WITH wk AS (
