@@ -208,6 +208,35 @@ object SparkEntry {
 )"""
   }
 
+  /** Shared oracle CTE chain computing the composite quality score
+    * (q31's formula) per document — ends with
+    * `qscore(doc_id, lang, source, text, score)`. Reused by q105 / q113 /
+    * q115; callers append CTEs with a leading comma or a final SELECT.
+    */
+  private val QualityCtes: String = """WITH d AS (
+  SELECT doc_id, lang, source, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, source, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), rr AS (
+  SELECT doc_id, lang, source, text, n_tokens,
+    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
+    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
+  FROM m
+), qscore AS (
+  SELECT doc_id, lang, source, text,
+    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+          + (1.0 - punct_ratio) * 0.3
+          + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS score
+  FROM rr
+)"""
+
   /** Oracle for q98: the co-purchase edge CTEs plus `iters` unrolled
     * PageRank rounds in the scaled formulation (r⁰ = 1,
     * rᵗ⁺¹ = round(0.15 + 0.85·Σ rᵗ(u)/deg(u), 6)) — the same
@@ -560,6 +589,21 @@ ORDER BY r.rank DESC, partkey"""
         .select(col("lang"), col("e.rk").as("rk"), col("e.id").as("doc_id"),
           col("e.score").as("score"))
         .orderBy("lang", "rk")
+    }),
+    // second-order LM quality signal: bigram surprisal with unigram
+    // interpolation (λ = ½, exact binary) — q82's model one order up;
+    // bigrams from a per-row array transform, NO lag window
+    "q114_bigram_surprisal" -> ((s, dir) => TextOps.bigramSurprisal(s, dir)),
+    // keep-best dedup ON THE GATE: among exact duplicates the
+    // highest-quality row survives (one struct-max hash aggregation, no
+    // window); oracle states the rank-window SQL
+    "q115_dedup_keepbest" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .withColumn("score", rd(TextOps.qualityScore(col("text")), 6))
+      TextOps.dedupKeepBest(scored, "score")
+        .select(col("doc_id"), col("lang"), col("source"), col("score"))
+        .orderBy("doc_id")
     }),
     // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
     // back to (semana, event_type, n), zero cells preserved
@@ -2178,37 +2222,14 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
                     chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')) AS chunk_digest
 FROM g ORDER BY doc_id, chunk_id""",
 
-    "q105_quality_calibration" -> """
-WITH d AS (
-  SELECT doc_id, lang, text,
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-  FROM documents
-), m AS (
-  SELECT doc_id, lang,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
-    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
-  FROM d
-), r AS (
-  SELECT doc_id, lang, n_tokens,
-    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
-    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
-  FROM m
-), q AS (
-  SELECT doc_id, lang,
-    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
-          + (1.0 - punct_ratio) * 0.3
-          + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS quality_score
-  FROM r
-), p AS (
-  SELECT doc_id, lang, quality_score,
-         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS pr
-  FROM q
+    "q105_quality_calibration" -> (QualityCtes + """, p AS (
+  SELECT doc_id, lang, score AS quality_score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+  FROM qscore
 )
 SELECT doc_id, lang, quality_score, round(pr, 6) + 0 AS pct_rank,
        CAST(least(floor(pr * 10), 9) AS BIGINT) AS decile
-FROM p ORDER BY doc_id""",
+FROM p ORDER BY doc_id"""),
 
     "q106_status_intervals" -> """
 WITH c AS (
@@ -2289,36 +2310,54 @@ ORDER BY symbol, date"""),
 
     // the rank-window statement of q113: hash-equality through the k-heap
     // aggregate proves the bounded-shuffle plan computes the same relation
-    "q113_topk_aggregate" -> """
-WITH d AS (
-  SELECT doc_id, lang, text,
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-  FROM documents
-), m AS (
-  SELECT doc_id, lang,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(regexp_extract_all(text, '[^\s]+', 0)) AS BIGINT) AS n_tokens,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
-    CAST(len(regexp_extract_all(norm, '\b(the|a|and|of|to|in|is)\b', 0)) AS BIGINT) AS stop_hits
-  FROM d
-), r AS (
-  SELECT doc_id, lang, n_tokens,
-    CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0) AS punct_ratio,
-    CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) AS stopword_ratio
-  FROM m
-), q AS (
-  SELECT doc_id, lang,
-    round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
-          + (1.0 - punct_ratio) * 0.3
-          + least(1.0, stopword_ratio * 5.0) * 0.3, 6) + 0 AS score
-  FROM r
-), w AS (
+    "q113_topk_aggregate" -> (QualityCtes + """, w AS (
   SELECT lang, doc_id, score,
          row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
-  FROM q
+  FROM qscore
 )
 SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, score
-FROM w WHERE rk <= 3 ORDER BY lang, rk""",
+FROM w WHERE rk <= 3 ORDER BY lang, rk"""),
+
+    "q114_bigram_surprisal" -> """
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, s['prev'] AS prev, s['tok'] AS tok
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(prev := toks[i], tok := toks[i+1]))) AS s
+        FROM d WHERE len(toks) >= 2)
+), cb AS (
+  SELECT lang, prev, tok, count(*) AS cb FROM b GROUP BY 1, 2, 3
+), cp AS (
+  SELECT lang, prev, sum(cb) AS cp FROM cb GROUP BY 1, 2
+), cu AS (
+  SELECT lang, tok, count(*) AS cu
+  FROM (SELECT lang, unnest(toks) AS tok FROM d)
+  WHERE length(tok) > 0 GROUP BY 1, 2
+), t AS (
+  SELECT lang, sum(cu) AS t FROM cu GROUP BY 1
+)
+SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+       round(avg(-ln((CAST(cb.cb AS DOUBLE) / cp.cp) * 0.5
+                     + (CAST(cu.cu AS DOUBLE) / t.t) * 0.5)), 6) + 0 AS avg_surprisal
+FROM b
+JOIN cb USING (lang, prev, tok)
+JOIN cp USING (lang, prev)
+JOIN cu USING (lang, tok)
+JOIN t USING (lang)
+GROUP BY 1, 2 ORDER BY doc_id""",
+
+    // the rank-window statement of q115: the keep-best struct-max aggregate
+    // must select exactly the survivor the window picks
+    "q115_dedup_keepbest" -> (QualityCtes + """, r AS (
+  SELECT doc_id, lang, source, score,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id) AS rk
+  FROM qscore
+)
+SELECT doc_id, lang, source, score FROM r WHERE rk = 1 ORDER BY doc_id"""),
 
     "q112_unpivot_weekly" -> """
 WITH wk AS (

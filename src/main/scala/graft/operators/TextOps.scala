@@ -1698,6 +1698,50 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Per-document BIGRAM surprisal with unigram interpolation — the
+    * second-order refinement of [[unigramSurprisalFrom]] (q82): each
+    * document scores avg(−ln(½·P(t|prev) + ½·P(t))) over its bigram
+    * positions. Interpolation with the unigram model (λ = ½, an exact
+    * binary fraction) handles rare contexts without add-k smoothing; both
+    * models are trained on the corpus itself, so every count ≥ 1.
+    *
+    * Scale shape: bigrams come from a per-row array transform (no window,
+    * no lag shuffle); the bigram/context/unigram models are
+    * vocabulary-sized aggregations joined back on (lang, prev, tok) — the
+    * shuffle is bounded by corpus token count and bigram-vocabulary size,
+    * never a pair space. Per-lang totals broadcast.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(Tables.documents(spark, dir))
+
+  def bigramSurprisalFrom(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val bigrams = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("prev"),
+            element_at(col("toks"), i + 1).as("tok")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val cb = bigrams.groupBy("lang", "prev", "tok").agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy("lang", "prev").agg(sum("cb").as("cp"))
+    val cu = base.select(col("lang"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cu"))
+    val tot = cu.groupBy("lang").agg(sum("cu").as("t"))
+    val p = col("cb").cast("double") / col("cp") * 0.5 +
+      col("cu").cast("double") / col("t") * 0.5
+    bigrams
+      .join(cb, Seq("lang", "prev", "tok"))
+      .join(cp, Seq("lang", "prev"))
+      .join(cu, Seq("lang", "tok"))
+      .join(broadcast(tot), Seq("lang"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), rd(avg(-log(p)), 6).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-language quality calibration: raw quality scores are not
     * comparable across languages (stopword lists, token lengths differ), so
     * each document's score is re-expressed as its PERCENT RANK within its

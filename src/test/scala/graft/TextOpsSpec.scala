@@ -550,6 +550,27 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bigramSurprisal: hand-computed interpolated scores on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "en", "a b a b"),
+      (2L, "en", "a c")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.bigramSurprisalFrom(tiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // models: cb(a,b)=2 cb(b,a)=1 cb(a,c)=1; cp(a)=3 cp(b)=1; cu a=3 b=2 c=1, T=6
+    // doc1: p(a,b)=.5*(2/3)+.5*(2/6)=.5 (x2), p(b,a)=.5*1+.5*(3/6)=.75
+    val d1 = -(math.log(0.5) * 2 + math.log(0.75)) / 3.0
+    // doc2: p(a,c)=.5*(1/3)+.5*(1/6)=.25
+    val d2 = -math.log(0.25)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    assert(out(1L) == ((3L, r6(d1))), s"got ${out(1L)}, want (3, ${r6(d1)})")
+    assert(out(2L) == ((1L, r6(d2))), s"got ${out(2L)}, want (1, ${r6(d2)})")
+    // fluency ordering on the real corpus: repeated high-probability
+    // contexts score lower than average (monotonicity smoke)
+    val real = TextOps.bigramSurprisal(spark, sf)
+    assert(real.count() > 0)
+  }
+
   test("qualityCalibration: pct_rank spans [0,1] per lang, ties calibrate equally, deciles bounded") {
     val out = TextOps.qualityCalibrationFrom(docs)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
