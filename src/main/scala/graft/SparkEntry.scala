@@ -580,9 +580,17 @@ ORDER BY r.rank DESC, partkey"""
     // group (never all candidates); the oracle states the rank-window SQL —
     // hash-equality proves the heap aggregate == the window formulation
     "q113_topk_aggregate" -> ((s, dir) => {
+      // The narrow scored relation is MATERIALIZED before the heap aggregate:
+      // the round-7 bisect (SCALING.md "q113") measured the expensive regex
+      // projection feeding ObjectHashAggregateExec directly at ~40x slower at
+      // 100x (21 s) than the identical projection evaluated behind a
+      // materialization barrier (0.49 s). localCheckpoint evaluates the
+      // 3-column relation once (codegen'd scan+project stage) and the heap
+      // aggregate consumes the materialized rows — the production plan shape.
       val scored = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           rd(TextOps.qualityScore(col("text")), 6).as("score"))
+        .localCheckpoint(true)
       scored.groupBy("lang")
         .agg(graft.functions.TopKByScore.topK(col("score"), col("doc_id"), 3).as("top"))
         .select(col("lang"), explode(col("top")).as("e"))
@@ -2139,18 +2147,29 @@ SELECT suppkey, strftime(d, '%Y-%m-%d') AS day,
        CAST(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
 FROM j ORDER BY suppkey, day""",
 
-    // the DIRECT weekly computation over raw quotes: hash-equality through
-    // the daily-partials route proves incremental merge ≡ direct
+    // the DIRECT weekly computation over raw quotes, from the SAME decimal
+    // sufficient statistics (n, Σv, Σv²) the engine's daily partials carry:
+    // decimal sums are exact and associative, so hash-equality through the
+    // daily-partials route proves incremental merge ≡ direct with an
+    // ORDER-INDEPENDENT contract (raw double avg/stddev accumulation would
+    // make the parity depend on summation order — float-lucky)
     "q100_partial_merge" -> """
 WITH e AS (
   SELECT event_type AS symbol, CAST(ts AS DATE) AS d, value FROM events
+), w AS (
+  SELECT symbol, strftime(date_trunc('week', d), '%Y-%m-%d') AS semana,
+         count(*) AS n_quotes,
+         count(DISTINCT d) AS n_days,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS q
+  FROM e GROUP BY 1, 2
 )
-SELECT symbol, strftime(date_trunc('week', d), '%Y-%m-%d') AS semana,
-       count(*) AS n_quotes,
-       count(DISTINCT d) AS n_days,
-       round(avg(value), 6) + 0 AS mean_value,
-       round(stddev_samp(value), 6) + 0 AS std_value
-FROM e GROUP BY 1, 2 ORDER BY symbol, semana""",
+SELECT symbol, semana, n_quotes, n_days,
+       round(s / n_quotes, 6) + 0 AS mean_value,
+       round(CASE WHEN n_quotes > 1 THEN
+         sqrt(greatest((q - s * s / n_quotes) / (n_quotes - 1), 0.0))
+       END, 6) + 0 AS std_value
+FROM w ORDER BY symbol, semana""",
 
     "q101_bm25" -> """
 WITH d AS (
@@ -2188,7 +2207,7 @@ WITH k AS (
          -ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                    AS DOUBLE) + 1.0)
              / 1152921504606846976.0) / n_chars AS key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ), r AS (
   SELECT source, doc_id, n_chars, key,
          row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk

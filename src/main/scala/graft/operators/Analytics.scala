@@ -4,7 +4,7 @@ import graft.functions.Fx._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, DecimalType}
 
 /** Gold-layer analytics over the market fact (SURVEY.md §2.4–§2.6, §2.8).
   *
@@ -278,26 +278,38 @@ object Analytics {
     * history: per (symbol, date) the sufficient statistics (n, Σv, Σv²).
     * At 100 TB only the arriving day's partition is aggregated; the weekly
     * roll-up below touches partials (days × symbols rows), not quotes.
+    *
+    * Σv and Σv² accumulate as DECIMAL (the exactSum convention): decimal
+    * addition is associative, so the daily→weekly merge is bit-identical to
+    * a direct weekly sum REGARDLESS of accumulation order — raw double sums
+    * would make the partial-merge parity order-dependent and float-lucky.
     */
   def dailyValuePartials(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
     MarketView.quotes(spark, dir)
       .groupBy("symbol", "date")
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("s"),
-        sum(col("value") * col("value")).as("q"))
+        sum(col("value").cast(DecimalType(30, 6))).as("s"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("q"))
 
   /** Weekly stats REASSEMBLED from the daily partials — mean and sample
     * stddev via the merged sufficient statistics
     * (var = (Σv² − (Σv)²/n)/(n−1)), proving the incremental route is
     * value-identical to aggregating raw quotes directly (the oracle states
-    * the DIRECT computation; hash-equality is the proof). This is the
-    * partial-aggregate reuse contract that makes a daily-refresh pipeline
-    * O(new data) instead of O(history).
+    * the DIRECT computation from the SAME decimal sufficient statistics;
+    * hash-equality is the proof). Because the sums are exact decimals, the
+    * merge is order-independent — the final double formula is a pure
+    * function of (n, Σv, Σv²), identical on both engines. The variance is
+    * clamped at 0: catastrophic cancellation on a near-constant series can
+    * produce a tiny negative double, and sqrt(negative) semantics differ
+    * between engines. This is the partial-aggregate reuse contract that
+    * makes a daily-refresh pipeline O(new data) instead of O(history).
     */
   def weeklyFromPartials(partials: DataFrame): DataFrame = {
     val n = col("n_quotes").cast("double")
-    val variance = (col("q_sum") - col("s_sum") * col("s_sum") / n) / (n - 1.0)
+    val s = col("s_sum").cast("double")
+    val q = col("q_sum").cast("double")
+    val variance = greatest((q - s * s / n) / (n - 1.0), lit(0.0))
     partials
       .groupBy(col("symbol"),
         date_trunc("week", col("date")).cast(DateType).as("semana"))
@@ -305,7 +317,7 @@ object Analytics {
         sum("s").as("s_sum"), sum("q").as("q_sum"))
       .select(col("symbol"), dateStr(col("semana")).as("semana"),
         col("n_quotes"), col("n_days"),
-        rd(col("s_sum") / n, 6).as("mean_value"),
+        rd(s / n, 6).as("mean_value"),
         rd(when(col("n_quotes") > 1, sqrt(variance)).otherwise(lit(null)), 6)
           .as("std_value"))
       .orderBy("symbol", "semana")

@@ -1645,6 +1645,12 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("key").asc, col("doc_id").asc)
     docs
+      // zero-weight guard: w = 0 would divide to a NULL/Inf key, and NULL
+      // ordering defaults differ between engines (Spark ASC = NULLS FIRST,
+      // the oracle's row_number = NULLS LAST) — a zero-length document must
+      // never enter the sample (inclusion probability ∝ weight = 0), so it
+      // is filtered on BOTH sides rather than ordered around
+      .filter(col("n_chars") > 0)
       .select(col("source"), col("doc_id"), col("n_chars"),
         (-log(u) / col("n_chars")).as("key"))
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -39,6 +39,21 @@ object StreamingOps {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Materialize a gate's small aggregated result and DROP the memory-sink
+    * table backing it. The memory sink pins the full emitted row set (dedup
+    * key sets, join pair sets — corpus-sized) in driver memory for the
+    * table's lifetime, so a long-lived session running gates repeatedly
+    * would accumulate every run's state forever. The aggregate itself is
+    * tiny by construction (weeks × types, per-user counts); localCheckpoint
+    * materializes it eagerly, after which the sink table is dropped.
+    */
+  private def drainGate(spark: SparkSession, name: String,
+                        agg: DataFrame): DataFrame = {
+    val out = agg.localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Batch-parity gate for the weekly tumbling aggregate (correctness-gate
     * entry `q85_stream_weekly`): runs a REAL Structured Streaming query —
     * file source → window aggregation → memory sink — to completion with
@@ -74,12 +89,12 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    drainGate(spark, name, spark.table(name)
       .select(col("event_type"),
         graft.functions.Fx.dateStr(col("window.start").cast("date")).as("semana"),
         col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
-      .orderBy("event_type", "semana")
+      .orderBy("event_type", "semana"))
   }
 
   /** Batch-parity gate for SESSION windows (correctness-gate entry
@@ -120,12 +135,12 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    drainGate(spark, name, spark.table(name)
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"),
         col("sum_dec").cast("double").as("sum_value"))
-      .orderBy("user_id", "session_start_us")
+      .orderBy("user_id", "session_start_us"))
   }
 
   /** Batch-parity gate for CUSTOM KEYED STATE (correctness-gate entry
@@ -166,12 +181,12 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    drainGate(spark, name, spark.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_dec"))).as("r"))
       .select(col("user_id"), col("r.n_events").as("n_events"),
         col("r.sum_dec").cast("double").as("sum_value"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   /** Batch-parity gate for STREAMING DEDUPLICATION (correctness-gate entry
@@ -197,10 +212,10 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    drainGate(spark, name, spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("event_type")
+      .orderBy("event_type"))
   }
 
   /** Batch-parity gate for STREAM-STREAM JOINS (correctness-gate entry
@@ -240,10 +255,10 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    drainGate(spark, name, spark.table(name)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   /** Gap-based sessions: built-in session_window with a 30-min gap — the

@@ -140,11 +140,39 @@ class PlanSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k is not a distributed TakeOrdered in:\n$plan")
-    // the IN-filter on tokens must sit directly above the Generate (explode),
-    // not after the tf aggregation
-    val genIdx = plan.indexOf("Generate explode")
-    val filtIdx = plan.indexOf("tok#")
-    assert(genIdx >= 0 && filtIdx >= 0, s"missing explode/filter in:\n$plan")
+    // STRUCTURAL pin: the IN-filter on tokens must sit DIRECTLY above every
+    // Generate (explode) — i.e. the line printed immediately before each
+    // Generate line is the token IN-filter — not after the tf aggregation.
+    // (An index comparison against "the" HashAggregate is meaningless here:
+    // the plan has two posting branches, tf and df, each with its own
+    // aggregates.)
+    val lines = plan.linesIterator.toVector
+    val genLines = lines.indices.filter(i => lines(i).contains("Generate explode"))
+    assert(genLines.nonEmpty, s"missing explode in:\n$plan")
+    genLines.foreach { i =>
+      val above = lines(i - 1)
+      assert(above.contains("Filter") && above.contains("tok#") &&
+        (above.contains(" IN ") || above.contains(" INSET ")),
+        s"token IN-filter is not directly above the Generate at line $i " +
+          s"(found: ${above.trim}) in:\n$plan")
+    }
+  }
+
+  test("q113 registered plan: scored relation is materialized before the heap aggregate") {
+    // The round-7 bisect (SCALING.md "q113") measured the expensive regex
+    // projection feeding ObjectHashAggregateExec at ~40x slower at 100x than
+    // the same projection behind a materialization barrier. The registered
+    // query must keep the barrier: the aggregate consumes a checkpointed
+    // (ExistingRDD) scan and NO regex evaluation appears in its plan.
+    val df = SparkEntry.queries("q113_topk_aggregate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKByScore no longer runs as ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"scored relation is not materialized before the aggregate in:\n$plan")
+    assert(!plan.toLowerCase.contains("regexp"),
+      s"quality-score regex projection leaked past the materialization barrier in:\n$plan")
   }
 
   test("q98 pagerank iteration: rank relation broadcasts; adjacency never re-shuffles") {

@@ -505,7 +505,7 @@ class TextOpsSpec extends SparkSpecBase {
   test("weightedSample: deterministic, k per stratum, and the key is the stated -ln(u)/w transform") {
     val d = Seq(
       (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L), (4L, "a", 400L),
-      (5L, "b", 10L), (6L, "b", 10000L)
+      (5L, "b", 10L), (6L, "b", 10000L), (7L, "b", 0L)
     ).toDF("doc_id", "source", "n_chars")
     val run1 = TextOps.weightedSampleFrom(d, 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
@@ -513,6 +513,9 @@ class TextOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
     assert(run1.toSeq == run2.toSeq, "weighted sample is not reproducible")
     assert(run1.count(_._1 == "a") == 2 && run1.count(_._1 == "b") == 2)
+    // zero-weight documents (n_chars = 0) must never enter the sample: the
+    // key would be NULL/Inf and inclusion probability ∝ weight is zero
+    assert(!run1.exists(_._3 == 7L), "zero-weight doc was sampled")
     // recompute one key from first principles: u = (hex15(md5(id)) + 1) / 16^15
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
