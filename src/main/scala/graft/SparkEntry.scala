@@ -613,6 +613,14 @@ ORDER BY r.rank DESC, partkey"""
         .select(col("doc_id"), col("lang"), col("source"), col("score"))
         .orderBy("doc_id")
     }),
+    // LEFT-OUTER watermarked stream-stream join ON THE GATE: the NULL
+    // emission timing IS the semantics — a click with no purchase is
+    // null-emitted only once the watermark passes its whole match window.
+    // AvailableNow's end-of-stream watermark makes the emitted set a pure
+    // function of the data; the oracle states the batch inner join UNION
+    // the unmatched-beyond-window clicks (q87's oracle technique)
+    "q116_stream_left_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamLeftJoinParity(s, dir)),
     // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
     // back to (semana, event_type, n), zero cells preserved
     "q112_unpivot_weekly" -> ((s, dir) => {
@@ -2298,6 +2306,34 @@ SELECT c.user_id, count(*) AS n_pairs, count(DISTINCT c.event_id) AS n_clicks
 FROM c JOIN p ON c.user_id = p.user_id
   AND p.tsn >= c.tsn AND p.tsn <= c.tsn + 600000000000
 GROUP BY 1 ORDER BY 1""",
+
+    // the emitted set of the left-outer watermarked join, stated in batch:
+    // eager inner pairs UNION the unmatched clicks whose match window the
+    // end-of-stream watermark W = min(max click ts, max purchase ts) − delay
+    // STRICTLY passed (state for a row whose window end equals W is
+    // retained). Micro precision matches the event-time columns.
+    "q116_stream_left_join" -> """
+WITH c AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS cus, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS pus, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+           - 600000000 AS w
+), m AS (
+  SELECT c.user_id, c.click_id, c.cus, p.p_id
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND p.pus >= c.cus AND p.pus <= c.cus + 600000000
+)
+SELECT user_id, click_id, cus AS click_us, p_id FROM m
+UNION ALL
+SELECT c.user_id, c.click_id, c.cus AS click_us, CAST(NULL AS BIGINT) AS p_id
+FROM c CROSS JOIN wm
+WHERE c.cus + 600000000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+ORDER BY click_id, p_id""",
 
     "q109_rolling_corr" -> (FACT + """, r AS (
   SELECT symbol, date, variacao_diaria AS r FROM fact WHERE variacao_diaria IS NOT NULL

@@ -261,6 +261,61 @@ object StreamingOps {
       .orderBy("user_id"))
   }
 
+  /** Batch-parity gate for LEFT-OUTER watermarked stream-stream joins
+    * (correctness-gate entry `q116_stream_left_join`): the production shape
+    * a CDC or attribution pipeline hits first — clicks left-joined to
+    * purchases within `windowMin` minutes, where a click with NO purchase
+    * must STILL be emitted (NULL-extended) once it provably can't match.
+    * Unlike the inner case (q108, pairs emitted eagerly), the NULL emission
+    * timing IS the semantics: a null row appears only when the watermark
+    * passes the click's entire match window, so "which clicks get a NULL
+    * row" is a pure function of the data given a deterministic final
+    * watermark.
+    *
+    * Determinism (what makes the emitted set oracle-able):
+    *   - matched pairs are emitted eagerly, exactly the batch inner join —
+    *     q108's argument verbatim;
+    *   - AvailableNow's final no-data micro-batch advances the watermark to
+    *     its end-of-stream value W = min over both sides of
+    *     (max event ts) − delay (global watermark = MIN of per-source
+    *     watermarks), with ts at MICROsecond precision (the event-time
+    *     columns; the raw ns payload plays no watermark role);
+    *   - a click with no match in-window is null-emitted iff its match
+    *     window has fully passed W: click_ts + windowMin < W (strict —
+    *     state for a row whose window END equals the watermark is retained,
+    *     verified by StreamingOpsSpec against the batch statement of the
+    *     same cut). Clicks inside the final 2×windowMin tail are withheld —
+    *     on a live stream they would still be matchable.
+    * The oracle states exactly this: the batch inner join UNION ALL the
+    * unmatched clicks beyond the window, both at micro precision.
+    */
+  def streamLeftJoinParity(spark: SparkSession, dir: String,
+                           windowMin: Int = 10): DataFrame = {
+    val name = s"stream_leftjoin_gate_${gateRuns.incrementAndGet()}"
+    def side(tpe: String, tsCol: String, idCol: String) =
+      eventStream(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(tsCol), col("event_id").as(idCol))
+        .withWatermark(tsCol, s"$windowMin minutes")
+    val clicks = side("click", "click_ts", "click_id")
+    val purchases = side("purchase", "p_ts", "p_id")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMin minutes"),
+      "left_outer")
+      .select(clicks("user_id").as("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"), col("p_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    drainGate(spark, name, spark.table(name)
+      .orderBy(col("click_id"), col("p_id")))
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

@@ -100,6 +100,38 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream join/batch join divergence:\n$streamed\nvs\n$batch")
   }
 
+  test("streamLeftJoinParity: inner pairs match batch; NULL rows are exactly the unmatched clicks beyond the watermark window") {
+    val out = StreamingOps.streamLeftJoinParity(spark, sf).cache()
+    val matchedPairs = out.filter(col("p_id").isNotNull)
+      .select("click_id", "p_id").as[(Long, Long)].collect().toSet
+    val nullClicks = out.filter(col("p_id").isNull)
+      .select("click_id").as[Long].collect().toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts_ns div 1000").as("cus"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("ts_ns div 1000").as("pus"), col("event_id").as("pid"))
+    val batchPairs = c.join(p, c("user_id") === col("pu") &&
+        col("pus") >= col("cus") && col("pus") <= col("cus") + 600000000L)
+      .select(col("cid"), col("pid")).as[(Long, Long)].collect().toSet
+    assert(matchedPairs == batchPairs, "left-outer inner part differs from the batch join")
+    // the NULL-extended set: unmatched clicks whose whole match window the
+    // end-of-stream watermark W = min(max click, max purchase) - delay
+    // STRICTLY passed; clicks in the final 2x-window tail are withheld
+    val w = math.min(
+      c.agg(max("cus")).head().getLong(0),
+      p.agg(max("pus")).head().getLong(0)) - 600000000L
+    val matchedClicks = batchPairs.map(_._1)
+    val expectNull = c.select("cid", "cus").as[(Long, Long)].collect()
+      .filter { case (id, cus) => !matchedClicks(id) && cus + 600000000L < w }
+      .map(_._1).toSet
+    assert(nullClicks.nonEmpty, "no NULL rows emitted — the outer semantics were not exercised")
+    assert(nullClicks == expectNull,
+      s"NULL-row set diverges from the unmatched-beyond-window set: " +
+        s"extra=${(nullClicks -- expectNull).take(5)} missing=${(expectNull -- nullClicks).take(5)}")
+    out.unpersist()
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
