@@ -613,6 +613,12 @@ ORDER BY r.rank DESC, partkey"""
         .select(col("doc_id"), col("lang"), col("source"), col("score"))
         .orderBy("doc_id")
     }),
+    // the BPE merge-application LOOP on the gate — q93 counts candidates
+    // once; this runs the real tokenizer-training iteration k=5 times
+    // (count -> merge top pair -> re-count), fixed-depth like q98's loop.
+    // After the one corpus-sized word count, every relation is
+    // vocabulary-bounded; the oracle is the same loop unrolled in SQL
+    "q117_bpe_merge_loop" -> ((s, dir) => TextOps.bpeTrainMerges(s, dir, 5)),
     // LEFT-OUTER watermarked stream-stream join ON THE GATE: the NULL
     // emission timing IS the semantics — a click with no purchase is
     // null-emitted only once the watermark passes its whole match window.
@@ -953,7 +959,52 @@ ORDER BY r.rank DESC, partkey"""
     })
   )
 
+  /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
+    * word vocabulary; each iteration i counts pairs from v(i-1), selects
+    * b_i (top pair per lang, ties on pair ASC), and rewrites v_i by literal
+    * replace of '<a><b>' with '<ab>' — the same disjoint-occurrence string
+    * semantics the engine uses, so the loop is engine-portable by
+    * construction. */
+  private def bpeOracleSql(k: Int): String = {
+    val base = """
+WITH words AS (
+  SELECT lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+  FROM documents
+), v0 AS (
+  SELECT lang, regexp_replace(word, '(.)', '<\1>', 'g') AS w, count(*) AS wcnt
+  FROM words WHERE word <> '' GROUP BY 1, 2
+)"""
+    val iters = (1 to k).map { i =>
+      s""", p$i AS (
+  SELECT lang, pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+    SELECT lang, wcnt,
+           unnest(list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j + 1])) AS pair
+    FROM (SELECT lang, wcnt, regexp_extract_all(w, '<([^>]*)>', 1) AS syms FROM v${i - 1})
+    WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), b$i AS (
+  SELECT lang, pair, cnt FROM (
+    SELECT lang, pair, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rk
+    FROM p$i
+  ) WHERE rk = 1
+), v$i AS (
+  SELECT v.lang,
+         replace(v.w, '<' || replace(b.pair, ' ', '><') || '>',
+                      '<' || replace(b.pair, ' ', '') || '>') AS w,
+         v.wcnt
+  FROM v${i - 1} v JOIN b$i b USING (lang)
+)"""
+    }.mkString
+    val sel = (1 to k)
+      .map(i => s"SELECT lang, CAST($i AS BIGINT) AS step, pair, cnt FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY lang, step")
+    base + iters + sel
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q117_bpe_merge_loop" -> bpeOracleSql(5),
     "q01_daily_bars" -> (BARS + """
 SELECT symbol, CAST(date AS VARCHAR) AS date, open, high, low, close, volume
 FROM bars ORDER BY symbol, date"""),

@@ -1427,6 +1427,71 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** k APPLIED BPE merges — the actual tokenizer-training loop (Sennrich et
+    * al. 2016), not just [[bpePairStatsFrom]]'s one counting pass: per
+    * language, count adjacent symbol pairs over the character-level word
+    * vocabulary, merge the most frequent pair into one symbol, re-count,
+    * repeat k times. Returns the merge table (lang, step, pair, cnt) — the
+    * artifact a tokenizer ships.
+    *
+    * Representation: each vocab word is a STRING of wrapped symbols
+    * ("abc" → "<a><b><c>"); applying merge (a,b) is a literal
+    * `replace('<a><b>', '<ab>')` — left-to-right non-overlapping, exactly
+    * BPE's greedy scan, with occurrences fully disjoint by construction (no
+    * shared delimiter chars), and identical string semantics on any engine.
+    * Pair counting re-extracts the symbol list per word and counts every
+    * adjacency (overlaps included) weighted by word frequency. Selection
+    * tie-breaks on (cnt DESC, pair ASC).
+    *
+    * Scale shape (q98's fixed-depth loop): the ONE corpus-sized job is the
+    * initial word-frequency aggregation; every later relation is
+    * VOCABULARY-bounded (distinct words per language). The winning pair is
+    * one row per language, broadcast into the vocab rewrite; each iteration
+    * localCheckpoints the (tiny) vocab so lineage stays flat across k
+    * rounds. Languages whose vocabulary runs out of pairs drop out (inner
+    * join) — impossible on real text with small k.
+    */
+  def bpeTrainMerges(spark: SparkSession, dir: String, k: Int): DataFrame =
+    bpeTrainMergesFrom(Tables.documents(spark, dir), k)
+
+  def bpeTrainMergesFrom(docs: DataFrame, k: Int): DataFrame = {
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("pair"))
+    var vocab = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("wcnt"))
+      .select(col("lang"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("w"), col("wcnt"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (step <- 1 to k) {
+      val pairs = vocab
+        .select(col("lang"), col("wcnt"),
+          expr("regexp_extract_all(w, '<([^>]*)>', 1)").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("lang"), col("wcnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            concat_ws(" ", element_at(col("syms"), i), element_at(col("syms"), i + 1))))
+            .as("pair"))
+        .groupBy("lang", "pair").agg(sum(col("wcnt")).as("cnt"))
+      val best = pairs.withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1).select(col("lang"), col("pair"), col("cnt"))
+        .localCheckpoint(true)
+      steps += best.withColumn("step", lit(step.toLong))
+      vocab = vocab
+        .join(broadcast(best.select(col("lang"),
+          concat(lit("<"), regexp_replace(col("pair"), " ", "><"), lit(">")).as("pat"),
+          concat(lit("<"), regexp_replace(col("pair"), " ", ""), lit(">")).as("rep"))),
+          Seq("lang"))
+        .select(col("lang"), expr("replace(w, pat, rep)").as("w"), col("wcnt"))
+        .localCheckpoint(true)
+    }
+    steps.reduce(_.unionByName(_))
+      .select(col("lang"), col("step"), col("pair"), col("cnt"))
+      .orderBy("lang", "step")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): per
     * language, rank documents by unigram-LM surprisal and split into
     * head / middle / tail tertiles — the standard quality-stratification

@@ -421,6 +421,62 @@ class TextOpsSpec extends SparkSpecBase {
       Seq((1L, "z z", 2L)))
   }
 
+  test("bpeTrainMerges: matches a sequential reference BPE, including overlap, tie, merged-symbol-reuse, and lang-dropout cases") {
+    // engineered corpus: 'aaa' exercises overlapping pair counting; en step 3
+    // is a tie ("aa a" vs "c d", broken by pair ASC); step 2's winner uses a
+    // symbol no merge produced while step 3's left side IS a merged symbol;
+    // lang xx runs out of pairs after 2 steps and must drop out
+    val docs = Seq(
+      (1L, "en", "aaa aaa ab"),
+      (2L, "en", "ab ab cd cd"),
+      (3L, "xx", "zz zz zy")
+    ).toDF("doc_id", "lang", "text")
+    val k = 4
+    val got = TextOps.bpeTrainMergesFrom(docs, k)
+      .as[(String, Long, String, Long)].collect().toSeq
+
+    // sequential reference: the classic loop over (word -> freq), greedy
+    // left-to-right merge application
+    def refBpe(wordFreq: Map[String, Long], k: Int): Seq[(Long, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] =
+        wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (step <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          (0 until syms.length - 1).foreach(i => counts((syms(i), syms(i + 1))) += f)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a + " " + b) }
+          out += ((step.toLong, l + " " + r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+              else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    def wordFreqs(texts: Seq[String]): Map[String, Long] =
+      texts.flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" "))
+        .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val expect =
+      refBpe(wordFreqs(Seq("aaa aaa ab", "ab ab cd cd")), k).map(t => ("en", t._1, t._2, t._3)) ++
+      refBpe(wordFreqs(Seq("zz zz zy")), k).map(t => ("xx", t._1, t._2, t._3))
+    assert(got.sorted == expect.sorted,
+      s"engine merges diverge from sequential BPE:\n got=$got\n exp=${expect.toSeq}")
+    // the engineered milestones really happened
+    assert(got.filter(_._1 == "en").map(t => (t._2, t._3)).take(3) ==
+      Seq((1L, "a a"), (2L, "a b"), (3L, "aa a")))
+    assert(got.count(_._1 == "xx") == 2, "xx should drop out after its pairs run dry")
+  }
+
   test("surprisalBuckets: tertiles partition each language; head is most fluent") {
     val rows = TextOps.surprisalBuckets(spark, sf)
       .select("lang", "bucket", "n_docs", "avg_surprisal")
