@@ -17,12 +17,58 @@ import org.apache.spark.sql.SparkSession
   * the timed pass is reported in an `errors` map (not silently recorded as a
   * fast success), and an empty query registry is a hard failure instead of a
   * silent `"queries":{}`.
+  *
+  * Provenance (round-8, VERDICT r7 item 3): the emitted line carries a
+  * `protocol` field and a `src_sha` source fingerprint, and — unless
+  * `SPARK_GRAFT_NO_MERGE` is set — folds in `tools/bench2.sh`'s merged
+  * min-of-N file (`/tmp/bench2_merged.json`) when AND ONLY when that file
+  * was produced from the IDENTICAL source tree (fingerprint match), the same
+  * SF dir, and the same query set. The recorded artifact therefore matches
+  * the claimed cross-JVM minimum protocol instead of whichever single run
+  * last touched `/tmp/bench.json`; a source edit between the bench2 run and
+  * this run voids the merge (same-name code drift can never merge silently).
   */
 object Bench {
+
+  /** SHA-256 over the main source tree (sorted path + content): the
+    * merge-eligibility fingerprint. "unknown" outside the repo root. */
+  def srcSha(): String = {
+    val root = java.nio.file.Paths.get("src/main/scala")
+    if (!java.nio.file.Files.isDirectory(root)) return "unknown"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      walk.filter(p => p.toString.endsWith(".scala"))
+        .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .forEach { p =>
+          md.update(p.toString.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(p))
+        }
+    } finally walk.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Parse the flat fields this main needs out of a bench-shaped JSON line
+    * (the known writer formats: this main's own output and bench2's merged
+    * file — query names are [A-Za-z0-9_]+, values plain doubles, no nested
+    * objects inside "queries"). */
+  private[graft] def parseBenchLine(s: String): Option[(Map[String, Double], String, String, Int)] = {
+    val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
+    qObj.map { body =>
+      val qs = """"([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val sha = """"src_sha":"([0-9a-f]+|unknown)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val runs = """"runs":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1)
+      (qs, sf, sha, runs)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    val mergedFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_MERGED", "/tmp/bench2_merged.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,7 +112,29 @@ object Bench {
       (samples.head._1, samples.map(_._2).min,
         samples.flatMap(_._3).headOption)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+
+    // Fold in bench2's cross-JVM merged minima when provenance allows it:
+    // identical source fingerprint + same SF dir + same query set. Anything
+    // else (stale file, code drift, different SF, different surface) keeps
+    // this run's own numbers — the merge can only ever be apples-to-apples.
+    val sha = srcSha()
+    val ownQueries = results.map(t => t._1 -> t._2).toMap
+    val external: Option[(Map[String, Double], Int)] =
+      if (sys.env.contains("SPARK_GRAFT_NO_MERGE")) None
+      else scala.util.Try(java.nio.file.Files.readString(java.nio.file.Paths.get(mergedFile)))
+        .toOption.flatMap(parseBenchLine).collect {
+          case (qs, sf, mSha, runs)
+            if sf == sfDir && mSha == sha && mSha != "unknown" &&
+              qs.keySet == ownQueries.keySet => (qs, runs)
+        }
+    val totalRuns = 1 + external.map(_._2).getOrElse(0)
+    val finalQueries = external match {
+      case Some((ext, _)) => ownQueries.map { case (k, v) => k -> math.min(v, ext(k)) }
+      case None => ownQueries
+    }
+    val protocol = s"min over $totalRuns full JVM run(s) x 3 in-process passes"
+
+    val qs = results.map { case (k, _, _) => s"\"" + k + "\":" + finalQueries(k) }
       .mkString("{", ",", "}")
     // JSON-safe error strings: escape backslash/quote AND all control chars
     // < 0x20 (tabs/CRs in exception messages would break strict parsers)
@@ -79,8 +147,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = finalQueries.values.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
