@@ -397,15 +397,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val asg = assignCells(emb, kmeansCentroids(embeddings, nCells, iters))
       .localCheckpoint(true) // both join sides + census read ONE materialization
-    val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("e").as("ae"))
-    val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("e").as("be"))
-    val dropped = a.join(b, "cell")
-      .filter(col("a_id") < col("b_id"))
-      // threshold on the 6-decimal ROUNDED sim (q56's convention): both
-      // engines then compare identical doubles at the τ boundary
-      .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
-      .select(col("cell"), col("b_id").as("vec_id"))
-      .distinct()
+    val dropped = semanticDroppedFrom(asg, tau)
     asg.select("cell", "vec_id")
       .join(dropped.withColumn("is_dropped", lit(1L)), Seq("cell", "vec_id"), "left")
       .groupBy("cell")
@@ -414,5 +406,35 @@ object Similarity {
         coalesce(sum("is_dropped"), lit(0L)).as("n_dropped"),
         (count(lit(1)) - coalesce(sum("is_dropped"), lit(0L))).as("n_kept"))
       .orderBy("cell")
+  }
+
+  /** The (cell, vec_id) DROP set of [[semanticDedup]]'s rule over an already
+    * cell-assigned relation: a vector is dropped when a LOWER-id vector in
+    * the SAME cell is cosine-similar at ≥ τ. Factored out so the cross-cell
+    * miss rate is measurable (SemDeDupMissSpec): with nCells = 1 the rule
+    * degenerates to the exact all-pairs answer, and the celled drop set is a
+    * SUBSET of it by construction — pairs straddling a cell boundary are the
+    * misses the k-vs-recall trade buys its Σ|cell|² pair-space reduction
+    * with.
+    */
+  private[graft] def semanticDroppedFrom(asg: DataFrame, tau: Double): DataFrame = {
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("e").as("be"))
+    a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      // threshold on the 6-decimal ROUNDED sim (q56's convention): both
+      // engines then compare identical doubles at the τ boundary
+      .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
+      .select(col("cell"), col("b_id").as("vec_id"))
+      .distinct()
+  }
+
+  /** Cell assignment for [[semanticDedup]] at a given k — exposed for the
+    * miss-rate measurement. */
+  private[graft] def semanticAssignment(embeddings: DataFrame, nCells: Int,
+                                        iters: Int): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    assignCells(emb, kmeansCentroids(embeddings, nCells, iters))
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Cross-cell miss quantification for q90's SemDeDup (VERDICT r7 missing
+  * item 3): the within-cell pruning is the paper's own scale argument, but a
+  * similar pair straddling a k-means cell boundary is silently missed, and
+  * nothing previously measured that loss. Two regimes, both deterministic
+  * (md5-seeded centroids, fixed data, fixed planting seed), so the asserted
+  * bounds are stable pins, not statistical tests:
+  *
+  *  1. The CORPUS at the registered config (τ=0.35, k=8): the drop mass
+  *     sits at MODERATE cosine (the synthetic corpus has zero pairs above
+  *     0.7), and moderate-similarity pairs straddle cells freely — measured
+  *     cross-cell miss 0.4537. That number is the honest statement that the
+  *     registered q90 gate is an EXACTNESS contract of the within-cell rule,
+  *     not a recall claim about all-pairs dedup at low τ.
+  *  2. The NEAR-DUP regime the paper targets (planted exact-angle pairs,
+  *     τ=0.9): recall of planted partners through k=8 cells is 0.81 at
+  *     s=0.92, 0.885 at s=0.95, 0.94 at s=0.98 — tight pairs mostly co-cell,
+  *     and recall rises with similarity. These are the numbers a user sizes
+  *     k by; the curve lives in SCALING.md §SemDeDup.
+  */
+class SemDeDupMissSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  private def droppedSet(emb: org.apache.spark.sql.DataFrame, k: Int,
+                         tau: Double): Set[Long] = {
+    val asg = Similarity.semanticAssignment(emb, k, 3).localCheckpoint(true)
+    Similarity.semanticDroppedFrom(asg, tau)
+      .select("vec_id").distinct().as[Long].collect().toSet
+  }
+
+  test("q90 SemDeDup: celled drop set is a subset of all-pairs; corpus cross-cell miss at the registered config is the documented 45%") {
+    val emb = Tables.embeddings(spark, sf01)
+    val truth = droppedSet(emb, 1, 0.35) // one cell == the exact all-pairs rule
+    val celled = droppedSet(emb, 8, 0.35) // the registered q90 configuration
+    assert(truth.nonEmpty, "all-pairs dedup dropped nothing — τ misconfigured")
+    // structural guarantee: within-cell pairs ⊆ all pairs, so celling can
+    // only UNDER-drop, never over-drop — a violation means the drop rule
+    // itself diverged
+    assert(celled.subsetOf(truth),
+      s"celled dedup dropped vectors the all-pairs rule keeps: ${(celled -- truth).take(5)}")
+    val miss = (truth -- celled).size.toDouble / truth.size
+    info(f"all-pairs dropped=${truth.size}, k=8 dropped=${celled.size}, cross-cell miss=$miss%.4f")
+    // measured 2026-08-13 at sf0.1: 1512 dropped all-pairs, 826 within-cell,
+    // miss 0.4537. The band pins the measurement (deterministic) with margin
+    // for engine-version drift; a real regression in clustering or the drop
+    // rule moves this far outside the band.
+    assert(miss >= 0.40 && miss <= 0.50,
+      f"cross-cell miss $miss%.4f left the measured 0.4537 band — clustering or rule changed")
+  }
+
+  test("q90 SemDeDup: planted near-dup pairs (the paper's operating regime) are recalled through k=8 cells at the measured floors") {
+    val corpus = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val rng = new scala.util.Random(47)
+    val dim = 64
+    def unitv(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // exact-angle planting (AnnRecallSpec's construction): partner ids are
+    // odd/higher so "lower id wins" must drop the partner iff co-celled
+    def recallAt(s: Double): Double = {
+      val nPairs = 200
+      val rows = (0 until nPairs).flatMap { i =>
+        val u = unitv(Array.fill(dim)(rng.nextGaussian()))
+        val r = Array.fill(dim)(rng.nextGaussian())
+        val proj = u.zip(r).map { case (a, b) => a * b }.sum
+        val w = unitv(r.zip(u).map { case (b, a) => b - proj * a }) // ⊥ u
+        val v = u.zip(w).map { case (a, b) => s * a + math.sqrt(1 - s * s) * b }
+        Seq((100000L + 2L * i, u.map(_.toFloat)), (100000L + 2L * i + 1, v.map(_.toFloat)))
+      }
+      val combined = corpus.unionByName(rows.toDF("vec_id", "embedding"))
+      val dropped = droppedSet(combined, 8, 0.9)
+      (0 until nPairs).count(i => dropped(100000L + 2L * i + 1)).toDouble / nPairs
+    }
+    // the SAME rng stream as the measurement run: s=0.92 -> 0.81,
+    // s=0.95 -> 0.885, s=0.98 -> 0.94 (sequential draws)
+    val r92 = recallAt(0.92)
+    val r95 = recallAt(0.95)
+    val r98 = recallAt(0.98)
+    info(f"planted recall: s=0.92 -> $r92%.3f, s=0.95 -> $r95%.3f, s=0.98 -> $r98%.3f")
+    assert(r92 >= 0.78, f"s=0.92 recall $r92%.3f below the measured 0.81 floor")
+    assert(r95 >= 0.86, f"s=0.95 recall $r95%.3f below the measured 0.885 floor")
+    assert(r98 >= 0.92, f"s=0.98 recall $r98%.3f below the measured 0.94 floor")
+    assert(r92 <= r95 && r95 <= r98,
+      "recall is not monotone in planted similarity — the co-celling argument broke")
+  }
+}
