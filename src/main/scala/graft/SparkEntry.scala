@@ -580,17 +580,19 @@ ORDER BY r.rank DESC, partkey"""
     // group (never all candidates); the oracle states the rank-window SQL —
     // hash-equality proves the heap aggregate == the window formulation
     "q113_topk_aggregate" -> ((s, dir) => {
-      // The narrow scored relation is MATERIALIZED before the heap aggregate:
-      // the round-7 bisect (SCALING.md "q113") measured the expensive regex
-      // projection feeding ObjectHashAggregateExec directly at ~40x slower at
-      // 100x (21 s) than the identical projection evaluated behind a
-      // materialization barrier (0.49 s). localCheckpoint evaluates the
-      // 3-column relation once (codegen'd scan+project stage) and the heap
-      // aggregate consumes the materialized rows — the production plan shape.
+      // DIRECT shape, re-verified round 8 (SCALING.md "q113 re-bisect"):
+      // the round-7 "40x ObjectHashAggregate projection quirk" does not
+      // reproduce — direct is 0.32 s min at 100x in fresh, cache-matched,
+      // and post-shuffle sessions alike, while every materialization
+      // barrier tested is WORSE (localCheckpoint: 25 s standalone — the
+      // expensive projection at the RDD row boundary IS the slow path;
+      // repartition: shuffles the full scored corpus). Direct is also the
+      // only 100 TB-correct shape: the map-side partial k-heaps bound the
+      // shuffle at k rows/partition/group (PlanSpec pins partial-below-
+      // exchange).
       val scored = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           rd(TextOps.qualityScore(col("text")), 6).as("score"))
-        .localCheckpoint(true)
       scored.groupBy("lang")
         .agg(graft.functions.TopKByScore.topK(col("score"), col("doc_id"), 3).as("top"))
         .select(col("lang"), explode(col("top")).as("e"))

@@ -158,21 +158,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("q113 registered plan: scored relation is materialized before the heap aggregate") {
-    // The round-7 bisect (SCALING.md "q113") measured the expensive regex
-    // projection feeding ObjectHashAggregateExec at ~40x slower at 100x than
-    // the same projection behind a materialization barrier. The registered
-    // query must keep the barrier: the aggregate consumes a checkpointed
-    // (ExistingRDD) scan and NO regex evaluation appears in its plan.
+  test("q113 registered plan: map-side partial k-heaps run BELOW the exchange") {
+    // The scale-critical property of TopKByScore: the partial aggregate's
+    // per-partition k-heaps run map-side, so the shuffle carries at most
+    // k rows per partition per group — never the scored corpus. The plan
+    // string prints root-first, so "partial below the exchange" means the
+    // partial_topk line's index is GREATER than the exchange's. (Round-8
+    // re-bisect: the direct shape is the fast one — 0.32 s at 100x — and
+    // any materialization barrier before the aggregate both slows it and
+    // destroys the k-bounded shuffle; see SCALING.md "q113 re-bisect".)
     val df = SparkEntry.queries("q113_topk_aggregate")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"TopKByScore no longer runs as ObjectHashAggregate in:\n$plan")
-    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
-      s"scored relation is not materialized before the aggregate in:\n$plan")
-    assert(!plan.toLowerCase.contains("regexp"),
-      s"quality-score regex projection leaked past the materialization barrier in:\n$plan")
+    val partialIdx = plan.indexOf("partial_topk_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no map-side partial topk aggregate in:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial topk is not below the exchange (partial@$partialIdx vs exchange@$exchangeIdx) — " +
+        s"the shuffle would carry the full scored corpus in:\n$plan")
   }
 
   test("q98 pagerank iteration: rank relation broadcasts; adjacency never re-shuffles") {
