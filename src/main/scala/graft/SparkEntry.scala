@@ -621,6 +621,12 @@ ORDER BY r.rank DESC, partkey"""
     // After the one corpus-sized word count, every relation is
     // vocabulary-bounded; the oracle is the same loop unrolled in SQL
     "q117_bpe_merge_loop" -> ((s, dir) => TextOps.bpeTrainMerges(s, dir, 5)),
+    // BPE ENCODE: q117's learned merge table APPLIED to the corpus — the
+    // per-doc token census after k merges. The merge chain runs over the
+    // vocabulary; the corpus word stream joins the encoded vocab by
+    // broadcast (never reshuffles for model stats); the only corpus-sized
+    // shuffle is the per-doc aggregation
+    "q118_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(s, dir, 5)),
     // LEFT-OUTER watermarked stream-stream join ON THE GATE: the NULL
     // emission timing IS the semantics — a click with no purchase is
     // null-emitted only once the watermark passes its whole match window.
@@ -1005,8 +1011,57 @@ WITH words AS (
     base + iters + sel
   }
 
+  /** q118's oracle: the SAME unrolled training chain as [[bpeOracleSql]]
+    * but carrying word identity through each rewrite (vw_i), LEFT-joined
+    * per step so a language whose pairs run dry keeps its shorter chain
+    * (mirroring the engine's null-guarded fold), then the encode census:
+    * per-word symbol count = '<'-marker count, joined back to the document
+    * word stream. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val base = """
+WITH wordsd AS (
+  SELECT doc_id, lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+  FROM documents
+), vw0 AS (
+  SELECT lang, word, regexp_replace(word, '(.)', '<\1>', 'g') AS w, count(*) AS wcnt
+  FROM wordsd WHERE word <> '' GROUP BY 1, 2, 3
+)"""
+    val iters = (1 to k).map { i =>
+      s""", p$i AS (
+  SELECT lang, pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+    SELECT lang, wcnt,
+           unnest(list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j + 1])) AS pair
+    FROM (SELECT lang, wcnt, regexp_extract_all(w, '<([^>]*)>', 1) AS syms FROM vw${i - 1})
+    WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), b$i AS (
+  SELECT lang, pair FROM (
+    SELECT lang, pair, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rk
+    FROM p$i
+  ) WHERE rk = 1
+), vw$i AS (
+  SELECT v.lang, v.word,
+         CASE WHEN b.pair IS NULL THEN v.w
+              ELSE replace(v.w, '<' || replace(b.pair, ' ', '><') || '>',
+                                '<' || replace(b.pair, ' ', '') || '>') END AS w,
+         v.wcnt
+  FROM vw${i - 1} v LEFT JOIN b$i b USING (lang)
+)"""
+    }.mkString
+    base + iters + s""", enc AS (
+  SELECT lang, word, CAST(len(w) - len(replace(w, '<', '')) AS BIGINT) AS n_bpe FROM vw$k
+)
+SELECT d.doc_id, d.lang, count(*) AS n_words,
+       CAST(sum(len(d.word)) AS BIGINT) AS n_chars_alnum,
+       CAST(sum(e.n_bpe) AS BIGINT) AS n_tokens_bpe
+FROM wordsd d JOIN enc e ON d.lang = e.lang AND d.word = e.word
+GROUP BY 1, 2 ORDER BY d.doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q117_bpe_merge_loop" -> bpeOracleSql(5),
+    "q118_bpe_encode" -> bpeEncodeOracleSql(5),
     "q01_daily_bars" -> (BARS + """
 SELECT symbol, CAST(date AS VARCHAR) AS date, open, high, low, close, volume
 FROM bars ORDER BY symbol, date"""),

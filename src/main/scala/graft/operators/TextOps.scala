@@ -1492,6 +1492,63 @@ object TextOps {
       .orderBy("lang", "step")
   }
 
+  /** BPE ENCODE — applying [[bpeTrainMergesFrom]]'s learned merge table to
+    * the corpus (Sennrich et al. 2016's apply step: each merge, in learned
+    * order, rewrites all its occurrences). Emits the per-document token
+    * census a tokenization pipeline ships: word count, alphanumeric char
+    * count, and the BPE token count after k merges.
+    *
+    * Scale shape (the q114 lesson — finish per-key work on the bounded key
+    * relation, touch the corpus stream once): the merge chain runs over the
+    * VOCABULARY (distinct (lang, word)), not over word occurrences — the
+    * per-word encoded length is a pure function of (lang, word), so the
+    * corpus word stream joins the encoded vocabulary by BROADCAST and the
+    * only corpus-sized shuffle is the final per-document aggregation
+    * (map-side partial). A language with fewer than k learned merges (pairs
+    * ran dry) keeps its shorter chain via the null-guarded fold — mirrored
+    * by the oracle's LEFT JOIN per step.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int): DataFrame =
+    bpeEncodeFrom(Tables.documents(spark, dir), k)
+
+  def bpeEncodeFrom(docs: DataFrame, k: Int): DataFrame = {
+    val mergeTable = bpeTrainMergesFrom(docs, k)
+      .groupBy("lang")
+      .agg(array_sort(collect_list(struct(col("step"), col("pair")))).as("ms"))
+      .select(col("lang"),
+        transform(col("ms"), m =>
+          concat(lit("<"), regexp_replace(m.getField("pair"), " ", "><"), lit(">"))).as("pats"),
+        transform(col("ms"), m =>
+          concat(lit("<"), regexp_replace(m.getField("pair"), " ", ""), lit(">"))).as("reps"))
+    val words = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val wrapped = words.select("lang", "word").distinct()
+      .select(col("lang"), col("word"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("w0"))
+    // try_element_at, not element_at: ANSI mode throws on an index past the
+    // array end, and a short-chain language (pairs ran dry before step k)
+    // has fewer than k merges — the null guard keeps its shorter chain
+    val encChain = (1 to k).foldLeft(col("w0")) { (acc, i) =>
+      when(try_element_at(col("pats"), lit(i)).isNull, acc)
+        .otherwise(call_function("replace", acc,
+          try_element_at(col("pats"), lit(i)), try_element_at(col("reps"), lit(i))))
+    }
+    val encVocab = wrapped.join(broadcast(mergeTable), Seq("lang"), "left")
+      .select(col("lang"), col("word"), encChain.as("enc"))
+      // symbol count == count of '<' markers in the encoded string
+      .select(col("lang"), col("word"),
+        (length(col("enc")) -
+          length(call_function("replace", col("enc"), lit("<"), lit(""))))
+          .cast("long").as("n_bpe"))
+    words.join(broadcast(encVocab), Seq("lang", "word"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars_alnum"),
+        sum(col("n_bpe")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): per
     * language, rank documents by unigram-LM surprisal and split into
     * head / middle / tail tertiles — the standard quality-stratification

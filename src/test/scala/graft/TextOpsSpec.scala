@@ -477,6 +477,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.count(_._1 == "xx") == 2, "xx should drop out after its pairs run dry")
   }
 
+  test("bpeEncode: per-doc census equals sequentially applying the learned merges, including the short-chain language") {
+    // same corpus as the training test; merges learned there: en = (a a),
+    // (a b), (aa a), (c d); xx = (z z), (z y) then dry. Hand-encoded:
+    //   aaa -> <aa><a> -> <aaa> = 1 tok; ab -> <ab> = 1; cd -> <cd> = 1
+    //   zz -> <zz> = 1; zy -> <zy> = 1
+    val docs = Seq(
+      (1L, "en", "aaa aaa ab"),
+      (2L, "en", "ab ab cd cd"),
+      (3L, "xx", "zz zz zy")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.bpeEncodeFrom(docs, 4)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "en", 3L, 8L, 3L),
+      (2L, "en", 4L, 8L, 4L),
+      (3L, "xx", 3L, 6L, 3L)),
+      s"encode census diverges from the hand-applied merges: $got")
+  }
+
   test("surprisalBuckets: tertiles partition each language; head is most fluent") {
     val rows = TextOps.surprisalBuckets(spark, sf)
       .select("lang", "bucket", "n_docs", "avg_surprisal")
