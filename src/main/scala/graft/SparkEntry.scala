@@ -635,6 +635,12 @@ ORDER BY r.rank DESC, partkey"""
     // the unmatched-beyond-window clicks (q87's oracle technique)
     "q116_stream_left_join" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamLeftJoinParity(s, dir)),
+    // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
+    // dangling sides null-emit, on DIFFERENT cuts (a click's match window
+    // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
+    // only match clicks at or before itself). Oracle states both cuts
+    "q119_stream_full_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamFullJoinParity(s, dir)),
     // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
     // back to (semana, event_type, n), zero cells preserved
     "q112_unpivot_weekly" -> ((s, dir) => {
@@ -2441,6 +2447,40 @@ SELECT c.user_id, c.click_id, c.cus AS click_us, CAST(NULL AS BIGINT) AS p_id
 FROM c CROSS JOIN wm
 WHERE c.cus + 600000000 < wm.w
   AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+ORDER BY click_id, p_id""",
+
+    // q116's completion in batch: inner pairs UNION dangling clicks beyond
+    // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase
+    // matches only clicks at or before itself, so its window's upper bound
+    // is p_ts — it is unmatchable as soon as W strictly passes p_ts)
+    "q119_stream_full_join" -> """
+WITH c AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS cus, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_ns(ts)//1000 AS pus, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+           - 600000000 AS w
+), m AS (
+  SELECT c.user_id, c.click_id, c.cus, p.p_id, p.pus
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND p.pus >= c.cus AND p.pus <= c.cus + 600000000
+)
+SELECT user_id, click_id, cus AS click_us, p_id, pus AS p_us FROM m
+UNION ALL
+SELECT c.user_id, c.click_id, c.cus AS click_us,
+       CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS BIGINT) AS p_us
+FROM c CROSS JOIN wm
+WHERE c.cus + 600000000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+UNION ALL
+SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_us,
+       p.p_id, p.pus AS p_us
+FROM p CROSS JOIN wm
+WHERE p.pus < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
 ORDER BY click_id, p_id""",
 
     "q109_rolling_corr" -> (FACT + """, r AS (

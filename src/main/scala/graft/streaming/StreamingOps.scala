@@ -316,6 +316,49 @@ object StreamingOps {
       .orderBy(col("click_id"), col("p_id")))
   }
 
+  /** Batch-parity gate for FULL-OUTER watermarked stream-stream joins
+    * (correctness-gate entry `q119_stream_full_join`) — [[streamLeftJoinParity]]'s
+    * completion: BOTH dangling sides null-emit once provably unmatchable.
+    * The two sides expire on DIFFERENT cuts, which is exactly what the gate
+    * pins: a click can match purchases in [click_ts, click_ts+w], so it
+    * null-emits when the watermark strictly passes click_ts + w; a purchase
+    * can match clicks in [p_ts − w, p_ts], whose upper bound is its OWN
+    * timestamp — it null-emits when the watermark strictly passes p_ts
+    * itself. Matched pairs emit eagerly (q108's argument). The oracle
+    * states the inner join UNION both dangling sets under their respective
+    * cuts, all at micro precision (verified empirically and pinned by
+    * StreamingOpsSpec at both boundaries).
+    */
+  def streamFullJoinParity(spark: SparkSession, dir: String,
+                           windowMin: Int = 10): DataFrame = {
+    val name = s"stream_fulljoin_gate_${gateRuns.incrementAndGet()}"
+    def side(tpe: String, tsCol: String, idCol: String) =
+      eventStream(spark, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${idCol}_uid"), col("ts").as(tsCol),
+          col("event_id").as(idCol))
+        .withWatermark(tsCol, s"$windowMin minutes")
+    val clicks = side("click", "click_ts", "click_id")
+    val purchases = side("purchase", "p_ts", "p_id")
+    val joined = clicks.join(purchases,
+      col("click_id_uid") === col("p_id_uid") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMin minutes"),
+      "full_outer")
+      .select(
+        coalesce(col("click_id_uid"), col("p_id_uid")).as("user_id"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"),
+        col("p_id"), unix_micros(col("p_ts")).as("p_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    drainGate(spark, name, spark.table(name)
+      .orderBy(col("click_id"), col("p_id")))
+  }
+
   /** Gap-based sessions: built-in session_window with a 30-min gap — the
     * streaming twin of EventOps.sessionize. Emits one row per closed session.
     */

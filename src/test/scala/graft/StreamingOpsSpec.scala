@@ -132,6 +132,45 @@ class StreamingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("streamFullJoinParity: both dangling sides null-emit on their own cuts (click_ts + w vs own p_ts)") {
+    val out = StreamingOps.streamFullJoinParity(spark, sf).cache()
+    val pairs = out.filter(col("click_id").isNotNull && col("p_id").isNotNull)
+      .select("click_id", "p_id").as[(Long, Long)].collect().toSet
+    val nullClicks = out.filter(col("p_id").isNull)
+      .select("click_id").as[Long].collect().toSet
+    val nullPurchases = out.filter(col("click_id").isNull)
+      .select("p_id").as[Long].collect().toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts_ns div 1000").as("cus"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("ts_ns div 1000").as("pus"), col("event_id").as("pid"))
+    val m = c.join(p, c("user_id") === col("pu") &&
+      col("pus") >= col("cus") && col("pus") <= col("cus") + 600000000L)
+    val batchPairs = m.select(col("cid"), col("pid")).as[(Long, Long)].collect().toSet
+    assert(pairs == batchPairs, "full-outer inner part differs from the batch join")
+    val w = math.min(
+      c.agg(max("cus")).head().getLong(0),
+      p.agg(max("pus")).head().getLong(0)) - 600000000L
+    val expectNullClicks = c.select("cid", "cus").as[(Long, Long)].collect()
+      .filter { case (id, cus) => !batchPairs.map(_._1)(id) && cus + 600000000L < w }
+      .map(_._1).toSet
+    // a purchase matches only clicks AT OR BEFORE its own timestamp, so its
+    // match window's upper bound is p_ts itself: unmatchable once w > p_ts
+    val expectNullPurchases = p.select("pid", "pus").as[(Long, Long)].collect()
+      .filter { case (id, pus) => !batchPairs.map(_._2)(id) && pus < w }
+      .map(_._1).toSet
+    assert(nullClicks.nonEmpty && nullPurchases.nonEmpty,
+      "a dangling side emitted nothing — outer semantics not exercised")
+    assert(nullClicks == expectNullClicks,
+      s"dangling-click set diverges: extra=${(nullClicks -- expectNullClicks).take(5)} " +
+        s"missing=${(expectNullClicks -- nullClicks).take(5)}")
+    assert(nullPurchases == expectNullPurchases,
+      s"dangling-purchase set diverges: extra=${(nullPurchases -- expectNullPurchases).take(5)} " +
+        s"missing=${(expectNullPurchases -- nullPurchases).take(5)}")
+    out.unpersist()
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
