@@ -44,6 +44,49 @@ class TopKAggregateSpec extends SparkSpecBase {
     assert(viaAgg == viaWindow)
   }
 
+  test("property: random split + random merge-tree + serialize round-trips ≡ sequential top-k") {
+    // the merge path is the subtle half of a TypedImperativeAggregate: the
+    // engine may split input into any partitions, merge partial buffers in
+    // any tree order, and serialize/deserialize buffers across the shuffle
+    // between any two steps. For seeded random inputs (forced ties included)
+    // every such composition must equal the sequential (score desc, id asc)
+    // top-k.
+    for (seed <- Seq(11L, 42L, 77L, 123L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(5)
+      // coarse score grid forces cross-partition ties; ids unique
+      val entries = (0L until n.toLong).map(i => (rnd.nextInt(12) / 10.0, i))
+      val expected = entries.sortBy { case (s, i) => (-s, i) }.take(k)
+
+      // random partition split
+      val parts = scala.collection.mutable.ArrayBuffer.fill(1 + rnd.nextInt(8))(
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      entries.foreach(e => parts(rnd.nextInt(parts.size)) += e)
+      // partial heaps, each serialize-round-tripped (the shuffle write/read)
+      var heaps = parts.map { p =>
+        val h = new TopKHeap(k)
+        rnd.shuffle(p).foreach { case (s, i) => h.offer(s, i) }
+        TopKHeap.fromBytes(k, h.toBytes)
+      }.toVector
+      // random merge tree: repeatedly merge two random heaps until one left
+      while (heaps.size > 1) {
+        val i = rnd.nextInt(heaps.size)
+        val j0 = rnd.nextInt(heaps.size - 1)
+        val j = if (j0 >= i) j0 + 1 else j0
+        val merged = new TopKHeap(k)
+        heaps(i).foreach((s, id) => merged.offer(s, id))
+        heaps(j).foreach((s, id) => merged.offer(s, id))
+        val rt = TopKHeap.fromBytes(k, merged.toBytes)
+        heaps = heaps.zipWithIndex.collect {
+          case (h, idx) if idx != i && idx != j => h
+        } :+ rt
+      }
+      assert(heaps.head.sortedDesc.toSeq == expected,
+        s"seed=$seed n=$n k=$k parts=${parts.size}: merge-tree result diverges from sequential top-k")
+    }
+  }
+
   test("plan: partial aggregation bounds the shuffle (no window exchange-sort)") {
     val cand = (0L until 100L).map(i => (i % 2, i, i.toDouble)).toDF("q_id", "neighbor_id", "sim")
     val df = cand.groupBy("q_id")
