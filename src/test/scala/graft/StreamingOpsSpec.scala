@@ -171,6 +171,50 @@ class StreamingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("outer stream joins: eviction is STRICT at the exact watermark boundary (engineered fixture)") {
+    // The gate corpora never land a row exactly on the eviction cut, so the
+    // oracles' strict `<` was unexercised there. This fixture pins it: with
+    // anchors at t=100min on both sides and delay = window = 10min, the
+    // end-of-stream watermark is exactly W = 90min. A dangling click whose
+    // window END equals W (click at 80min) and a dangling purchase AT W
+    // (90min) must BOTH be withheld — state for a row whose bound equals
+    // the watermark is retained; only strictly-passed rows null-emit.
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("evb").toString
+    def mins(m: Long): Long = m * 60L * 1000000000L // ns, the events ts unit
+    val rows = Seq(
+      (990L, mins(100), 99L, "click", 1.0, "{}"),    // anchor pair: maxC
+      (991L, mins(100), 99L, "purchase", 1.0, "{}"), // and maxP = 100min
+      (1L, mins(80), 1L, "click", 1.0, "{}"),        // boundary: cus+w == W
+      (2L, mins(60), 2L, "click", 1.0, "{}"),        // expired: 70 < 90
+      (3L, mins(85), 3L, "click", 1.0, "{}"),        // tail: 95 > 90
+      (4L, mins(90), 4L, "purchase", 1.0, "{}"),     // boundary: pus == W
+      (5L, mins(50), 5L, "purchase", 1.0, "{}"),     // expired: 50 < 90
+      (6L, mins(95), 6L, "purchase", 1.0, "{}")      // tail: 95 > 90
+    )
+    val staging = tmp + "/staging"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(staging)
+    // events.parquet must be ONE FILE named exactly that (pathGlobFilter)
+    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(tmp + "/events.parquet"))
+
+    val left = StreamingOps.streamLeftJoinParity(spark, tmp)
+    assert(left.filter(col("p_id").isNull).select("click_id").as[Long].collect().toSeq == Seq(2L),
+      "left-outer: only the strictly-expired click (not the boundary one) may null-emit")
+
+    val full = StreamingOps.streamFullJoinParity(spark, tmp)
+    val nullClicks = full.filter(col("p_id").isNull && col("click_id").isNotNull)
+      .select("click_id").as[Long].collect().toSeq.sorted
+    val nullPurch = full.filter(col("click_id").isNull)
+      .select("p_id").as[Long].collect().toSeq.sorted
+    val nPairs = full.filter(col("click_id").isNotNull && col("p_id").isNotNull).count()
+    assert(nullClicks == Seq(2L), s"full-outer dangling clicks: $nullClicks (boundary click 1 must be withheld)")
+    assert(nullPurch == Seq(5L), s"full-outer dangling purchases: $nullPurch (boundary purchase 4 must be withheld)")
+    assert(nPairs == 1L, "only the anchor pair matches")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
