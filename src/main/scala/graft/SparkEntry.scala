@@ -635,6 +635,11 @@ ORDER BY r.rank DESC, partkey"""
     // the unmatched-beyond-window clicks (q87's oracle technique)
     "q116_stream_left_join" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamLeftJoinParity(s, dir)),
+    // triangle census with degree orientation: the only super-linear step
+    // (the wedge self-join) is bounded by m^1.5 via the arboricity argument
+    // — a hub's edges point INTO it, so no neighborhood ever squares.
+    // Each triangle counted exactly once at its order-minimum apex
+    "q120_copurchase_triangles" -> ((s, dir) => GraphOps.copurchaseTriangles(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2448,6 +2453,45 @@ FROM c CROSS JOIN wm
 WHERE c.cus + 600000000 < wm.w
   AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
 ORDER BY click_id, p_id""",
+
+    // replays the same degree orientation: each triangle closes at its
+    // (deg, id)-minimum apex's out-wedge, against the canonical src<dst edge
+    "q120_copurchase_triangles" -> """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), un AS (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+), deg AS (
+  SELECT node, count(*) AS deg FROM un GROUP BY 1
+), o AS (
+  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS u,
+         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS v
+  FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+), w AS (
+  SELECT o1.u, o1.v AS a, o2.v AS b
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+), t AS (
+  SELECT w.u, w.a, w.b FROM w JOIN e ON e.src = w.a AND e.dst = w.b
+), tn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT u AS node FROM t
+    UNION ALL SELECT a FROM t
+    UNION ALL SELECT b FROM t
+  ) GROUP BY 1
+)
+SELECT d.node AS partkey, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.deg >= 2
+             THEN 2.0 * COALESCE(tn.n_tri, 0) / (d.deg * (d.deg - 1)) END, 6) + 0
+         AS clustering
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+ORDER BY partkey""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

@@ -97,4 +97,61 @@ object GraphOps {
     pageRank(copurchaseEdges(spark, dir), iterations)
       .select(col("node").as("partkey"), col("degree"), col("rank"))
       .orderBy(col("rank").desc, col("partkey").asc)
+
+  /** Triangle census with local clustering coefficients — the density
+    * signal community detection and spam/botnet analysis read off a graph.
+    * Per node: degree, triangle count, clustering = 2·T/(deg·(deg−1)).
+    *
+    * Algorithm (Suri & Vassilvitskii 2011's MapReduce node-iterator++):
+    * orient every undirected edge from its LOWER endpoint to its higher
+    * under the total order (degree, id). Each triangle then has EXACTLY one
+    * apex with two out-edges (its order-minimum corner), so enumerating
+    * out-wedges (u → a, u → b with a < b by id) and closing them against
+    * the canonical (src < dst) edge relation counts each triangle once —
+    * no double counting, no post-dedup.
+    *
+    * Scale shape: the out-degree under degree orientation is O(√m) on any
+    * graph (arboricity bound), so the wedge self-join — the only
+    * super-linear step — costs Σ out-deg² ≤ m^{3/2} REGARDLESS of hub
+    * sizes: a 10M-degree hub never materializes its neighborhood squared,
+    * because almost all its edges point INTO it. The closing step is a
+    * plain equi-join on the canonical pair. Orientation is one broadcast
+    * join of the node-sized degree relation.
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")) // canonical: src < dst by id
+    val deg = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // referenced by the orientation joins AND the final census
+    val srcLower = // is (deg, id) of src below (deg, id) of dst?
+      col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst"))
+    val oriented = e
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("ds"))), Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dd"))), Seq("dst"))
+      .select(
+        when(srcLower, col("src")).otherwise(col("dst")).as("u"),
+        when(srcLower, col("dst")).otherwise(col("src")).as("v"))
+      .localCheckpoint(true) // both wedge sides read one materialization
+    val wedges = oriented.select(col("u"), col("v").as("a"))
+      .join(oriented.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+    val tri = wedges.join(e, col("a") === col("src") && col("b") === col("dst"))
+      .select(col("u"), col("a"), col("b"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        graft.functions.Fx.rd(
+          when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1L)))).otherwise(lit(null)), 6)
+          .as("clustering"))
+      .orderBy("node")
+  }
+
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(copurchaseEdges(spark, dir))
+      .withColumnRenamed("node", "partkey")
 }

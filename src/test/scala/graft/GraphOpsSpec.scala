@@ -42,4 +42,42 @@ class GraphOpsSpec extends SparkSpecBase {
       .join(li.filter(col("pk") === d).select("ok"), "ok").count()
     assert(w == expect, s"edge ($s,$d) weight $w != recomputed $expect")
   }
+
+  test("triangleCensus: hand-counted graph — K4 + attached triangle + pendant edge") {
+    // K4 on {1,2,3,4} (4 triangles); node 5 joined to 1 and 2 (adds {1,2,5});
+    // pendant edge 6-7 (no triangles, clustering NULL at deg 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (6L, 7L)).toDF("src", "dst")
+    val out = GraphOps.triangleCensus(edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // nodes 1 and 2: degree 4 (three K4 edges + the edge to 5), 4 triangles
+    // (three K4 faces + {1,2,5}), clustering 2·4/(4·3) = 0.666667
+    assert(out(1L) == ((4L, 4L, Some(0.666667))))
+    assert(out(2L) == ((4L, 4L, Some(0.666667))))
+    assert(out(3L) == ((3L, 3L, Some(1.0))))
+    assert(out(4L) == ((3L, 3L, Some(1.0))))
+    assert(out(5L) == ((2L, 1L, Some(1.0))))
+    assert(out(6L) == ((1L, 0L, None)) && out(7L) == ((1L, 0L, None)))
+  }
+
+  test("triangleCensus: equals brute-force triple enumeration on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val es = (for (a <- 1 to n; b <- a + 1 to n if rnd.nextDouble() < 0.12)
+      yield (a.toLong, b.toLong)).toVector
+    val eset = es.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (a <- 1 to n; b <- a + 1 to n; c <- b + 1 to n
+         if eset((a.toLong, b.toLong)) && eset((a.toLong, c.toLong)) && eset((b.toLong, c.toLong))) {
+      brute(a.toLong) += 1; brute(b.toLong) += 1; brute(c.toLong) += 1
+    }
+    val out = GraphOps.triangleCensus(es.toDF("src", "dst"))
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { nd =>
+      assert(out(nd) == brute(nd), s"node $nd: engine ${out(nd)} vs brute ${brute(nd)}")
+    }
+    assert(out.values.sum == brute.values.sum && brute.values.sum > 0)
+  }
 }
