@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.Fx._
 import graft.operators._
+import graft.pipeline.GraftSql
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -975,7 +976,18 @@ ORDER BY r.rank DESC, partkey"""
         .orderBy(col("vt").desc, col("symbol").asc).limit(5)
         .agg(rd(sum(col("vt")).cast("double") / max(col("total")) * 100, 4)
           .as("top5_share_pct"))
-    })
+    }),
+
+    // -- the reference README's three PUBLISHED ad-hoc analyst queries, run
+    // as literal text through GraftSql over the registered reference views
+    // (README.md:64-71, 89-97, 109-115) — the "switch engines without
+    // rewriting your SQL" contract as hash-oracled gate rows. The texts are
+    // quoted in GraftSql; the runners strip only statement plumbing, apply
+    // the one documented README date/data_id erratum (q121), and normalize
+    // outside the text per the gate's standard conventions --
+    "q121_readme_weekly_vol" -> ((s, dir) => GraftSql.readmeWeeklyVol(s, dir)),
+    "q122_readme_risk_profile" -> ((s, dir) => GraftSql.readmeRiskProfile(s, dir)),
+    "q123_readme_liquidity" -> ((s, dir) => GraftSql.readmeLiquidity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -1736,6 +1748,59 @@ GROUP BY symbol ORDER BY symbol"""),
 ), tot AS (SELECT sum(vt) AS total FROM bt)
 SELECT round(CAST(t5 AS DOUBLE) / total * 100, 4) + 0 AS top5_share_pct
 FROM t5, tot"""),
+
+    // -- q121–q123: the README's published ad-hoc texts. The readme CTE body
+    // is the LITERAL README statement (DuckDB's STDDEV is sample stddev,
+    // like Postgres'), with the same one-word date→data_id erratum applied
+    // to q121 as on the Spark side; the outer SELECT is the standard gate
+    // normalization (date→string, +0, deterministic order) --
+    "q121_readme_weekly_vol" -> (FACT + """, fact_movimentacao_diaria AS (
+  SELECT symbol AS ticker, date AS data_id, open, high, low, close, volume, variacao_diaria FROM fact
+), readme AS (
+SELECT
+    DATE_TRUNC('week', data_id)::date AS week_start,
+    ticker,
+    ROUND(STDDEV(variacao_diaria), 2) AS vol
+FROM fact_movimentacao_diaria
+GROUP BY DATE_TRUNC('week', data_id), ticker
+)
+SELECT CAST(week_start AS VARCHAR) AS week_start, ticker, vol + 0 AS vol
+FROM readme ORDER BY ticker, week_start"""),
+
+    "q122_readme_risk_profile" -> (FACT + """, fact_movimentacao_diaria AS (
+  SELECT symbol AS ticker, date AS data_id, open, high, low, close, volume, variacao_diaria FROM fact
+), readme AS (
+SELECT
+    ticker,
+    STDDEV(variacao_diaria) AS volatilidade,
+    AVG(variacao_diaria) AS retorno_medio,
+    MAX(variacao_diaria) AS variacao_maxima,
+    MIN(variacao_diaria) AS variacao_minima
+FROM fact_movimentacao_diaria
+GROUP BY ticker
+ORDER BY volatilidade DESC
+)
+SELECT ticker,
+       round(volatilidade, 6) + 0 AS volatilidade,
+       round(retorno_medio, 6) + 0 AS retorno_medio,
+       round(variacao_maxima, 6) + 0 AS variacao_maxima,
+       round(variacao_minima, 6) + 0 AS variacao_minima
+FROM readme ORDER BY round(volatilidade, 6) DESC, ticker"""),
+
+    "q123_readme_liquidity" -> (FACT + """, fact_movimentacao_diaria AS (
+  SELECT symbol AS ticker, date AS data_id, open, high, low, close, volume, variacao_diaria FROM fact
+), readme AS (
+SELECT
+    ticker,
+    AVG(volume) AS volume_medio,
+    SUM(volume) AS volume_total
+FROM fact_movimentacao_diaria
+GROUP BY ticker
+ORDER BY volume_total DESC
+)
+SELECT ticker, round(volume_medio, 4) + 0 AS volume_medio,
+       CAST(volume_total AS BIGINT) AS volume_total
+FROM readme ORDER BY volume_total DESC, ticker"""),
 
     "q46_moving_avg" -> (BARS + """
 SELECT symbol, CAST(date AS VARCHAR) AS date,

@@ -70,4 +70,103 @@ object GraftSql {
     registerReferenceSchema(spark, dir)
     spark.sql(statement)
   }
+
+  // --------------------------------------------------------------------------
+  // The reference README's three PUBLISHED ad-hoc analyst queries — the texts
+  // a migrating user would actually paste in. Each is stored as the literal
+  // README text; the runners strip statement plumbing (the `CREATE TABLE …
+  // AS` DDL wrapper and the trailing `;`, which are Postgres-side mechanics
+  // exactly as GraftSqlSpec treats the DAG's DDL), apply at most the ONE
+  // documented erratum below, execute via `spark.sql`, and then normalize
+  // OUTSIDE the text for the driver's hash compare (date→string, NaN→NULL
+  // dialect shim, ±0.0 double canonicalization, deterministic ORDER BY) —
+  // the same conventions every other gate query uses on both sides.
+  //
+  // ERRATUM (q121 only): the README's weekly-volatility text
+  // (`README.md:64-71`) names the fact date column `date`, but the shipped
+  // fact table has `data_id` (`dags/financial_pipeline.py:171-173`) — the
+  // text as published cannot run on the reference's own Postgres either.
+  // One mechanical substitution (`'week', date)` → `'week', data_id)`),
+  // applied identically on the oracle side, and nothing else.
+  // --------------------------------------------------------------------------
+
+  /** Literal text of `README.md:64-71` (rounded weekly volatility). */
+  val readmeWeeklyVolText: String =
+    """CREATE TABLE volatility_weekly AS
+      |SELECT
+      |    DATE_TRUNC('week', date)::date AS week_start,
+      |    ticker,
+      |    ROUND(STDDEV(variacao_diaria), 2) AS vol
+      |FROM fact_movimentacao_diaria
+      |GROUP BY DATE_TRUNC('week', date), ticker;""".stripMargin
+
+  /** Literal text of `README.md:89-97` (volatility / risk profile).
+    * (The README's `SELECT ` carries a trailing space; the stored text strips
+    * line-trailing whitespace only — GraftSqlSpec pins this equivalence
+    * against the published file.) */
+  val readmeRiskProfileText: String =
+    """SELECT
+      |    ticker,
+      |    STDDEV(variacao_diaria) AS volatilidade,
+      |    AVG(variacao_diaria) AS retorno_medio,
+      |    MAX(variacao_diaria) AS variacao_maxima,
+      |    MIN(variacao_diaria) AS variacao_minima
+      |FROM fact_movimentacao_diaria
+      |GROUP BY ticker
+      |ORDER BY volatilidade DESC;""".stripMargin
+
+  /** Literal text of `README.md:109-115` (volume / liquidity); same
+    * trailing-whitespace note as [[readmeRiskProfileText]]. */
+  val readmeLiquidityText: String =
+    """SELECT
+      |    ticker,
+      |    AVG(volume) AS volume_medio,
+      |    SUM(volume) AS volume_total
+      |FROM fact_movimentacao_diaria
+      |GROUP BY ticker
+      |ORDER BY volume_total DESC;""".stripMargin
+
+  /** `CREATE TABLE t AS <select>;` → `<select>` — DDL wrapper and statement
+    * terminator are engine-side plumbing, not query semantics. */
+  private[graft] def stripStatementPlumbing(text: String): String =
+    text.replaceFirst("(?s)^CREATE TABLE \\w+ AS\\s*", "").trim.stripSuffix(";")
+
+  private[graft] def applyDateErratum(body: String): String =
+    body.replace("'week', date)", "'week', data_id)")
+
+  /** q121: the README weekly-vol text, run unchanged (modulo the documented
+    * erratum) over the registered reference schema. */
+  def readmeWeeklyVol(spark: SparkSession, dir: String): DataFrame = {
+    registerReferenceSchema(spark, dir)
+    spark.sql(applyDateErratum(stripStatementPlumbing(readmeWeeklyVolText)))
+      .select(
+        date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),
+        col("ticker"),
+        (when(isnan(col("vol")), lit(null)).otherwise(col("vol")) + lit(0d)).as("vol"))
+      .orderBy(col("ticker"), col("week_start"))
+  }
+
+  /** q122: the README risk-profile text, run unchanged. */
+  def readmeRiskProfile(spark: SparkSession, dir: String): DataFrame = {
+    registerReferenceSchema(spark, dir)
+    spark.sql(stripStatementPlumbing(readmeRiskProfileText))
+      .select(
+        col("ticker"),
+        (round(when(isnan(col("volatilidade")), lit(null)).otherwise(col("volatilidade")), 6) + lit(0d)).as("volatilidade"),
+        (round(col("retorno_medio"), 6) + lit(0d)).as("retorno_medio"),
+        (round(col("variacao_maxima"), 6) + lit(0d)).as("variacao_maxima"),
+        (round(col("variacao_minima"), 6) + lit(0d)).as("variacao_minima"))
+      .orderBy(col("volatilidade").desc, col("ticker"))
+  }
+
+  /** q123: the README liquidity text, run unchanged. */
+  def readmeLiquidity(spark: SparkSession, dir: String): DataFrame = {
+    registerReferenceSchema(spark, dir)
+    spark.sql(stripStatementPlumbing(readmeLiquidityText))
+      .select(
+        col("ticker"),
+        (round(col("volume_medio"), 4) + lit(0d)).as("volume_medio"),
+        col("volume_total").cast("long").as("volume_total"))
+      .orderBy(col("volume_total").desc, col("ticker"))
+  }
 }

@@ -67,6 +67,55 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(view == engine)
   }
 
+  test("q121-q123 texts are the published README blocks, modulo line-trailing whitespace") {
+    val readme = java.nio.file.Paths.get("/root/reference/README.md")
+    assume(java.nio.file.Files.isReadable(readme), "reference checkout not present")
+    val lines = java.nio.file.Files.readAllLines(readme)
+    def block(from: Int, to: Int): String = // 1-based inclusive, like the citations
+      (from to to).map(i => lines.get(i - 1).replaceAll("\\s+$", "")).mkString("\n")
+    def norm(s: String): String = s.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
+    assert(norm(GraftSql.readmeWeeklyVolText) == block(65, 71),
+      "q121 stored text drifted from README.md:65-71")
+    assert(norm(GraftSql.readmeRiskProfileText) == block(89, 97),
+      "q122 stored text drifted from README.md:89-97")
+    assert(norm(GraftSql.readmeLiquidityText) == block(109, 115),
+      "q123 stored text drifted from README.md:109-115")
+    // the one documented erratum is exactly one mechanical substitution wide:
+    // it rewrites the two DATE_TRUNC('week', date) call sites and nothing else
+    val body = GraftSql.stripStatementPlumbing(GraftSql.readmeWeeklyVolText)
+    val shimmed = GraftSql.applyDateErratum(body)
+    assert(shimmed != body && shimmed == body.replace("'week', date)", "'week', data_id)"))
+    assert(GraftSql.applyDateErratum(GraftSql.readmeRiskProfileText) == GraftSql.readmeRiskProfileText
+      && GraftSql.applyDateErratum(GraftSql.readmeLiquidityText) == GraftSql.readmeLiquidityText,
+      "erratum must be a no-op on the q122/q123 texts")
+  }
+
+  test("the README ad-hoc queries execute through GraftSql and agree with the engine operators") {
+    import org.apache.spark.sql.functions.{round => rnd}
+    val risk = GraftSql.readmeRiskProfile(spark, sf)
+      .select(col("ticker"), col("volatilidade"))
+      .as[(String, Option[Double])].collect().toMap
+    val engine = Analytics.riskProfile(MarketView.fact(spark, sf))
+      .select(col("symbol"), (rnd(col("volatilidade"), 6) + lit(0d)).as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(risk == engine && risk.nonEmpty,
+      "README risk-profile text diverges from the engine risk profile")
+    val liq = GraftSql.readmeLiquidity(spark, sf)
+      .select(col("ticker"), col("volume_total")).as[(String, Long)].collect().toMap
+    val engineLiq = Analytics.liquidity(MarketView.dailyBars(spark, sf))
+      .select(col("symbol"), col("volume_total")).as[(String, Long)].collect().toMap
+    assert(liq == engineLiq && liq.nonEmpty)
+    // weekly vol: README rounds to 2 — compare against the engine's rounded MV
+    val wk = GraftSql.readmeWeeklyVol(spark, sf)
+      .select(col("ticker"), col("week_start"), col("vol"))
+      .as[(String, String, Option[Double])].collect().toSet
+    val engineWk = Analytics.weeklyVolatilityRounded(MarketView.fact(spark, sf))
+      .select(col("ticker"), col("semana"), (col("vol") + lit(0d)).as("vol"))
+      .as[(String, String, Option[Double])].collect().toSet
+    assert(wk == engineWk && wk.nonEmpty,
+      "README weekly-vol text diverges from the engine rounded weekly volatility")
+  }
+
   test("the reference's dim_instrumento body runs verbatim; the DOW dialect shim is pinned") {
     GraftSql.registerReferenceSchema(spark, sf)
     val ref = spark.sql(
