@@ -48,19 +48,52 @@ object Bench {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** SHA-256 over the SF dataset's parquet file inventory (sorted relative
+    * path + size + mtime): the data-side merge-eligibility fingerprint
+    * (ADVICE r8 — regenerating the corpus at the SAME path, e.g. the
+    * documented 100× replica rebuild, must void a merge with minima that
+    * were measured on the old data). Content bytes are deliberately not
+    * hashed: size+mtime flips on any rewrite and costs ~nothing at 100 TB,
+    * where a full re-read for hashing would dwarf the bench itself. */
+  def dataSha(sfDir: String): String = {
+    val root = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.isDirectory(root)) return "unknown"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      walk.filter(p => java.nio.file.Files.isRegularFile(p))
+        .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .forEach { p =>
+          val attrs = java.nio.file.Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+          md.update(s"${root.relativize(p)}|${attrs.size}|${attrs.lastModifiedTime.toMillis}\n".getBytes("UTF-8"))
+        }
+    } finally walk.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[graft] final case class BenchLine(
+    queries: Map[String, Double], errorKeys: Set[String],
+    sf: String, srcSha: String, dataSha: String, runs: Int)
+
   /** Parse the flat fields this main needs out of a bench-shaped JSON line
     * (the known writer formats: this main's own output and bench2's merged
     * file — query names are [A-Za-z0-9_]+, values plain doubles, no nested
-    * objects inside "queries"). */
-  private[graft] def parseBenchLine(s: String): Option[(Map[String, Double], String, String, Int)] = {
+    * objects inside "queries"/"errors"). */
+  private[graft] def parseBenchLine(s: String): Option[BenchLine] = {
     val qObj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
     qObj.map { body =>
       val qs = """"([A-Za-z0-9_]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // a query that threw in a pass records a FAST FAILURE wall time; its
+      // name in the errors map is what disqualifies that sample (ADVICE r8)
+      val errKeys = """"errors":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
+        .map(b => """"([A-Za-z0-9_]+)":""".r.findAllMatchIn(b).map(_.group(1)).toSet)
+        .getOrElse(Set.empty[String])
       val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       val sha = """"src_sha":"([0-9a-f]+|unknown)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val dSha = """"data_sha":"([0-9a-f]+|unknown)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       val runs = """"runs":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1)
-      (qs, sf, sha, runs)
+      BenchLine(qs, errKeys, sf, sha, dSha, runs)
     }
   }
 
@@ -114,17 +147,22 @@ object Bench {
     }
 
     // Fold in bench2's cross-JVM merged minima when provenance allows it:
-    // identical source fingerprint + same SF dir + same query set. Anything
-    // else (stale file, code drift, different SF, different surface) keeps
-    // this run's own numbers — the merge can only ever be apples-to-apples.
+    // identical source fingerprint + identical DATA fingerprint + same SF
+    // dir + same query set + a CLEAN external run (empty errors map — a
+    // query that threw in a bench2 pass recorded a fast-failure time that
+    // must never win a min, ADVICE r8). Anything else (stale file, code or
+    // data drift, different SF, different surface, errored pass) keeps this
+    // run's own numbers — the merge can only ever be apples-to-apples.
     val sha = srcSha()
+    val dSha = dataSha(sfDir)
     val ownQueries = results.map(t => t._1 -> t._2).toMap
     val external: Option[(Map[String, Double], Int)] =
       if (sys.env.contains("SPARK_GRAFT_NO_MERGE")) None
       else scala.util.Try(java.nio.file.Files.readString(java.nio.file.Paths.get(mergedFile)))
         .toOption.flatMap(parseBenchLine).collect {
-          case (qs, sf, mSha, runs)
+          case BenchLine(qs, errKeys, sf, mSha, mDSha, runs)
             if sf == sfDir && mSha == sha && mSha != "unknown" &&
+              mDSha == dSha && mDSha != "unknown" && errKeys.isEmpty &&
               qs.keySet == ownQueries.keySet => (qs, runs)
         }
     val totalRuns = 1 + external.map(_._2).getOrElse(0)
@@ -148,7 +186,7 @@ object Bench {
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = finalQueries.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

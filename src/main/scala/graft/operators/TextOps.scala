@@ -1541,7 +1541,15 @@ object TextOps {
         (length(col("enc")) -
           length(call_function("replace", col("enc"), lit("<"), lit(""))))
           .cast("long").as("n_bpe"))
-    words.join(broadcast(encVocab), Seq("lang", "word"))
+    // NO broadcast hint on the vocabulary join (ADVICE r8): distinct
+    // (lang, word) cardinality is unbounded on web corpora (tens of millions
+    // of types), so a forced broadcast can blow the driver/executor limit at
+    // exactly the scale this operator exists for. AQE sees the REAL post-
+    // aggregation size of encVocab at runtime and still picks broadcast
+    // whenever the vocabulary is genuinely small (it is at every test SF);
+    // past the threshold it falls back to a shuffle join keyed by
+    // (lang, word) — the only plan that survives an unbounded type inventory.
+    words.join(encVocab, Seq("lang", "word"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).cast("long").as("n_chars_alnum"),

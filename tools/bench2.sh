@@ -53,14 +53,21 @@ assert all(set(d["queries"]) == set(names) for d in ds), "query sets differ betw
 shas = {d.get("src_sha", "") for d in ds}
 assert len(shas) == 1 and "unknown" not in shas, \
     f"passes ran different source trees (src_sha {shas}) — refusing to merge"
+dshas = {d.get("data_sha", "") for d in ds}
+assert len(dshas) == 1 and "" not in dshas and "unknown" not in dshas, \
+    f"passes ran different datasets (data_sha {dshas}) — refusing to merge"
+# A query that threw records a FAST FAILURE wall time; letting it into the
+# per-query min would publish a failure as a clean success (ADVICE r8).
+# graft.Bench already hard-fails such a pass, so reaching here with errors
+# means someone hand-fed a doctored pass file: refuse outright.
+for f, d in zip(runs, ds):
+    assert not d.get("errors"), \
+        f"pass {f} reports errors {sorted(d['errors'])} — refusing to merge"
 merged = {q: min(d["queries"][q] for d in ds) for q in names}
-errors = {}
-for d in ds:
-    errors.update(d.get("errors", {}))
 res = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
-       "queries": merged, "errors": errors, "sf": ds[0]["sf"],
+       "queries": merged, "errors": {}, "sf": ds[0]["sf"],
        "protocol": f"min over {len(ds)} full JVM run(s) x 3 in-process passes",
-       "runs": len(ds), "src_sha": shas.pop()}
+       "runs": len(ds), "src_sha": shas.pop(), "data_sha": dshas.pop()}
 line = json.dumps(res, separators=(",", ":"))
 print(line)
 for path in (out, merged_path):
