@@ -39,19 +39,64 @@ object StreamingOps {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Materialize a gate's small aggregated result and DROP the memory-sink
-    * table backing it. The memory sink pins the full emitted row set (dedup
-    * key sets, join pair sets — corpus-sized) in driver memory for the
-    * table's lifetime, so a long-lived session running gates repeatedly
-    * would accumulate every run's state forever. The aggregate itself is
-    * tiny by construction (weeks × types, per-user counts); localCheckpoint
-    * materializes it eagerly, after which the sink table is dropped.
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  /** Run one batch-parity gate to completion against a memory sink and tear
+    * down EVERYTHING the run allocated (r8 watch item: repeated same-JVM
+    * gate runs were run-order-sensitive at 100× because each run left
+    * residue behind). Per run:
+    *   - a UNIQUE checkpoint dir, created here and deleted after the drain —
+    *     never Spark's session-scoped temp location, whose cleanup timing is
+    *     the engine's business, not the gate's;
+    *   - the memory-sink table (which pins the full emitted row set — dedup
+    *     key sets, join pair sets, corpus-sized at 100× — in driver memory)
+    *     is dropped eagerly, right after `drain`'s tiny aggregate of it is
+    *     materialized by localCheckpoint;
+    *   - every state-store provider the run loaded is unloaded NOW. Spark
+    *     only unloads providers lazily from the maintenance thread, so a
+    *     rapid gate sequence otherwise stacks each run's full join/session
+    *     state maps on the heap until maintenance catches up — the measured
+    *     19–47 s q119 variance.
+    * The production path is untouched: live queries keep their durable
+    * checkpoint ([[parquetSink]], [[nearDupStreamWithGrowingIndex]]); this
+    * lifecycle is the gate harness', whose checkpoint is worthless once the
+    * result is materialized.
     */
-  private def drainGate(spark: SparkSession, name: String,
-                        agg: DataFrame): DataFrame = {
-    val out = agg.localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+  private def runMemoryGate(spark: SparkSession, prefix: String,
+                            agg: DataFrame, mode: OutputMode)
+                           (drain: DataFrame => DataFrame): DataFrame = {
+    val name = s"${prefix}_${gateRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      val out = drain(spark.table(name)).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      deleteRecursively(ckpt)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+      // The outer-join gates' drained result is the FULL emitted set (3.99M
+      // rows at 100×), locally checkpointed into block-manager storage; a
+      // PREVIOUS run's copy is freed by ContextCleaner only after a GC
+      // notices it is unreachable. Forcing the collection here makes that
+      // reclamation deterministic instead of leaving multi-GB residue to
+      // whenever the JVM next feels pressure — measured round 9 as the
+      // 20–38 s q119 run-order variance at 100×. Harness-only cost: seven
+      // gate queries trigger this, once per run.
+      System.gc()
+    }
   }
 
   /** Batch-parity gate for the weekly tumbling aggregate (correctness-gate
@@ -77,19 +122,12 @@ object StreamingOps {
     * in [[weeklyTumbling]] under the q53-style sketch contract.
     */
   def weeklyTumblingParity(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"stream_weekly_gate_${gateRuns.incrementAndGet()}"
     val agg = eventStream(spark, dir)
       .groupBy(window(col("ts"), "7 days", "7 days", "4 days"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sum_dec"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+    runMemoryGate(spark, "stream_weekly_gate", agg, OutputMode.Complete())(_
       .select(col("event_type"),
         graft.functions.Fx.dateStr(col("window.start").cast("date")).as("semana"),
         col("n_events"),
@@ -122,20 +160,13 @@ object StreamingOps {
     */
   def sessionParity(spark: SparkSession, dir: String,
                     gapMin: Int = 30): DataFrame = {
-    val name = s"stream_sessions_gate_${gateRuns.incrementAndGet()}"
     val agg = eventStream(spark, dir)
       .withWatermark("ts", s"$gapMin minutes")
       .groupBy(session_window(col("ts"), s"$gapMin minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sum_dec"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+    runMemoryGate(spark, "stream_sessions_gate", agg, OutputMode.Append())(_
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"),
@@ -158,7 +189,6 @@ object StreamingOps {
     */
   def runningStatsParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = s"stream_running_gate_${gateRuns.incrementAndGet()}"
     val ev = eventStream(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("v"))
@@ -174,14 +204,8 @@ object StreamingOps {
           state.update((n, s))
           (uid, n, s)
       }
-    val q = out.toDF("user_id", "n_events", "sum_dec")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+    runMemoryGate(spark, "stream_running_gate",
+      out.toDF("user_id", "n_events", "sum_dec"), OutputMode.Update())(_
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_dec"))).as("r"))
       .select(col("user_id"), col("r.n_events").as("n_events"),
@@ -202,17 +226,10 @@ object StreamingOps {
     * production variant for continuous streams stays [[dedupStream]].
     */
   def dedupParity(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"stream_dedup_gate_${gateRuns.incrementAndGet()}"
     val dedup = eventStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val q = dedup.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+    runMemoryGate(spark, "stream_dedup_gate", dedup, OutputMode.Append())(_
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type"))
@@ -235,7 +252,6 @@ object StreamingOps {
     */
   def streamJoinParity(spark: SparkSession, dir: String,
                        windowMin: Int = 10): DataFrame = {
-    val name = s"stream_join_gate_${gateRuns.incrementAndGet()}"
     def side(tpe: String, tsCol: String, idCol: String) =
       eventStream(spark, dir)
         .filter(col("event_type") === tpe)
@@ -249,13 +265,7 @@ object StreamingOps {
         col("p_ts_ns") >= col("click_ts_ns") &&
         col("p_ts_ns") <= col("click_ts_ns") + expr(s"${windowMin}L * 60000000000L"))
       .select(clicks("user_id").as("user_id"), col("click_id"), col("p_id"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+    runMemoryGate(spark, "stream_join_gate", joined, OutputMode.Append())(_
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("click_id")).as("n_clicks"))
       .orderBy("user_id"))
@@ -289,9 +299,8 @@ object StreamingOps {
     * The oracle states exactly this: the batch inner join UNION ALL the
     * unmatched clicks beyond the window, both at micro precision.
     */
-  def streamLeftJoinParity(spark: SparkSession, dir: String,
-                           windowMin: Int = 10): DataFrame = {
-    val name = s"stream_leftjoin_gate_${gateRuns.incrementAndGet()}"
+  private def leftJoinStream(spark: SparkSession, dir: String,
+                             windowMin: Int): DataFrame = {
     def side(tpe: String, tsCol: String, idCol: String) =
       eventStream(spark, dir)
         .filter(col("event_type") === tpe)
@@ -299,22 +308,20 @@ object StreamingOps {
         .withWatermark(tsCol, s"$windowMin minutes")
     val clicks = side("click", "click_ts", "click_id")
     val purchases = side("purchase", "p_ts", "p_id")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       clicks("user_id") === purchases("user_id") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMin minutes"),
       "left_outer")
       .select(clicks("user_id").as("user_id"), col("click_id"),
         unix_micros(col("click_ts")).as("click_us"), col("p_id"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
-      .orderBy(col("click_id"), col("p_id")))
   }
+
+  def streamLeftJoinParity(spark: SparkSession, dir: String,
+                           windowMin: Int = 10): DataFrame =
+    runMemoryGate(spark, "stream_leftjoin_gate",
+      leftJoinStream(spark, dir, windowMin), OutputMode.Append())(_
+      .orderBy(col("click_id"), col("p_id")))
 
   /** Batch-parity gate for FULL-OUTER watermarked stream-stream joins
     * (correctness-gate entry `q119_stream_full_join`) — [[streamLeftJoinParity]]'s
@@ -329,9 +336,8 @@ object StreamingOps {
     * cuts, all at micro precision (verified empirically and pinned by
     * StreamingOpsSpec at both boundaries).
     */
-  def streamFullJoinParity(spark: SparkSession, dir: String,
-                           windowMin: Int = 10): DataFrame = {
-    val name = s"stream_fulljoin_gate_${gateRuns.incrementAndGet()}"
+  private def fullJoinStream(spark: SparkSession, dir: String,
+                             windowMin: Int): DataFrame = {
     def side(tpe: String, tsCol: String, idCol: String) =
       eventStream(spark, dir)
         .filter(col("event_type") === tpe)
@@ -340,7 +346,7 @@ object StreamingOps {
         .withWatermark(tsCol, s"$windowMin minutes")
     val clicks = side("click", "click_ts", "click_id")
     val purchases = side("purchase", "p_ts", "p_id")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       col("click_id_uid") === col("p_id_uid") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowMin minutes"),
@@ -349,14 +355,49 @@ object StreamingOps {
         coalesce(col("click_id_uid"), col("p_id_uid")).as("user_id"),
         col("click_id"), unix_micros(col("click_ts")).as("click_us"),
         col("p_id"), unix_micros(col("p_ts")).as("p_us"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    drainGate(spark, name, spark.table(name)
+  }
+
+  def streamFullJoinParity(spark: SparkSession, dir: String,
+                           windowMin: Int = 10): DataFrame =
+    runMemoryGate(spark, "stream_fulljoin_gate",
+      fullJoinStream(spark, dir, windowMin), OutputMode.Append())(_
       .orderBy(col("click_id"), col("p_id")))
+
+  /** The outer-join gate at CORPUS scale: identical streaming query, but the
+    * emitted set (3.99M rows at 100×) lands in parquet via a distributed
+    * file sink instead of the driver-resident memory sink — the shape a
+    * production attribution pipeline actually runs, and the variant the 100×
+    * sweep times (the memory sink's driver transit was the dominant, noisy
+    * cost at 100×; SCALING.md round-9 row). Same per-run checkpoint +
+    * state-store teardown as the memory gates; returns the tiny emission
+    * census (matched / click-null / purchase-null counts) read back from the
+    * files, which the sweep asserts against the memory-gate totals at gate SF.
+    */
+  def streamFullJoinParityToParquet(spark: SparkSession, dir: String,
+                                    outPath: String,
+                                    windowMin: Int = 10): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fulljoin_pq")
+    try {
+      val q = fullJoinStream(spark, dir, windowMin).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", outPath)
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.read.parquet(outPath)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("click_id").isNotNull && col("p_id").isNotNull, 1)).as("n_matched"),
+          count(when(col("p_id").isNull, 1)).as("n_click_dangling"),
+          count(when(col("click_id").isNull, 1)).as("n_purchase_dangling"))
+        .localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
   }
 
   /** Gap-based sessions: built-in session_window with a 30-min gap — the

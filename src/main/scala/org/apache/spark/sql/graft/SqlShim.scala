@@ -20,4 +20,14 @@ object SqlShim {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+
+  /** Unload every loaded state-store provider NOW. Spark only evicts
+    * providers lazily from the maintenance thread after the coordinator
+    * deactivates a stopped query's instances, so a rapid sequence of
+    * short-lived gate runs stacks each run's full state maps on the heap in
+    * the meantime. Streaming queries that are still running are unaffected
+    * beyond a state reload from their checkpoint on next access.
+    */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

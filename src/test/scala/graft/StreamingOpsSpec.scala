@@ -171,6 +171,21 @@ class StreamingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("streamFullJoinParityToParquet: distributed-sink census equals the memory gate's emitted set") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fulljoin_pq").toString + "/out"
+    val census = StreamingOps.streamFullJoinParityToParquet(spark, sf, outDir)
+      .as[(Long, Long, Long, Long)].head()
+    val mem = StreamingOps.streamFullJoinParity(spark, sf).cache()
+    val memCensus = (
+      mem.count(),
+      mem.filter(col("click_id").isNotNull && col("p_id").isNotNull).count(),
+      mem.filter(col("p_id").isNull).count(),
+      mem.filter(col("click_id").isNull).count())
+    mem.unpersist()
+    assert(census == memCensus && census._1 > 0,
+      s"parquet-sink gate census $census != memory-sink census $memCensus")
+  }
+
   test("outer stream joins: eviction is STRICT at the exact watermark boundary (engineered fixture)") {
     // The gate corpora never land a row exactly on the eviction cut, so the
     // oracles' strict `<` was unexercised there. This fixture pins it: with
