@@ -728,6 +728,11 @@ ORDER BY r.rank DESC, partkey"""
     // -- REAL video container metadata: RIFF/AVI + MP4 byte parsing over
     //    deterministic fixtures; closed-form literal oracle like q80 --
     "q81_video_meta" -> ((s, _) => Multimodal.videoMetaProfile(s)),
+    // REAL MJPEG-in-AVI frame decode (movi chunk walk + javax.imageio per
+    // frame) over deterministic fixtures whose per-frame means are exact by
+    // the jpegFrame build-time contract — retires the stubbed video-decode
+    // path for the one codec family the JDK can genuinely decode
+    "q124_video_frames" -> ((s, _) => Multimodal.videoFrameProfile(s)),
 
     // -- A15: grand mean of per-ticker aggregates (notebook reference lines) --
     "q41_market_overview" -> ((s, dir) => {
@@ -1682,6 +1687,21 @@ SELECT item, metric, CAST(value AS DOUBLE) AS value FROM (VALUES
   ('vid_b.mp4', 'width', 640.0)
 ) AS t(item, metric, value)
 ORDER BY item, metric""",
+
+    // per-frame ground truth: uniform-gray MJPEG frames decode to exactly
+    // their gray level (all AC coefficients zero; DC reconstruction verified
+    // at fixture build), so every row is a literal
+    "q124_video_frames" -> """
+SELECT item, CAST(frame_idx AS BIGINT) AS frame_idx, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, CAST(mean_luma AS DOUBLE) AS mean_luma
+FROM (VALUES
+  ('clip_a.avi', 0, 48, 32, 128.0),
+  ('clip_a.avi', 1, 48, 32, 160.0),
+  ('clip_a.avi', 2, 48, 32, 192.0),
+  ('clip_b.avi', 0, 64, 48, 192.0),
+  ('clip_b.avi', 1, 64, 48, 64.0)
+) AS t(item, frame_idx, width, height, mean_luma)
+ORDER BY item, frame_idx""",
 
     "q41_market_overview" -> (FACT + """, m AS (
   SELECT symbol, stddev_samp(variacao_diaria) AS vol, avg(variacao_diaria) AS vm

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   * bytes with the JDK's `javax.imageio` (true width/height/mean-luminance).
   * The AUDIO branch is real for WAV/AIFF/AU: `decodeAudio`/`audioFeatures`
   * via `javax.sound.sampled` (true sample rate/channels/duration/RMS).
-  * VIDEO decode remains the one STUB — the JDK ships no video codec — and
+  * VIDEO is real on two axes: container metadata for RIFF/AVI + MP4
+  * (`videoMeta`, pure byte-format parsing) and FRAME decode for
+  * MJPEG-in-AVI (`decodeAviFrames` — Motion-JPEG frames are baseline
+  * JPEGs, within `javax.imageio`'s reach). Inter-frame codecs (H.264 …)
+  * are the one remaining stub — the JDK ships no such codec — and
   * `decodeStub` derives deterministic fake media properties from payload
   * bytes (q40's synthetic testdata also flows through the stub: its payloads
   * are text bytes, not media). Everything around the codec boundary is the
@@ -187,6 +191,185 @@ object Multimodal {
     box(sttsSize, "stts"); bb.putInt(0)
     bb.putInt(1); bb.putInt(frames); bb.putInt(duration / frames)
     java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** One uniform-color JPEG frame for the MJPEG fixtures, with the exactness
+    * contract ENFORCED at build time: a uniform RGB image has constant
+    * Y/Cb/Cr planes, so every AC coefficient is zero and the decoded value
+    * can only differ from the input via DC quantization — for the values
+    * registered below the JDK encoder's DC step reconstructs them exactly,
+    * and the `require` turns any codec/platform drift into a loud fixture-
+    * build failure instead of a silent oracle mismatch (q80's closed-form
+    * discipline, extended to a lossy codec by verifying losslessness for
+    * these specific inputs).
+    */
+  private[graft] def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", out))
+    val bytes = out.toByteArray
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = back.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    require(s == 3L * gray * w * h,
+      s"JPEG round-trip of uniform gray $gray drifted (sum $s vs ${3L * gray * w * h}) — pick an exactly-reconstructing value")
+    bytes
+  }
+
+  /** Minimal-but-valid Motion-JPEG AVI: RIFF(AVI ){LIST(hdrl){avih},
+    * LIST(movi){'00dc' JPEG frames}} — the container layout [[decodeAviFrames]]
+    * walks, with real JPEG payloads from [[jpegFrame]]. */
+  private[graft] def mkMjpegAviFixture(w: Int, h: Int, usPerFrame: Int,
+                                       grays: Seq[Int]): Array[Byte] = {
+    val frames = grays.map(jpegFrame(w, h, _))
+    val hdrlData = 4 + 8 + 56
+    val moviData = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData)
+    val bb = java.nio.ByteBuffer.allocate(riffData + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("ISO-8859-1"))
+    cc("RIFF"); bb.putInt(riffData); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlData); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(grays.size); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(moviData); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** MJPEG fixture corpus — its OWN directory so q81's container-metadata
+    * profile over the main fixture dir keeps its registered row set. Same
+    * idempotent atomic-move placement as [[ensureMediaFixtures]]. */
+  private[graft] def ensureMjpegFixtures(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_media_fixtures_mjpeg_v1")
+    Files.createDirectories(dir)
+    def place(name: String)(bytes: => Array[Byte]): Unit = {
+      val target = dir.resolve(name)
+      if (!Files.exists(target)) {
+        val tmp = dir.resolve(s".$name.tmp${System.nanoTime()}")
+        Files.write(tmp, bytes)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // 3 frames at 25 fps; 2 frames at 50 fps — frame means are the uniform
+    // grays, exact by jpegFrame's build-time contract
+    place("clip_a.avi")(mkMjpegAviFixture(48, 32, usPerFrame = 40000, grays = Seq(128, 160, 192)))
+    place("clip_b.avi")(mkMjpegAviFixture(64, 48, usPerFrame = 20000, grays = Seq(192, 64)))
+    dir.toString
+  }
+
+  /** REAL frame-decode profile (registered as q124): the MJPEG movi walk +
+    * per-frame `javax.imageio` decode over the deterministic fixtures —
+    * every value a closed-form constant the DuckDB oracle states as
+    * literals, like q80/q81. This retires the last stubbed decode path for
+    * a format the JDK can genuinely decode; non-MJPEG codecs (H.264 …)
+    * remain outside the JDK's reach and keep the documented stub.
+    */
+  def videoFrameProfile(spark: SparkSession): DataFrame = {
+    val dir = ensureMjpegFixtures()
+    videoFrameFeatures(spark, dir, "*.avi")
+      .select(element_at(split(col("path"), "/"), -1).as("item"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        graft.functions.Fx.rd(col("mean_luma"), 4).as("mean_luma"))
+      .orderBy("item", "frame_idx")
+  }
+
+  /** REAL video FRAME decode for MJPEG-in-AVI — closing the round-8 "video
+    * decode is stubbed" edge without any external codec: Motion-JPEG frames
+    * ARE baseline JPEGs, which `javax.imageio` decodes. The walk is pure
+    * public RIFF structure (the same chunk grammar [[videoMeta]] parses):
+    * top-level chunks → LIST('movi') → every '..dc'/'..db' stream-data chunk
+    * is one frame's compressed bytes (reference container layout:
+    * msdn RIFF/AVI spec; chunk ids are streamNum+"dc" for compressed video).
+    * Non-MJPEG payloads simply fail ImageIO and surface as None — the
+    * quarantine contract, never a crash.
+    *
+    * Returns one row per frame: (frame_idx, width, height, mean_luma), in
+    * chunk order — frame_idx is the movi-walk position, the video's display
+    * order for the single-stream fixtures this decodes.
+    */
+  private[graft] def decodeAviFrames(b: Array[Byte]): Seq[(Int, Int, Int, Double)] = {
+    if (!(b.length >= 12 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "AVI ")) return Seq.empty
+    val frames = Seq.newBuilder[(Int, Int, Int, Double)]
+    var idx = 0
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = fourCC(b, o)
+      val sz = le32(b, o + 4).toInt
+      val dataEnd = math.min(b.length, o + 8 + sz)
+      if (id == "LIST" && o + 12 <= b.length && fourCC(b, o + 8) == "movi") {
+        var p = o + 12
+        while (p + 8 <= dataEnd) {
+          val cid = fourCC(b, p)
+          val csz = le32(b, p + 4).toInt
+          if (cid.endsWith("dc") || cid.endsWith("db")) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, p + 8, math.min(csz, dataEnd - (p + 8))))
+            if (img != null) {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var s = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              frames += ((idx, w, h, s / (w.toLong * h)))
+            }
+            idx += 1
+          }
+          p += 8 + csz + (csz & 1)
+        }
+      }
+      o = dataEnd + (sz & 1)
+    }
+    frames.result()
+  }
+
+  /** Decode every MJPEG-AVI under `dir` to per-frame features — the frame
+    * twin of [[videoFeatures]]'s container metadata. Same partitioned
+    * binaryFile scan + batched mapPartitions as every other decoder here;
+    * each file fans out to its frames inside the partition (no shuffle:
+    * frame parallelism at 100 TB comes from file parallelism, the right
+    * grain since a frame never spans containers).
+    */
+  def videoFrameFeatures(spark: SparkSession, dir: String, glob: String = "*.avi"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { f =>
+            decodeAviFrames(f.payload).map { case (i, w, h, ml) => (f.path, i, w, h, ml) }
+          }
+        }
+      }
+      .toDF("path", "frame_idx", "width", "height", "mean_luma")
   }
 
   /** Parse every video container under `dir` (binaryFile scan →

@@ -218,6 +218,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.filter(f => f.width < 64 || f.width >= 576).count() == 0)
   }
 
+  test("decodeAviFrames: MJPEG movi walk decodes every frame with exact geometry and luma") {
+    val avi = Multimodal.mkMjpegAviFixture(48, 32, 40000, Seq(128, 160, 192))
+    // container metadata still parses from the same bytes
+    val meta = Multimodal.videoMeta(avi).get
+    assert(meta.container == "avi" && meta.width == 48 && meta.height == 32 && meta.n_frames == 3)
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.map(f => (f._1, f._2, f._3)) == Seq((0, 48, 32), (1, 48, 32), (2, 48, 32)))
+    assert(frames.map(_._4) == Seq(128.0, 160.0, 192.0),
+      "uniform-gray MJPEG frames must decode to exactly their gray level")
+    // odd-length JPEG payloads are padded per RIFF; a walk that ignored the
+    // pad byte would desync and fail decode — any odd frame in the fixture
+    // set exercises this, and non-AVI bytes never decode
+    assert(Multimodal.decodeAviFrames("not a riff".getBytes).isEmpty)
+    // corrupt frame payload: surfaced as a skipped frame, not a crash
+    val broken = avi.clone()
+    val moviAt = new String(broken, "ISO-8859-1").indexOf("00dc")
+    java.util.Arrays.fill(broken, moviAt + 8, moviAt + 30, 0.toByte)
+    val dec = Multimodal.decodeAviFrames(broken)
+    assert(dec.size == 2 && dec.map(_._1) == Seq(1, 2),
+      "a corrupt frame must quarantine (skip) while keeping later frames' indices")
+  }
+
+  test("videoFrameProfile: per-frame features over the MJPEG fixture corpus match the closed-form constants") {
+    val rows = Multimodal.videoFrameProfile(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("clip_a.avi", 0L, 48L, 32L, 128.0),
+      ("clip_a.avi", 1L, 48L, 32L, 160.0),
+      ("clip_a.avi", 2L, 48L, 32L, 192.0),
+      ("clip_b.avi", 0L, 64L, 48L, 192.0),
+      ("clip_b.avi", 1L, 64L, 48L, 64.0)))
+  }
+
   test("mediaProfile: media types partition the corpus") {
     val prof = Multimodal.mediaProfile(spark, sf)
     val rows = prof.collect()
