@@ -689,6 +689,10 @@ ORDER BY r.rank DESC, partkey"""
     // -- similarity search over embeddings (north-star extension) --
     "q34_knn_brute" -> ((s, dir) => Similarity.bruteKnn(s, dir, 5, 3)),
     "q35_knn_lsh" -> ((s, dir) => Similarity.lshKnn(s, dir, 5, 3)),
+    // int8 scalar-quantized ANN: bucket + coarse-rank on the 4×-smaller
+    // quantized corpus (scales cancel in cosine; integer dots exact in
+    // double), float rescore only on the survivors
+    "q125_int8_knn" -> ((s, dir) => Similarity.int8Knn(s, dir, 5, 3)),
     "q36_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "q37_centroid_similarity" -> ((s, dir) => Similarity.centroidSimilarity(s, dir)),
     "q38_embedding_neardup" -> ((s, dir) => Similarity.topSimilarPairs(s, dir, 20)),
@@ -1461,6 +1465,72 @@ WITH e AS (
          list_dot_product(a.v, b.v)
            / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
   FROM cand JOIN e a ON cand.q_id = a.vec_id JOIN e b ON cand.neighbor_id = b.vec_id
+), r AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
+FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
+    },
+
+    "q125_int8_knn" -> {
+      // q35's bucketing replayed on the QUANTIZED vectors (scale is
+      // irrelevant to the hyperplane sign), then the two-stage ranking:
+      // coarse row_number on the int8 cosine (ties on neighbor_id — the
+      // TopKByScore contract) cut at rescoreFactor*k = 12, float-cosine
+      // rescore of the survivors cut at k = 3. Quantization is the same
+      // half-up floor(x/scale + 0.5) the engine states.
+      val ps = Similarity.planes(64)
+      val values = ps.zipWithIndex.map { case (w, pid) =>
+        s"($pid, [${w.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n    ")
+      s"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qz AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+), qv AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS DOUBLE))
+              ELSE list_transform(v, x -> 0.0) END AS qv
+  FROM qz
+), planes AS (
+  SELECT * FROM (VALUES
+    $values) AS p(pid, w)
+), bits AS (
+  SELECT q.vec_id, p.pid // ${Similarity.Bits_B} AS tbl,
+         CASE WHEN list_dot_product(q.qv, p.w) > 0
+              THEN (1::BIGINT << (p.pid % ${Similarity.Bits_B})) ELSE 0 END AS bit
+  FROM qv q CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket FROM bits GROUP BY 1, 2
+), probes AS (
+  SELECT b.vec_id AS q_id, b.tbl,
+         CASE WHEN t.r < 0 THEN b.bucket
+              ELSE xor(b.bucket, (1::BIGINT << t.r)) END AS bucket
+  FROM buckets b CROSS JOIN range(-1, ${Similarity.Bits_B}) AS t(r)
+  WHERE b.vec_id < 5
+), cand AS (
+  SELECT DISTINCT p.q_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+  WHERE p.q_id <> c.vec_id
+), s8 AS (
+  SELECT q_id, neighbor_id,
+         list_dot_product(a.qv, b.qv)
+           / nullif(sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)), 0) AS sim8
+  FROM cand JOIN qv a ON cand.q_id = a.vec_id JOIN qv b ON cand.neighbor_id = b.vec_id
+), c8 AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim8 DESC, neighbor_id) AS rk8
+  FROM s8
+), s AS (
+  SELECT c8.q_id, c8.neighbor_id,
+         list_dot_product(a.v, b.v)
+           / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
+  FROM c8 JOIN e a ON c8.q_id = a.vec_id JOIN e b ON c8.neighbor_id = b.vec_id
+  WHERE c8.rk8 <= 12
 ), r AS (
   SELECT q_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk

@@ -140,6 +140,94 @@ object Similarity {
     rankTopK(cand.withColumn("sim", cosineSim(col("qe"), col("ce"))), k)
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the 4× storage lever
+    * at 100 TB (a 64-d float32 vector is 256 B; its int8 form is 64 B + one
+    * float scale). Per-vector SYMMETRIC quantization:
+    *   scale = max|x_i| / 127,  q_i = floor(x_i / scale + 0.5)  ∈ [−127, 127]
+    * `floor(v + 0.5)` is the half-up rule both engines state identically
+    * (SQL `round`'s half handling is the kind of dialect edge the oracle
+    * discipline avoids); a zero vector quantizes to zeros with scale 0.
+    * Output schema: (vec_id, q array<tinyint>, scale) — the tinyint array IS
+    * the storage claim, pinned by SimilaritySpec.
+    */
+  def int8QuantizeFrom(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        aggregate(transform(col("e"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)) / 127.0)
+      .select(col("vec_id"),
+        when(col("scale") > 0,
+          transform(col("e"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
+          .otherwise(transform(col("e"), x => lit(0).cast("tinyint"))).as("q"),
+        col("scale"))
+
+  /** Persist the quantized corpus — at scale this is the resident ANN index
+    * (4× smaller scans than the float corpus); the float embeddings are only
+    * touched for the final rescore of ~rescoreFactor·k survivors per query. */
+  def writeInt8Index(embeddings: DataFrame, path: String): Unit =
+    int8QuantizeFrom(embeddings).write.mode("overwrite").parquet(path)
+
+  def readInt8Index(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("vec_id"), col("q"), col("scale"))
+
+  /** Int8-quantized approximate kNN (q125): LSH-bucketed candidate
+    * generation and COARSE scoring run entirely on the quantized corpus;
+    * only the survivors are rescored in float.
+    *
+    *  1. bucket: the LSH signature of a quantized vector needs no scale —
+    *     sign(Σ wᵢ·qᵢ·s) = sign(Σ wᵢ·qᵢ) for s > 0 — so the probe works on
+    *     raw int arrays (the persisted index alone, floats untouched);
+    *  2. coarse: int8 cosine — the per-vector scales CANCEL in cosine, and
+    *     the integer dot (≤ 64·127² ≈ 10⁶) is exact in double, so the
+    *     coarse ranking is deterministic across engines by construction;
+    *     top rescoreFactor·k per query via the k-heap aggregate;
+    *  3. rescore: exact float cosine over the survivors only, final top-k.
+    * Same multi-table Hamming-1 multi-probe as [[lshKnnIndexed]]; recall vs
+    * the float path is floored by AnnRecallSpec at the registered config.
+    */
+  def int8Knn(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+              dim: Int = 64, rescoreFactor: Int = 4): DataFrame =
+    int8KnnFrom(Tables.embeddings(spark, dir), nQueries, k, dim, rescoreFactor)
+
+  def int8KnnFrom(embeddings: DataFrame, nQueries: Int, k: Int,
+                  dim: Int = 64, rescoreFactor: Int = 4): DataFrame =
+    int8KnnIndexed(int8QuantizeFrom(embeddings), embeddings, nQueries, k, dim, rescoreFactor)
+
+  /** Probe a quantized index (in-session or [[readInt8Index]]) — persisted-
+    * index results are spec-pinned ≡ the in-session path. `embeddings` is
+    * only read for the float rescore join. */
+  def int8KnnIndexed(index: DataFrame, embeddings: DataFrame, nQueries: Int,
+                     k: Int, dim: Int = 64, rescoreFactor: Int = 4): DataFrame = {
+    val qd = index
+      .select(col("vec_id"), transform(col("q"), x => x.cast("double")).as("qv"))
+      .withColumn("bks", buckets(col("qv"), dim))
+    val corpus = qd.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val probes = qd.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("pv"),
+        posexplode(col("bks")).as(Seq("tbl", "b0")))
+      .select(col("q_id"), col("pv"), col("tbl"),
+        explode(array((Seq(col("b0")) ++
+          (0 until Bits_B).map(r => col("b0").bitwiseXOR(lit(1L << r)))): _*)).as("bucket"))
+    val coarse = probes.join(corpus, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .withColumn("sim8", cosineSim(col("pv"), col("cv")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topK(col("sim8"), col("neighbor_id"),
+        rescoreFactor * k).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("x"))
+      .select(col("q_id"), col("x.id").as("neighbor_id"))
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    rankTopK(
+      coarse
+        .join(emb.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
+        .withColumn("sim", cosineSim(col("qe"), col("ce"))),
+      k)
+  }
+
   /** Embedding-cosine near-dup: exact top-k most-similar unordered pairs.
     * Exact-by-construction (the DuckDB-oracled validation baseline for the
     * LSH path). The all-pairs product is expressed as a self-join blocked on

@@ -105,4 +105,42 @@ class AnnRecallSpec extends SparkSpecBase {
     val ivfAll = knnSet(Similarity.ivfKnnKmeans(emb, 5, 3, nCells = 8, nProbe = 8))
     assert(ivfAll == brute, "exhaustive probe diverged from brute force")
   }
+
+  /** Registered q125 config (rescoreFactor=4, same L=8×B=8 probe): the
+    * recall decomposition measured at sf0.1 — int8 ≡ the float LSH result
+    * SET (quantization cost: ZERO at this config; the 127-level grid moves
+    * no vector across a hyperplane or past the 4k coarse cut), and both
+    * paths lose the same 0.333 vs brute to LSH BUCKETING (the q35 envelope,
+    * shared). So the floors pin: quantization-attributable loss vs the
+    * float path ≥ 0.9 (measured 1.0), end-to-end ≥ the bucketing envelope's
+    * own floor. The storage claim — the persisted index carries tinyint, 4×
+    * smaller than float32 — is pinned structurally, and the persisted-index
+    * probe is pinned ≡ the in-session path.
+    */
+  test("q125 int8 ANN at sf0.1: recall vs float LSH ≥ 0.9 (measured 1.0), end-to-end within the LSH envelope; persisted tinyint index ≡ in-session") {
+    val emb = Tables.embeddings(spark, sf01)
+    val brute = knnSet(Similarity.bruteKnn(spark, sf01, 5, 3))
+    val float = knnSet(Similarity.lshKnn(spark, sf01, 5, 3))
+    val int8 = knnSet(SparkEntry.queries("q125_int8_knn")(spark, sf01))
+    val vsFloat = int8.intersect(float).size.toDouble / float.size
+    val vsBrute = int8.intersect(brute).size.toDouble / brute.size
+    val floatVsBrute = float.intersect(brute).size.toDouble / brute.size
+    assert(vsFloat >= 0.9, f"int8 recall vs float LSH $vsFloat%.3f < 0.9 (measured 1.0)")
+    assert(vsBrute >= floatVsBrute - 0.1,
+      f"int8 end-to-end recall $vsBrute%.3f fell more than 0.1 below the float LSH envelope $floatVsBrute%.3f")
+    val path = java.nio.file.Files.createTempDirectory("graft_int8").toString + "/idx"
+    Similarity.writeInt8Index(emb, path)
+    val idx = Similarity.readInt8Index(spark, path)
+    val qField = idx.schema("q").dataType
+    assert(qField == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = true) ||
+      qField == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false),
+      s"persisted index must store tinyint (4× lever), got $qField")
+    val persisted = Similarity.int8KnnIndexed(idx, emb, 5, 3)
+      .select("q_id", "neighbor_id", "rk", "sim").collect().toSeq
+    val inSession = Similarity.int8KnnFrom(emb, 5, 3)
+      .select("q_id", "neighbor_id", "rk", "sim").collect().toSeq
+    assert(persisted == inSession, "persisted-index probe diverged from the in-session path")
+  }
 }
