@@ -80,4 +80,40 @@ class GraphOpsSpec extends SparkSpecBase {
     }
     assert(out.values.sum == brute.values.sum && brute.values.sum > 0)
   }
+
+  test("copurchaseEdgesMV: materialization equals the direct build; reuse, REFRESH, and staleness are pinned") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // run against a COPY of the source so the staleness leg can touch mtimes
+    // without writing to the shared testdata
+    val work = Files.createTempDirectory("graft_mv_spec")
+    Files.copy(Paths.get(sf, "lineitem.parquet"), work.resolve("lineitem.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    val dir = work.toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "w").as[(Long, Long, Long)].collect().toSet
+    val direct = key(GraphOps.copurchaseEdges(spark, dir))
+    val mv1 = GraphOps.copurchaseEdgesMV(spark, dir)
+    assert(key(mv1) == direct && direct.nonEmpty, "MV read diverges from the direct edge build")
+    // reuse: a second access serves the SAME files (no rewrite)
+    val mvPath = Paths.get(mv1.inputFiles.head.stripPrefix("file:")).getParent
+    val stamps1 = Files.list(mvPath).toArray.map(_.toString).sorted.toSeq
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis)
+    assert(key(GraphOps.copurchaseEdgesMV(spark, dir)) == direct)
+    val stamps2 = Files.list(mvPath).toArray.map(_.toString).sorted.toSeq
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis)
+    assert(stamps1 == stamps2, "second MV access must reuse the materialization, not rewrite it")
+    // REFRESH: recomputes in place (new files, same content)
+    Thread.sleep(1100) // parquet mtime granularity
+    assert(key(GraphOps.copurchaseEdgesMV(spark, dir, refresh = true)) == direct)
+    val stamps3 = Files.list(mvPath).toArray.map(_.toString).sorted.toSeq
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis)
+    assert(stamps3 != stamps2, "refresh = true must rewrite the materialization")
+    // staleness: a changed source (new mtime) must MISS the old MV path
+    Files.setLastModifiedTime(work.resolve("lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val mv2 = GraphOps.copurchaseEdgesMV(spark, dir)
+    val mvPath2 = Paths.get(mv2.inputFiles.head.stripPrefix("file:")).getParent
+    assert(mvPath2 != mvPath, "a rebuilt source corpus must never serve the stale edge MV")
+    assert(key(mv2) == direct)
+  }
 }
