@@ -647,6 +647,12 @@ ORDER BY r.rank DESC, partkey"""
     // only match clicks at or before itself). Oracle states both cuts
     "q119_stream_full_join" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamFullJoinParity(s, dir)),
+    // EVENT-TIME TIMERS: flatMapGroupsWithState session-timeout emitter —
+    // sessions fire when the WATERMARK passes last_ts + gap (a no-data
+    // micro-batch does the work), not when data arrives. Strict cut at the
+    // ms-grained watermark, pinned by the boundary spec
+    "q126_stream_session_timeout" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionTimeoutParity(s, dir)),
     // UNPIVOT — the inverse of q66's PIVOT: the wide weekly matrix melted
     // back to (semana, event_type, n), zero cells preserved
     "q112_unpivot_weekly" -> ((s, dir) => {
@@ -2209,6 +2215,37 @@ WITH x AS (
 SELECT user_id, session_start_us, n_events, sum_value
 FROM s CROSS JOIN wm
 WHERE last_us + 1800000000 <= w_us
+ORDER BY user_id, session_start_us""",
+
+    // q126: q87's µs gaps-and-islands sessions, but under the TIMER cut —
+    // Spark's event-time timers are millisecond-grained and fire only when
+    // the watermark STRICTLY passes the timeout (empirically pinned by the
+    // boundary spec), so the cut is floor-ms and strict, unlike q87's
+    // µs-grained Append-mode finalization
+    "q126_stream_session_timeout" -> """
+WITH x AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus,
+         lag(epoch_ns(ts) // 1000)
+           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, value, tus,
+         sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+), s AS (
+  SELECT user_id, sid,
+         min(tus) AS session_start_us, max(tus) AS last_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+  FROM g GROUP BY 1, 2
+), wm AS (
+  SELECT max(epoch_ns(ts) // 1000000) - 1800000 AS w_ms FROM events
+)
+SELECT user_id, session_start_us, n_events, sum_value
+FROM s CROSS JOIN wm
+WHERE (last_us // 1000) + 1800000 < w_ms
 ORDER BY user_id, session_start_us""",
 
     "q88_surprisal_buckets" -> """

@@ -413,6 +413,99 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** One open/closed session interval held in timer state: bounds in event
+    * MICROS (session identity is µs arithmetic, like q87), sum as exact
+    * decimal. */
+  case class SessionAcc(start_us: Long, last_us: Long, n: Long,
+                        sum: java.math.BigDecimal)
+
+  /** EVENT-TIME TIMERS in arbitrary stateful streaming (q126): a
+    * `flatMapGroupsWithState` session emitter with
+    * `GroupStateTimeout.EventTimeTimeout` — the operator family where work
+    * happens when the WATERMARK says so, not when data arrives (the round-8
+    * gap: every stateful operator before this one processed on data arrival
+    * only). Each user's state holds its open session intervals; a session is
+    * emitted when the watermark strictly passes last_ts + gap — fired by
+    * Spark's timer machinery in a no-data micro-batch, exactly the
+    * "session timeout" a fraud/abandonment pipeline needs.
+    *
+    * Determinism contract (what makes a TIMER gate oracle-able):
+    *   - session identity is µs gaps-and-islands — merge iff the gap is
+    *     STRICTLY under `gapMin` (q87's session_window convention: windows
+    *     [t, t+gap) merge only when they overlap);
+    *   - the emission cut is STRICT at the watermark: Spark fires an
+    *     event-time timer only when `timeoutTimestamp < watermark` (pinned
+    *     by the boundary spec on an engineered fixture), and the on-data
+    *     overdue check applies the same strict rule, so the final emitted
+    *     set is exactly { sessions : ms(last_us) + gap < W_final } with
+    *     W_final = ms(max ts) − delay — a pure function of the data under
+    *     AvailableNow (ms() is floor division by 1000: timers and
+    *     watermarks are millisecond-grained in Spark, while session bounds
+    *     stay µs-exact);
+    *   - decimal sums, so arrival order and batch boundaries can't move a
+    *     bit.
+    * State is per-user interval lists (bounded by open sessions, not
+    * history), sharded by user key across the state store like any shuffle.
+    */
+  def sessionTimeoutEmitter(spark: SparkSession, events: DataFrame,
+                            gapMin: Int): Dataset[(Long, Long, Long, java.math.BigDecimal)] = {
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    val gapMs = gapMin * 60L * 1000L
+    val ev = events
+      .withWatermark("ts", s"$gapMin minutes")
+      .select(col("user_id").cast("long").as("uid"), col("ts"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("v"))
+      .as[(Long, java.sql.Timestamp, java.math.BigDecimal)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionAcc], (Long, Long, Long, java.math.BigDecimal)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          // merge new events into the interval list: insert as singletons,
+          // re-sort, fold adjacent sessions that overlap under the gap
+          val incoming = rows.map { r =>
+            val us = r._2.getTime * 1000L + (r._2.getNanos / 1000L) % 1000L
+            SessionAcc(us, us, 1L, r._3)
+          }.toList
+          val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(s => (s.start_us, s.last_us))
+            .foldLeft(List.empty[SessionAcc]) {
+              case (acc @ (prev :: rest), s) if s.start_us - prev.last_us < gapUs =>
+                SessionAcc(prev.start_us, math.max(prev.last_us, s.last_us),
+                  prev.n + s.n, prev.sum.add(s.sum)) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+          // STRICT emission cut — the same rule the timer fire uses
+          val (due, keep) = merged.partition(s => s.last_us / 1000L + gapMs < wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(keep)
+            // a kept session's cut can EQUAL the watermark (strict cut kept
+            // it); timers must be armed strictly beyond the watermark
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.last_us / 1000L + gapMs).min, wm + 1L))
+          }
+          due.map(s => (uid, s.start_us, s.n, s.sum)).iterator
+      }
+  }
+
+  /** Batch-parity gate for the event-time-timer emitter (correctness-gate
+    * entry `q126_stream_session_timeout`): AvailableNow run over the events
+    * file; the oracle states the same µs gaps-and-islands with the strict
+    * ms-grained watermark cut. Same drained-memory-sink lifecycle as every
+    * other gate.
+    */
+  def sessionTimeoutParity(spark: SparkSession, dir: String,
+                           gapMin: Int = 30): DataFrame = {
+    val out = sessionTimeoutEmitter(spark, eventStream(spark, dir), gapMin)
+      .toDF("user_id", "session_start_us", "n_events", "sum_dec")
+    runMemoryGate(spark, "stream_timeout_gate", out, OutputMode.Append())(_
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_start_us"))
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

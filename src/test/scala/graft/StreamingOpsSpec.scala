@@ -230,6 +230,44 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(nPairs == 1L, "only the anchor pair matches")
   }
 
+  test("sessionTimeoutEmitter: timers fire STRICTLY past the watermark; multi-session state and decimal sums are exact") {
+    // gap = delay = 30 min; anchor at t=120min ⇒ W_final = 90min (ms-grained).
+    // user 2: last at 60min ⇒ cut == W exactly ⇒ WITHHELD (strict fire —
+    //         this is the row that pins Spark's `timeout < watermark`)
+    // user 3: TWO sessions (10min, then 50min after a 40min gap) ⇒ both cuts
+    //         (40, 80) < 90 ⇒ both emitted, state handled a session LIST
+    // user 4: events at 55+56min (one session, intra-batch merge, sum 4+40)
+    //         ⇒ cut 86 < 90 ⇒ emitted with n=2, exact decimal sum
+    // user 5: last at 65min ⇒ cut 95 > 90 ⇒ withheld
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("tmb").toString
+    def mins(m: Long): Long = m * 60L * 1000000000L
+    val rows = Seq(
+      (99L, mins(120), 9L, "view", 1.0, "{}"),
+      (21L, mins(60), 2L, "view", 2.0, "{}"),
+      (31L, mins(10), 3L, "view", 3.0, "{}"),
+      (32L, mins(50), 3L, "view", 30.0, "{}"),
+      (41L, mins(55), 4L, "view", 4.0, "{}"),
+      (42L, mins(56), 4L, "view", 40.0, "{}"),
+      (51L, mins(65), 5L, "view", 5.0, "{}")
+    )
+    val staging = tmp + "/staging"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(staging)
+    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(tmp + "/events.parquet"))
+    val out = StreamingOps.sessionTimeoutParity(spark, tmp)
+      .select("user_id", "session_start_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def us(m: Long) = m * 60L * 1000000L
+    assert(out == Set(
+      (3L, us(10), 1L, 3.0),
+      (3L, us(50), 1L, 30.0),
+      (4L, us(55), 2L, 44.0)),
+      s"timer emission set diverged: $out (user 2 at cut==W must be withheld — strict fire)")
+  }
+
   test("weeklyTumbling: buckets align to Monday and counts match batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
