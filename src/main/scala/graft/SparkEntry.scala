@@ -641,6 +641,12 @@ ORDER BY r.rank DESC, partkey"""
     // — a hub's edges point INTO it, so no neighborhood ever squares.
     // Each triangle counted exactly once at its order-minimum apex
     "q120_copurchase_triangles" -> ((s, dir) => GraphOps.copurchaseTriangles(s, dir)),
+    // incremental edge-MV refresh: base ⊎ delta (whole-order CDC grain ⇒
+    // additive pair counts) hash-proven ≡ the full rebuild
+    "q127_edge_incremental" -> ((s, dir) => GraphOps.edgeIncrementalParity(s, dir)),
+    // hybrid retrieval: lexical (shingle-Jaccard) + dense (cosine) lists
+    // fused by reciprocal-rank fusion, every stage k-heap-bounded
+    "q128_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir, 5, 3)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2684,6 +2690,67 @@ SELECT d.node AS partkey, CAST(d.deg AS BIGINT) AS degree,
          AS clustering
 FROM deg d LEFT JOIN tn ON d.node = tn.node
 ORDER BY partkey""",
+
+    // q127's oracle is the FULL REBUILD — hash equality against the
+    // engine's base ⊎ delta merge is the incremental-refresh proof
+    "q127_edge_incremental" -> """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(w AS BIGINT) AS w FROM e ORDER BY src, dst""",
+
+    // q128: q27's shingle relation (unblocked — the tiny query batch IS the
+    // block) and q34's cosine, each row_number-ranked to depth 50 with ties
+    // on id (the TopKByScore contract), full-outer fused by 1/(60+rank)
+    "q128_hybrid_rrf" -> """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id, count(*) AS inter
+  FROM sh q JOIN sh c ON q.sg = c.sg AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), tr AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY
+           CAST(inter AS DOUBLE) / (cq.n + cn.n - inter) DESC, neighbor_id) AS rank_text
+  FROM inter JOIN cnt cq ON q_id = cq.doc_id JOIN cnt cn ON neighbor_id = cn.doc_id
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), vs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / nullif(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0) AS sim
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+), vr AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank_vec
+  FROM vs
+), f AS (
+  SELECT q_id, neighbor_id,
+         COALESCE(1.0 / (60 + rank_text), 0) + COALESCE(1.0 / (60 + rank_vec), 0) AS score
+  FROM (SELECT * FROM tr WHERE rank_text <= 50) t
+  FULL JOIN (SELECT * FROM vr WHERE rank_vec <= 50) v USING (q_id, neighbor_id)
+), r AS (
+  SELECT q_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+  FROM f
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(score, 6) + 0 AS score
+FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

@@ -228,6 +228,55 @@ object Similarity {
       k)
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion (q128): the standard
+    * two-tower retrieval stack — a LEXICAL ranking (3-shingle Jaccard
+    * between query documents and the corpus, candidates from the shingle
+    * posting-list equi-join, never all-pairs) and a DENSE ranking (cosine
+    * over the aligned embeddings) — fused per query as
+    * Σ 1/(rrfK + rank) over the lists the document appears in (Cormack,
+    * Clarke & Büttcher 2009's RRF; rrfK = 60, the paper's constant).
+    *
+    * Scale shape: both lists are cut at `depth` by the k-heap aggregate
+    * (shuffle ≤ depth rows/query/partition), the fusion is a full-outer
+    * equi-join of two depth-bounded relations keyed by (query, doc), and
+    * the final cut is another k-heap. Query batches are small by
+    * construction (a retrieval batch), so the corpus-side joins are the
+    * bounded ones. Every stage is deterministic (integer set arithmetic for
+    * Jaccard, exact-dot cosine, ties on id) — the whole fusion is
+    * hash-oracled.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+                depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    val sh = TextOps.shingleSet(Tables.documents(spark, dir)).select("doc_id", "sg")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qsh = sh.filter(col("doc_id") < nQueries).select(col("doc_id").as("q_id"), col("sg"))
+    val jac = qsh.join(sh, "sg")
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("q_id"), col("n").as("qn")), "q_id")
+      .join(sizes, "doc_id")
+      .select(col("q_id"), col("doc_id").as("neighbor_id"),
+        (col("inter").cast("double") / (col("qn") + col("n") - col("inter"))).as("sim"))
+    val textTop = rankTopK(jac, depth)
+      .select(col("q_id"), col("neighbor_id"), col("rk").as("rank_text"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val vec = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ce"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("qe"), col("ce")))
+    val vecTop = rankTopK(vec, depth)
+      .select(col("q_id"), col("neighbor_id"), col("rk").as("rank_vec"))
+    val fused = textTop.join(vecTop, Seq("q_id", "neighbor_id"), "full_outer")
+      .select(col("q_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0))).as("sim"))
+    rankTopK(fused, k)
+      .withColumnRenamed("sim", "score")
+  }
+
   /** Embedding-cosine near-dup: exact top-k most-similar unordered pairs.
     * Exact-by-construction (the DuckDB-oracled validation baseline for the
     * LSH path). The all-pairs product is expressed as a self-join blocked on

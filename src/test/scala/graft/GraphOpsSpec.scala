@@ -81,6 +81,23 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(out.values.sum == brute.values.sum && brute.values.sum > 0)
   }
 
+  test("mergeEdgeDelta: incremental refresh equals the full rebuild for every whole-order split") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src"), col("dst"), col("w").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val full = key(GraphOps.copurchaseEdgesOf(li))
+    // two different order-grained splits — additivity must hold for any
+    for (m <- Seq(3L, 7L)) {
+      val inc = key(GraphOps.mergeEdgeDelta(
+        GraphOps.copurchaseEdgesOf(li.filter(col("ok") % m =!= 0)),
+        GraphOps.copurchaseEdgesOf(li.filter(col("ok") % m === 0))))
+      assert(inc == full && full.nonEmpty, s"split mod $m: incremental != full rebuild")
+    }
+  }
+
   test("copurchaseEdgesMV: materialization equals the direct build; reuse, REFRESH, and staleness are pinned") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // run against a COPY of the source so the staleness leg can touch mtimes

@@ -227,4 +227,25 @@ class SimilaritySpec extends SparkSpecBase {
     val atAll = census(-1.0)
     assert(atAll.forall(_._4 == 1L), s"τ=-1 must keep exactly one per cell: $atAll")
   }
+
+  test("hybridRrf: fusion arithmetic — both-list docs score both terms, single-list docs one; k-heap ranks match row_number") {
+    import spark.implicits._
+    val out = Similarity.hybridRrf(spark, sf, 3, 5)
+      .select("q_id", "neighbor_id", "rk", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // ranks are 1..k dense per query, scores non-increasing with rank
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, s"q$q ranks not dense")
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4; case _ => true },
+        s"q$q scores not monotone in rank")
+    }
+    // every fused score is expressible as 1/(60+i) [+ 1/(60+j)] with
+    // 1 ≤ i, j ≤ 50 — the RRF arithmetic, no other mass
+    val legal = (for { i <- 1 to 50; j <- 0 to 50 } yield
+      1.0 / (60 + i) + (if (j == 0) 0.0 else 1.0 / (60 + j))).map(s => math.round(s * 1e6) / 1e6.toDouble).toSet
+    assert(out.forall(r => legal.contains(r._4)),
+      s"scores outside the RRF lattice: ${out.filterNot(r => legal.contains(r._4)).take(3).mkString(",")}")
+  }
 }
