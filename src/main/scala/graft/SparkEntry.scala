@@ -647,6 +647,15 @@ ORDER BY r.rank DESC, partkey"""
     // hybrid retrieval: lexical (shingle-Jaccard) + dense (cosine) lists
     // fused by reciprocal-rank fusion, every stage k-heap-bounded
     "q128_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir, 5, 3)),
+    // KMV distinct sketch on the portable 60-bit hash — the fully-oracled
+    // cardinality sketch (HLL q53 stays rows-only by contract; this one
+    // DuckDB replays bit-for-bit). Min-k via the TopKByScore heap ⇒ the
+    // post-distinct shuffle is k-bounded per group
+    "q129_kmv_distinct" -> ((s, dir) => Sketches.kmvDistinctGate(s, dir)),
+    // count-min heavy hitters: depth×width integer cell relation (map-side
+    // combine bounds the shuffle at 256 cells), broadcast probe join,
+    // estimate = min over depth rows — integer-exact, no rounding contract
+    "q130_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHittersGate(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2751,6 +2760,52 @@ WITH d AS (
 )
 SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(score, 6) + 0 AS score
 FROM r WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    // KMV replayed exactly: distinct portable 60-bit hashes per group, k
+    // smallest by window rank, (k-1)/R_k on the exact BIGINT kth hash
+    "q129_kmv_distinct" -> """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type,
+       CAST(max(nd) AS BIGINT) AS n_distinct,
+       round(CASE WHEN max(nd) <= 32 THEN CAST(max(nd) AS DOUBLE)
+                  ELSE CAST(31 AS DOUBLE)
+                       / (max(CASE WHEN rk = 32 THEN h END)
+                          / CAST(1152921504606846976 AS DOUBLE))
+             END, 6) + 0 AS kmv_est
+FROM r GROUP BY event_type ORDER BY event_type""",
+
+    // count-min replayed exactly: j-salted portable hashes mod width build
+    // the integer cell relation; estimate = min cell over the 4 depth rows
+    "q130_cms_heavy_hitters" -> """
+WITH js AS (SELECT unnest(range(4)) AS depth),
+cells AS (
+  SELECT depth,
+         CAST(('0x' || substr(md5(CAST(depth AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket,
+         count(*) AS cnt
+  FROM events CROSS JOIN js
+  GROUP BY 1, 2
+), ex AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+), top AS (
+  SELECT user_id, n_exact FROM ex ORDER BY n_exact DESC, user_id LIMIT 10
+), pr AS (
+  SELECT t.user_id, t.n_exact, j.depth,
+         CAST(('0x' || substr(md5(CAST(j.depth AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM top t CROSS JOIN js j
+)
+SELECT p.user_id, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS cms_est
+FROM pr p JOIN cells c USING (depth, bucket)
+GROUP BY p.user_id, p.n_exact
+ORDER BY n_exact DESC, user_id""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase
