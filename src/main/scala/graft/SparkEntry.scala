@@ -171,6 +171,15 @@ object SparkEntry {
   private def cosSql(v: String, c: String): String =
     s"list_dot_product($v, $c) / nullif(sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)), 0)"
 
+  /** Morton bit-interleave as unrolled SQL arithmetic (q132): x in even bit
+    * positions, y in odd — terms occupy disjoint bits, so `+` ≡ bitwise OR,
+    * mirroring `Layout.zValue`'s shift/mask/or fold exactly.
+    */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   /** Shared oracle CTE chain replaying `Similarity.kmeansCentroids` (q73,
     * q90): md5-seeded centroids, 3 unrolled Lloyd iterations with means
     * QUANTIZED to 6 decimals (the operator's determinism contract), ending
@@ -656,6 +665,16 @@ ORDER BY r.rank DESC, partkey"""
     // combine bounds the shuffle at 256 cells), broadcast probe join,
     // estimate = min over depth rows — integer-exact, no rounding contract
     "q130_cms_heavy_hitters" -> ((s, dir) => Sketches.cmsHeavyHittersGate(s, dir)),
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
+    // log-ratios target/raw broadcast onto the token stream, per-doc
+    // log-weight, k-heap selection — bucket ratios rounded BEFORE the doc
+    // sum so libm-ln ulps never reach the rank order
+    "q131_dsir_resample" -> ((s, dir) => TextOps.dsirResample(s, dir)),
+    // Z-order (Morton) layout: bit-interleaved (user, minute-of-day) key as
+    // one unrolled codegen'd integer expression; the per-cell envelope
+    // profile IS the pruning property — every coarse z-cell bounds both
+    // dimensions (LayoutSpec measures actual file-skip rates on disk)
+    "q132_zorder_profile" -> ((s, dir) => Layout.zorderProfile(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2806,6 +2825,55 @@ SELECT p.user_id, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS cms_est
 FROM pr p JOIN cells c USING (depth, bucket)
 GROUP BY p.user_id, p.n_exact
 ORDER BY n_exact DESC, user_id""",
+
+    // DSIR replayed: hashed-unigram bucket histograms for raw vs target,
+    // Laplace-smoothed log-ratios rounded at 6 BEFORE the per-doc sum
+    // (the determinism contract), rank by (rounded logw DESC, doc_id)
+    "q131_dsir_resample" -> """
+WITH d AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bk
+  FROM t WHERE length(tok) > 0
+), raw AS (
+  SELECT bk, count(*) AS cr FROM tk GROUP BY 1
+), tgt AS (
+  SELECT bk, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT count(*) AS tr, count(CASE WHEN lang = 'en' THEN 1 END) AS tt FROM tk
+), lr AS (
+  SELECT raw.bk,
+         round(ln(((COALESCE(ct, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+                  / ((cr + 1) / CAST(tr + 256 AS DOUBLE))), 6) + 0 AS lr
+  FROM raw LEFT JOIN tgt USING (bk) CROSS JOIN tot
+), dw AS (
+  SELECT doc_id, round(sum(lr), 6) + 0 AS logw
+  FROM tk JOIN lr USING (bk) GROUP BY 1
+), r AS (
+  SELECT doc_id, logw,
+         row_number() OVER (ORDER BY logw DESC, doc_id) AS rk
+  FROM dw
+)
+SELECT CAST(r.rk AS BIGINT) AS rk, r.doc_id, dd.lang, dd.source, r.logw
+FROM r JOIN documents dd USING (doc_id)
+WHERE r.rk <= 50 ORDER BY r.rk""",
+
+    // Morton interleave replayed as plain integer arithmetic: the unrolled
+    // shift/mask terms occupy disjoint bits, so + ≡ bitwise OR
+    "q132_zorder_profile" -> s"""
+WITH e AS (
+  SELECT user_id AS x, CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS y FROM events
+), z AS (
+  SELECT x, y, ${zInterleaveSql("x", "y", 11)} AS z FROM e
+)
+SELECT z >> 14 AS cell, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY 1 ORDER BY 1""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

@@ -1628,6 +1628,69 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document by
+    * how much its hashed-unigram profile looks like the TARGET domain, then
+    * keep the top-n by importance weight.
+    *
+    * Features are the paper's hashed n-grams (here unigrams over the
+    * canonical [[normText]] tokenizer, [[hashBucket]]'d into `buckets`
+    * cells). Bucket log-ratios ln(p_target/q_raw) use Laplace smoothing
+    * (+1 / +buckets); a document's log-weight is the sum of its token
+    * instances' bucket ratios. Determinism contract for the oracle: the
+    * per-bucket log-ratio is rounded to 6 decimals BEFORE the per-doc sum,
+    * and the doc sum and ranking again at 6 — so the cross-engine libm-ln
+    * ulp never reaches the rank order (the q88 discipline, one level
+    * stricter). Documents with zero tokens after normalization (e.g.
+    * non-Latin scripts under the a-z tokenizer) have no feature rows and are
+    * excluded by construction — both engines agree.
+    *
+    * Scale shape: token stream → bucket histogram is one map-side-combinable
+    * aggregation to ≤`buckets` rows; the ratio relation broadcasts back onto
+    * the token stream (never a shuffle keyed by the corpus); the final
+    * selection is the k-bounded TopKByScore heap, so the ranking shuffle
+    * carries k rows per partition, not the corpus. The doc-metadata join at
+    * the end broadcasts the n selected ids.
+    */
+  def dsirResample(spark: SparkSession, dir: String, targetLang: String = "en",
+                   buckets: Int = 256, n: Int = 50): DataFrame =
+    dsirResampleFrom(Tables.documents(spark, dir), targetLang, buckets, n)
+
+  def dsirResampleFrom(docs: DataFrame, targetLang: String, buckets: Int,
+                       n: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("lang"), hashBucket(col("tok"), buckets).as("bk"))
+    val raw = tok.groupBy("bk").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy("bk").agg(count(lit(1)).as("ct"))
+    val tot = tok.agg(
+      count(lit(1)).as("tr"),
+      count(when(col("lang") === targetLang, 1)).as("tt"))
+    val ratio = raw
+      .join(tgt, Seq("bk"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bk"),
+        rd(log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("tt") + buckets).cast("double"))
+          / ((col("cr") + 1).cast("double")
+            / (col("tr") + buckets).cast("double"))), 6).as("lr"))
+    val dw = tok
+      .join(broadcast(ratio), "bk")
+      .groupBy("doc_id")
+      .agg(rd(sum(col("lr")), 6).as("logw"))
+    val top = dw
+      .groupBy()
+      .agg(graft.functions.TopKByScore.topK(col("logw"), col("doc_id"), n).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.rk").as("rk"), col("e.id").as("doc_id"),
+        col("e.score").as("logw"))
+    docs.join(broadcast(top), "doc_id")
+      .select(col("rk"), col("doc_id"), col("lang"), col("source"), col("logw"))
+      .orderBy("rk")
+  }
+
   /** Deterministic per-epoch shuffle plan over the packed sequences of
     * [[packedSpansFrom]] — the reshuffle a training loader needs between
     * epochs, as data: for each epoch, every sequence keyed by
