@@ -133,18 +133,35 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` needs nanosecond-timestamp handling: the files carry parquet
-    * INT64 TIMESTAMP(NANOS) which Spark only reads as LongType via
-    * `spark.sql.legacy.parquet.nanosAsLong`. We keep the raw long (`ts_ns`,
-    * exact ordering key — no precision loss) and derive a microsecond
-    * TimestampType `ts` plus event DateType `date` for calendar logic.
+  /** `events` timestamp handling, adaptive to the physical layout: older
+    * corpus layouts carry parquet INT64 TIMESTAMP(NANOS), which Spark only
+    * reads as LongType via `spark.sql.legacy.parquet.nanosAsLong`; newer
+    * layouts carry TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Either way
+    * downstream code sees the SAME contract: `ts_ns` — an exact integer
+    * nanosecond ordering key (no float, no precision loss) — plus a
+    * microsecond TimestampType `ts` and event DateType `date` for calendar
+    * logic. The NTZ→LTZ cast is instant-preserving under the engine's
+    * pinned UTC session timezone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    shapeEvents(table(spark, dir, "events"))
+  }
+
+  /** Shared batch/stream shaping of a raw events relation (see [[events]]). */
+  def shapeEvents(raw: DataFrame): DataFrame = {
+    val shaped = raw.schema("ts").dataType match {
+      case LongType => // INT64 TIMESTAMP(NANOS) read as nanos-long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ => // TIMESTAMP(MICROS), NTZ or LTZ
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+    shaped
       .withColumn("date", col("ts").cast(DateType))
+      .select(col("event_id"), col("ts_ns"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts"), col("date"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
