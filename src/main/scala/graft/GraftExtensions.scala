@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, TopKByScore, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => UnicodeNormalize(es.head, "NFC")))
+    ext.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfkc_normalize"),
+      (es: Seq[Expression]) => UnicodeNormalize(es.head, "NFKC")))
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

@@ -180,6 +180,57 @@ object SparkEntry {
       s"((($x >> $i) & 1) << ${2 * i})",
       s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
+  /** Oracle chain replaying `Learn.trainGlm` + `glmQualityGate`: the
+    * rational Elliott-sigmoid GLM fit by full-batch GD, iterations unrolled
+    * as CTE pairs (gradient sums → weight update). Gradient terms rounded
+    * at 9 and summed as DECIMAL(30,12) (exact, order-free); weights
+    * round(·, 6) per iteration; zero libm anywhere — the
+    * bit-reproducibility contract documented in Learn.scala.
+    */
+  private def glmOracleSql(iters: Int, lr: String): String = {
+    def z = s"(w.b + w.c1 * x1 + w.c2 * x2 + w.c3 * x3)"
+    def sg = s"(0.5 + (0.5 * $z) / (1.0 + abs($z)))"
+    val its = (1 to iters).map { i =>
+      val p = s"w${i - 1}"
+      s""", g$i AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(y - $sg, 9) AS DECIMAL(30,12))) AS s0,
+         sum(CAST(round((y - $sg) * x1, 9) AS DECIMAL(30,12))) AS s1,
+         sum(CAST(round((y - $sg) * x2, 9) AS DECIMAL(30,12))) AS s2,
+         sum(CAST(round((y - $sg) * x3, 9) AS DECIMAL(30,12))) AS s3
+  FROM f CROSS JOIN $p w
+), w$i AS (
+  SELECT round(w.b  + $lr * (CAST(g.s0 AS DOUBLE) / g.n), 6) AS b,
+         round(w.c1 + $lr * (CAST(g.s1 AS DOUBLE) / g.n), 6) AS c1,
+         round(w.c2 + $lr * (CAST(g.s2 AS DOUBLE) / g.n), 6) AS c2,
+         round(w.c3 + $lr * (CAST(g.s3 AS DOUBLE) / g.n), 6) AS c3
+  FROM g$i g CROSS JOIN $p w
+)"""
+    }.mkString
+    s"""
+WITH f AS (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0 AS x1,
+         CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE)
+           / (CAST(n_chars AS DOUBLE) + 1.0) AS x2,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / (CAST(n_chars AS DOUBLE) + 1.0) AS x3
+  FROM documents
+), w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3)$its
+, scored AS (
+  SELECT lang, $sg AS s, w.b, w.c1, w.c2, w.c3
+  FROM f CROSS JOIN w$iters w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(s, 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) + 0
+         AS mean_score,
+       CAST(sum(CASE WHEN s > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       max(b) + 0 AS w_bias, max(c1) + 0 AS w_len,
+       max(c2) + 0 AS w_dot, max(c3) + 0 AS w_space
+FROM scored GROUP BY lang ORDER BY lang"""
+  }
+
   /** Shared oracle CTE chain replaying `Similarity.kmeansCentroids` (q73,
     * q90): md5-seeded centroids, 3 unrolled Lloyd iterations with means
     * QUANTIZED to 6 decimals (the operator's determinism contract), ending
@@ -675,6 +726,41 @@ ORDER BY r.rank DESC, partkey"""
     // profile IS the pruning property — every coarse z-cell bounds both
     // dimensions (LayoutSpec measures actual file-skip rates on disk)
     "q132_zorder_profile" -> ((s, dir) => Layout.zorderProfile(s, dir)),
+    // UNICODE NFC canonicalization via the native codegen'd expression —
+    // composed vs decomposed accent encodings fracture every content-keyed
+    // operator (dedup, shingles, fingerprints) unless keys are normalized
+    // first. Decomposed suffixes are synthesized deterministically from
+    // doc_id (the corpus itself is ASCII — that path exercises the
+    // no-allocation fast path); doc_id%5==3 is a MULTI-MARK sequence
+    // (cedilla ccc=202 + ring ccc=230) whose composition requires the full
+    // UAX #15 canonical-ordering + blocking logic, and %5==4 is already
+    // composed (must pass through unchanged). Oracle = DuckDB's utf8proc
+    // nfc_normalize over the same construction; hash equality proves the
+    // two UAX #15 implementations agree byte-for-byte
+    "q133_unicode_nfc" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val suffix = when(m === 0, lit("e\u0301")) // e + COMBINING ACUTE -> U+00E9
+        .when(m === 1, lit("A\u030A")) // A + COMBINING RING -> U+00C5
+        .when(m === 2, lit("o\u0302n\u0303")) // -> U+00F4, U+00F1
+        .when(m === 3, lit("A\u0327\u030A")) // multi-mark: cedilla ccc=202 + ring ccc=230; ring composes OVER the cedilla -> U+00C5 U+0327
+        .otherwise(lit("\u00E9")) // already-composed U+00E9: NFC no-op
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), concat(col("text"), suffix).as("dirty"))
+        .withColumn("clean", graft.functions.TextFunctions.nfc(col("dirty")))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("dirty"))).as("len_raw"),
+          sum(length(col("clean"))).as("len_nfc"),
+          sum(when(col("dirty") =!= col("clean"), 1L).otherwise(0L)).as("n_changed"))
+        .orderBy("lang")
+    }),
+    // DISTRIBUTED MODEL TRAINING: Elliott-sigmoid GLM quality classifier
+    // fit by full-batch GD — each iteration ONE map-side-combined aggregate
+    // (4 scalars to the driver, zero row traffic). Rational activation +
+    // decimal gradient sums + per-iteration weight quantization make the
+    // whole training loop bit-reproducible across engines AND across
+    // cluster re-runs at any partitioning (Learn.scala contract)
+    "q134_glm_quality" -> ((s, dir) => Learn.glmQualityGate(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2874,6 +2960,32 @@ SELECT z >> 14 AS cell, count(*) AS n,
        min(x) AS min_x, max(x) AS max_x,
        min(y) AS min_y, max(y) AS max_y
 FROM z GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB's utf8proc nfc_normalize over the same deterministic
+    // decomposed-suffix construction (chr() codepoints = the Spark \u
+    // escapes); both sides implement UAX #15, hash equality is the proof
+    "q133_unicode_nfc" -> """
+WITH d AS (
+  SELECT lang,
+         text || CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN 'e' || chr(769)
+           WHEN 1 THEN 'A' || chr(778)
+           WHEN 2 THEN 'o' || chr(770) || 'n' || chr(771)
+           WHEN 3 THEN 'A' || chr(807) || chr(778)
+           ELSE chr(233) END AS dirty
+  FROM documents
+), n AS (
+  SELECT lang, dirty, nfc_normalize(dirty) AS clean FROM d
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(dirty)) AS BIGINT) AS len_raw,
+       CAST(sum(length(clean)) AS BIGINT) AS len_nfc,
+       CAST(sum(CASE WHEN dirty <> clean THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+FROM n GROUP BY lang ORDER BY lang""",
+
+    // GD training loop unrolled: iteration i = (gradient-sum CTE g_i,
+    // weight-update CTE w_i); see glmOracleSql for the determinism contract
+    "q134_glm_quality" -> glmOracleSql(3, "2.0"),
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase
