@@ -761,6 +761,11 @@ ORDER BY r.rank DESC, partkey"""
     // whole training loop bit-reproducible across engines AND across
     // cluster re-runs at any partitioning (Learn.scala contract)
     "q134_glm_quality" -> ((s, dir) => Learn.glmQualityGate(s, dir)),
+    // FORMAT BOUNDARY: orders through parquet → ORC → JSONL (declared
+    // schemas on every read — no inference scans), aggregate on the JSONL
+    // end; oracle reads the ORIGINAL parquet. Hash equality proves both
+    // hops lossless (decimal-exact sums, µs timestamps, distinct keys)
+    "q135_format_roundtrip" -> ((s, dir) => graft.sources.Formats.roundtripGate(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -2986,6 +2991,16 @@ FROM n GROUP BY lang ORDER BY lang""",
     // GD training loop unrolled: iteration i = (gradient-sum CTE g_i,
     // weight-update CTE w_i); see glmOracleSql for the determinism contract
     "q134_glm_quality" -> glmOracleSql(3, "2.0"),
+
+    // the oracle never sees ORC/JSONL — it reads the source parquet; the
+    // engine side aggregates the far end of the two-hop format chain
+    "q135_format_roundtrip" -> """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS total_price,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+       max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY 1 ORDER BY 1""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase
