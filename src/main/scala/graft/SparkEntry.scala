@@ -766,6 +766,11 @@ ORDER BY r.rank DESC, partkey"""
     // end; oracle reads the ORIGINAL parquet. Hash equality proves both
     // hops lossless (decimal-exact sums, µs timestamps, distinct keys)
     "q135_format_roundtrip" -> ((s, dir) => graft.sources.Formats.roundtripGate(s, dir)),
+    // SMALL-FILE COMPACTION: the streaming-ingest pathology (48 tiny
+    // files) rewritten by zero-shuffle split-packing (maxPartitionBytes
+    // bin-pack, one output file per split); the aggregate runs on the
+    // compacted copy, the oracle on the original relation
+    "q136_compaction" -> ((s, dir) => Layout.compactionGate(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -3001,6 +3006,14 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
        max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the oracle reads the pristine events relation; the engine reads its
+    // fragmented-then-compacted copy
+    "q136_compaction" -> """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS sum_value
+FROM events GROUP BY 1 ORDER BY 1""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

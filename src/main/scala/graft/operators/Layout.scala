@@ -99,4 +99,67 @@ object Layout {
       col("max_y") >= y0 && col("min_y") <= y1).count().toDouble
     if (total == 0) 0.0 else hit / total
   }
+
+  // -------------------------------------------------------------------------
+  // Small-file compaction
+  // -------------------------------------------------------------------------
+
+  /** Compact a fragmented parquet layout by SPLIT-PACKING, not shuffling:
+    * the read is planned with `spark.sql.files.maxPartitionBytes` =
+    * targetBytes and `openCostInBytes` = 0, so Spark's file-split planner
+    * bin-packs the small files into ~target-sized read splits (first-fit
+    * over size-sorted files — the same packing Delta/Iceberg OPTIMIZE
+    * performs), and each split is written back as exactly one file.
+    *
+    * Why this shape at 100 TB: the streaming-ingest small-file problem
+    * (every micro-batch emits a file per partition) degrades scan planning
+    * and NameNode/listing pressure long before it degrades bytes. This
+    * rewrite is a zero-shuffle, executor-parallel IO pass — cost = one
+    * read + one write of the data, no sort, no exchange, no driver-side
+    * file list beyond what planning already does.
+    */
+  def compactSmallFiles(spark: SparkSession, src: String, dst: String,
+                        targetBytes: Long): Unit = {
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // The read plan is lazy — the confs are active through the write
+      // action below, then restored.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
+  /** Registered query (q136): fragment the events relation into 48 tiny
+    * files (the streaming-ingest pathology, materialized once per source
+    * fingerprint), compact it, and aggregate the COMPACTED copy; the
+    * oracle aggregates the original — hash equality proves the rewrite
+    * preserved every row and value. File-count mechanics are pinned in
+    * LayoutSpec (they are filesystem facts, not SQL).
+    */
+  def compactionGate(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val fp = graft.sources.Formats.fingerprintOf(dir, "events")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_compact", fp)
+    val frag = base.resolve("fragmented").toString
+    val compacted = base.resolve("compacted").toString
+    synchronized {
+      if (!Files.exists(Paths.get(frag, "_SUCCESS")))
+        Tables.events(spark, dir).repartition(48)
+          .write.mode("overwrite").parquet(frag)
+      if (!Files.exists(Paths.get(compacted, "_SUCCESS")))
+        compactSmallFiles(spark, frag, compacted, 32L * 1024 * 1024)
+    }
+    import graft.functions.Fx._
+    spark.read.parquet(compacted)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        rd(exactSum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  /** Fingerprint of a source parquet table (same device as the graph MV). */
-  private def fingerprintOf(dir: String, table: String): String = {
+  /** Fingerprint of a source parquet table (same device as the graph MV).
+    * Shared with [[graft.operators.Layout]]'s compaction gate.
+    */
+  private[graft] def fingerprintOf(dir: String, table: String): String = {
     val src = Paths.get(dir, s"$table.parquet")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(src.toString.getBytes("UTF-8"))

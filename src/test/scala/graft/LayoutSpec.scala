@@ -70,4 +70,41 @@ class LayoutSpec extends SparkSpecBase {
     assert(back.columns.sorted.toSeq == Seq("id", "x", "y"))
     assert(back.agg(sum("id")).head.getLong(0) == (0L until 1000L).sum)
   }
+
+  private def parquetFiles(p: String): Array[java.io.File] =
+    new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction packs many small files into few, losslessly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpt").toString
+    val src = spark.range(50000)
+      .select(col("id"), (col("id") % 97).as("k"), rand(7).as("v"))
+    src.repartition(40).write.parquet(s"$tmp/frag")
+    assert(parquetFiles(s"$tmp/frag").length == 40)
+    Layout.compactSmallFiles(spark, s"$tmp/frag", s"$tmp/out", 512L * 1024 * 1024)
+    val outFiles = parquetFiles(s"$tmp/out")
+    assert(outFiles.length < 40, s"still ${outFiles.length} files")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("compaction respects the target size: big data stays multi-file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpt2").toString
+    // ~40 input files; a target well below the total must keep >1 output
+    val src = spark.range(200000)
+      .select(col("id"), concat(lit("payload-"), col("id")).as("s"), rand(11).as("v"))
+    src.repartition(40).write.parquet(s"$tmp/frag")
+    val totalBytes = parquetFiles(s"$tmp/frag").map(_.length()).sum
+    Layout.compactSmallFiles(spark, s"$tmp/frag", s"$tmp/out", totalBytes / 4)
+    val n = parquetFiles(s"$tmp/out").length
+    assert(n > 1 && n < 40, s"expected 1 < n < 40 files at target total/4, got $n")
+    assert(spark.read.parquet(s"$tmp/out").count() == 200000)
+  }
+
+  test("compaction gate reuses the fingerprinted materialization") {
+    val out1 = Layout.compactionGate(spark, sf).collect()
+    val out2 = Layout.compactionGate(spark, sf).collect()
+    assert(out1.toSeq == out2.toSeq)
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(out1.map(_.getLong(1)).sum == n)
+  }
 }
