@@ -771,6 +771,11 @@ ORDER BY r.rank DESC, partkey"""
     // bin-pack, one output file per split); the aggregate runs on the
     // compacted copy, the oracle on the original relation
     "q136_compaction" -> ((s, dir) => Layout.compactionGate(s, dir)),
+    // AUDIO SPECTRAL ANALYSIS: Goertzel single-bin DFT (O(N) per probe
+    // tone, O(1) state — the tone-detection shape) over pure-tone WAV
+    // fixtures aligned on integer DFT bins; closed-form literal oracle,
+    // q80's technique. Decode + recurrence run partition-local (mapPartitions)
+    "q137_spectral" -> ((s, _) => Multimodal.spectralProfile(s)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -3014,6 +3019,18 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS sum_value
 FROM events GROUP BY 1 ORDER BY 1""",
+
+    // closed-form Goertzel amplitudes of the bin-aligned pure-tone
+    // fixtures (int16 quantization error ≤3e-5 vanishes at 4 decimals)
+    "q137_spectral" -> """
+SELECT item, CAST(freq_hz AS BIGINT) AS freq_hz, CAST(amp AS DOUBLE) AS amp,
+       CAST(is_dominant AS BIGINT) AS is_dominant
+FROM (VALUES
+  ('sin_a.wav',  440, 0.5,  1), ('sin_a.wav', 1000, 0.0,  0), ('sin_a.wav', 2000, 0.0, 0),
+  ('sin_b.wav',  440, 0.5,  1), ('sin_b.wav', 1000, 0.25, 0), ('sin_b.wav', 2000, 0.0, 0),
+  ('sin_c.wav',  440, 0.0,  0), ('sin_c.wav', 1000, 0.0,  0), ('sin_c.wav', 2000, 0.8, 1)
+) AS t(item, freq_hz, amp, is_dominant)
+ORDER BY item, freq_hz""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

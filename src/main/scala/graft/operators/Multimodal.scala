@@ -564,6 +564,83 @@ object Multimodal {
       .toDF()
   }
 
+  /** PCM samples of an audio payload, channel-averaged to mono in double.
+    * Decode path shared with [[decodeAudio]]; kept separate so spectral
+    * analysis gets raw samples without re-stating the format handling.
+    */
+  private[graft] def pcmMono(payload: Array[Byte]): (Float, Array[Double]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, "spectral path expects 16-bit PCM")
+      val ch = fmt.getChannels
+      val bytes = in.readAllBytes()
+      val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN
+      val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+      val nFrames = sb.remaining() / ch
+      val out = new Array[Double](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var s = 0.0; var c = 0
+        while (c < ch) { s += sb.get(i * ch + c) / 32768.0; c += 1 }
+        out(i) = s / ch
+        i += 1
+      }
+      (fmt.getSampleRate, out)
+    } finally in.close()
+  }
+
+  /** Goertzel single-bin DFT (Goertzel 1958): amplitude of the component at
+    * DFT bin k over N samples, in O(N) per bin with O(1) state — the
+    * standard tone-detection algorithm when only a few frequencies matter
+    * (vs an FFT's O(N log N) for ALL bins). Returns 2|X_k|/N, which for a
+    * pure sine of amplitude A at exactly bin k is A.
+    */
+  private[graft] def goertzelAmp(x: Array[Double], k: Int): Double = {
+    val n = x.length
+    val w = 2.0 * math.Pi * k / n
+    val coeff = 2.0 * math.cos(w)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < n) { s0 = x(i) + coeff * s1 - s2; s2 = s1; s1 = s0; i += 1 }
+    val re = s1 - s2 * math.cos(w)
+    val im = s2 * math.sin(w)
+    2.0 * math.sqrt(re * re + im * im) / n
+  }
+
+  case class SpectralRow(item: String, freq_hz: Long, amp: Double, is_dominant: Long)
+
+  /** Per-file tone amplitudes at the probe frequencies + dominant flag —
+    * the partition-local batched decode shape of `audioFeatures`, with the
+    * Goertzel recurrence per (file, probe). Probes must be integer DFT bins
+    * of the clip (freq·N/rate integral) for the amplitude identity to be
+    * exact; callers align fixtures accordingly.
+    */
+  def spectralFeatures(spark: SparkSession, dir: String, probesHz: Seq[Int],
+                       glob: String = "*.wav"): DataFrame = {
+    import spark.implicits._
+    readBinaryDir(spark, dir, glob)
+      .select(col("path"), col("payload")).as[BinFile]
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val (rate, mono) = pcmMono(f.payload)
+          val n = mono.length
+          val amps = probesHz.map { hz =>
+            val k = ((hz.toLong * n) / rate.toLong).toInt
+            hz -> goertzelAmp(mono, k)
+          }
+          val dom = amps.maxBy(_._2)._1
+          val item = f.path.substring(f.path.lastIndexOf('/') + 1)
+          amps.map { case (hz, a) =>
+            SpectralRow(item, hz.toLong, a, if (hz == dom) 1L else 0L)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Decode every image file under `dir` (binaryFile scan → partition-local
     * batched ImageIO decode): (path, byte_len, width, height, mean_luma).
     * Same mapPartitions batching shape as the stub path — a partitioned scan
@@ -637,6 +714,62 @@ object Multimodal {
     place("vid_b.mp4") { f =>
       java.nio.file.Files.write(f.toPath, mkMp4Fixture(640, 360, timescale = 600, duration = 1200, frames = 300)); () }
     dir.toString
+  }
+
+  /** Deterministic pure-tone fixtures for the spectral path — a SEPARATE
+    * dir from the q80 media fixtures (whose `*.wav` glob must keep seeing
+    * exactly its own files). Tones sit on integer DFT bins of the 1 s /
+    * 8 kHz clips, so the Goertzel amplitude identity is closed-form:
+    * sin_a = 0.5·sin(440 Hz); sin_b adds 0.25·sin(1000 Hz); sin_c =
+    * 0.8·sin(2000 Hz). Int16 quantization perturbs amplitudes by ≤3e-5 —
+    * invisible at the gate's 4-decimal rounding.
+    */
+  private[graft] def ensureSpectralFixtures(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_spectral_fixtures_v1")
+    Files.createDirectories(dir)
+    def place(name: String)(write: java.io.File => Unit): Unit = {
+      val target = dir.resolve(name)
+      if (!Files.exists(target)) {
+        val tmp = dir.resolve(s".$name.tmp${System.nanoTime()}")
+        write(tmp.toFile)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    def tone(name: String, comps: Seq[(Int, Double)]): Unit = place(name) { f =>
+      val rate = 8000; val n = 8000
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        val v = comps.map { case (hz, a) =>
+          a * math.sin(2.0 * math.Pi * hz * i / rate) }.sum
+        bb.putShort(math.round(32768.0 * v).toShort)
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, f)
+    }
+    tone("sin_a.wav", Seq(440 -> 0.5))
+    tone("sin_b.wav", Seq(440 -> 0.5, 1000 -> 0.25))
+    tone("sin_c.wav", Seq(2000 -> 0.8))
+    dir.toString
+  }
+
+  /** Spectral gate (registered as q137): Goertzel probe amplitudes at
+    * {440, 1000, 2000} Hz over the pure-tone fixtures; like q80/q124, the
+    * oracle states the closed-form constants as literals.
+    */
+  def spectralProfile(spark: SparkSession): DataFrame = {
+    import graft.functions.Fx.rd
+    val dir = ensureSpectralFixtures()
+    spectralFeatures(spark, dir, Seq(440, 1000, 2000), "sin_*.wav")
+      .select(col("item"), col("freq_hz"), rd(col("amp"), 4).as("amp"),
+        col("is_dominant"))
+      .orderBy("item", "freq_hz")
   }
 
   /** REAL video-container profile (registered as q81): runs the true

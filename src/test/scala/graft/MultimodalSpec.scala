@@ -257,4 +257,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(rows.map(_.getLong(1)).sum == 500L)
   }
+
+  test("goertzelAmp recovers amplitude at an exact bin, zero off-bin") {
+    val n = 1000
+    val x = Array.tabulate(n)(i => 0.37 * math.sin(2 * math.Pi * 50 * i / n))
+    assert(math.abs(Multimodal.goertzelAmp(x, 50) - 0.37) < 1e-9)
+    assert(Multimodal.goertzelAmp(x, 51) < 1e-9)
+    assert(Multimodal.goertzelAmp(x, 25) < 1e-9)
+  }
+
+  test("goertzelAmp separates superposed tones (linearity)") {
+    val n = 2000
+    val x = Array.tabulate(n)(i =>
+      0.5 * math.sin(2 * math.Pi * 100 * i / n) +
+      0.2 * math.sin(2 * math.Pi * 333 * i / n))
+    assert(math.abs(Multimodal.goertzelAmp(x, 100) - 0.5) < 1e-9)
+    assert(math.abs(Multimodal.goertzelAmp(x, 333) - 0.2) < 1e-9)
+  }
+
+  test("spectralProfile matches the closed-form fixture constants") {
+    val out = Multimodal.spectralProfile(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("sin_a.wav", 440L, 0.5, 1L), ("sin_a.wav", 1000L, 0.0, 0L),
+      ("sin_a.wav", 2000L, 0.0, 0L),
+      ("sin_b.wav", 440L, 0.5, 1L), ("sin_b.wav", 1000L, 0.25, 0L),
+      ("sin_b.wav", 2000L, 0.0, 0L),
+      ("sin_c.wav", 440L, 0.0, 0L), ("sin_c.wav", 1000L, 0.0, 0L),
+      ("sin_c.wav", 2000L, 0.8, 1L)))
+  }
+
+  test("spectral fixtures do not leak into the q80 media-fixture globs") {
+    val mediaDir = Multimodal.ensureMediaFixtures()
+    Multimodal.ensureSpectralFixtures()
+    val wavs = new java.io.File(mediaDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".wav")).sorted.toSeq
+    assert(wavs == Seq("dc_stereo.wav", "sq_mono.wav"))
+  }
 }
