@@ -776,6 +776,15 @@ ORDER BY r.rank DESC, partkey"""
     // fixtures aligned on integer DFT bins; closed-form literal oracle,
     // q80's technique. Decode + recurrence run partition-local (mapPartitions)
     "q137_spectral" -> ((s, _) => Multimodal.spectralProfile(s)),
+    // VERSIONED TABLE (MVCC): immutable version dirs + atomic pointer swap
+    // — the scale-correct evolution of the reference's truncate-and-reload
+    // (S3): snapshot isolation, O(1) rollback, vacuum. The gate pins v1
+    // AND the published latest from the same path after a rolled-back +
+    // vacuumed bad write
+    "q138_versioned_table" -> ((s, dir) => graft.sources.Versioned.versionGate(s, dir)),
+    // CHANGE DATA FEED: bag-semantics diff (exceptAll) between versions,
+    // inserts/deletes profiled; construction makes the exact feed knowable
+    "q139_version_changes" -> ((s, dir) => graft.sources.Versioned.changesGate(s, dir)),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -3031,6 +3040,25 @@ FROM (VALUES
   ('sin_c.wav',  440, 0.0,  0), ('sin_c.wav', 1000, 0.0,  0), ('sin_c.wav', 2000, 0.8, 1)
 ) AS t(item, freq_hz, amp, is_dominant)
 ORDER BY item, freq_hz""",
+
+    // the two snapshot constructions restated over the source relation
+    "q138_versioned_table" -> """
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS total_price
+FROM orders WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) + 0
+FROM orders
+ORDER BY version""",
+
+    // v1 -> v2 adds back exactly the o_orderkey % 3 = 0 rows; no deletes
+    "q139_version_changes" -> """
+SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+ORDER BY _change, o_orderstatus""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Versioned
+import org.apache.spark.sql.functions._
+
+/** Versioned (MVCC) table: snapshot isolation, atomic publish, rollback,
+  * vacuum, change feed.
+  */
+class VersionedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_ver").toString + "/t"
+
+  private def df(ids: Range) = ids.map(i => (i.toLong, s"row-$i")).toDF("id", "s")
+
+  test("commit publishes monotonically; readers pin snapshots") {
+    val t = freshTable()
+    assert(Versioned.latestVersion(t) == 0)
+    assert(Versioned.commit(df(0 until 10), t) == 1)
+    assert(Versioned.commit(df(0 until 25), t) == 2)
+    assert(Versioned.read(spark, t, 1).count() == 10) // v1 unchanged by v2
+    assert(Versioned.read(spark, t).count() == 25)
+    assert(Versioned.latestVersion(t) == 2)
+  }
+
+  test("rollback is O(1) pointer swap; vacuum removes the future version") {
+    val t = freshTable()
+    Versioned.commit(df(0 until 10), t)
+    Versioned.commit(df(0 until 3), t) // bad write
+    Versioned.rollback(t, 1)
+    assert(Versioned.read(spark, t).count() == 10)
+    val removed = Versioned.vacuum(t)
+    assert(removed == Seq(2L))
+    assert(!Files.exists(Paths.get(t, "v00002")))
+    assert(Versioned.read(spark, t).count() == 10) // published survives vacuum
+    // a new commit after rollback+vacuum reuses the freed number
+    assert(Versioned.commit(df(0 until 7), t) == 2)
+    assert(Versioned.read(spark, t).count() == 7)
+  }
+
+  test("vacuum keep=n retains only the trailing published versions") {
+    val t = freshTable()
+    (1 to 4).foreach(i => Versioned.commit(df(0 until i * 5), t))
+    val removed = Versioned.vacuum(t, keep = 2)
+    assert(removed == Seq(1L, 2L))
+    assert(Versioned.read(spark, t, 3).count() == 15)
+    assert(Versioned.read(spark, t).count() == 20)
+    val err = intercept[IllegalArgumentException](Versioned.read(spark, t, 1))
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
+  test("changes: inserts, deletes, and bag-multiplicity differences") {
+    val t = freshTable()
+    val v1 = Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val v2 = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "s")
+    Versioned.commit(v1, t); Versioned.commit(v2, t)
+    val ch = Versioned.changes(spark, t, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_.toString)
+    // one (2,b) survives, the duplicate copy is a delete (bag semantics)
+    assert(ch.toSeq == Seq((2L, "b", "delete"), (3L, "c", "delete"), (4L, "d", "insert")))
+  }
+
+  test("gate materialization: published v2, v1 retained, bad v3 vacuumed") {
+    val table = Versioned.ordersTable(spark, sf)
+    assert(Versioned.latestVersion(table) == 2)
+    assert(Files.exists(Paths.get(table, "v00001")))
+    assert(!Files.exists(Paths.get(table, "v00003")))
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(Versioned.read(spark, table).count() == n)
+    assert(Versioned.read(spark, table, 1).count() < n)
+  }
+}
