@@ -785,6 +785,38 @@ ORDER BY r.rank DESC, partkey"""
     // CHANGE DATA FEED: bag-semantics diff (exceptAll) between versions,
     // inserts/deletes profiled; construction makes the exact feed knowable
     "q139_version_changes" -> ((s, dir) => graft.sources.Versioned.changesGate(s, dir)),
+    // HIGHER-ORDER ARRAY FUNCTIONS: transform/filter/aggregate/exists over
+    // the ragged embedding arrays — the right tool when per-element logic
+    // doesn't justify a custom expression (vec_dot exists for the hot
+    // loops). Fold-order parity with the oracle's list_* lambdas rides the
+    // established vec_dot ≡ list_dot_product ascending-left-fold contract;
+    // per-row folds are round-at-9 → decimal-summed across rows (order-free)
+    "q140_array_hof" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val sumSq = aggregate(col("embedding"), lit(0.0), (acc, v) =>
+        acc + v.cast("double") * v.cast("double"))
+      val clipped = transform(col("embedding"), v =>
+        greatest(least(v.cast("double"), lit(0.5)), lit(-0.5)))
+      val clippedSum = aggregate(clipped, lit(0.0), (acc, v) => acc + v)
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      e.select(col("label"),
+          size(filter(col("embedding"), v => v > 0f)).as("npos"),
+          when(exists(col("embedding"), v => v.cast("double") > lit(0.3)), 1L)
+            .otherwise(0L).as("hot"),
+          round(sqrt(sumSq), 9).cast(dec).as("norm9"),
+          round(clippedSum, 9).cast(dec).as("clip9"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("npos")).as("n_pos"),
+          sum(col("hot")).as("n_hot"),
+          (round(sum(col("norm9")).cast("double") / count(lit(1)), 6) + lit(0.0))
+            .as("mean_norm"),
+          (round(sum(col("clip9")).cast("double") / count(lit(1)), 6) + lit(0.0))
+            .as("mean_clipped_sum"),
+          max(col("mx")).as("max_elem"))
+        .orderBy("label")
+    }),
     // FULL-OUTER watermarked stream-stream join: q116's completion — BOTH
     // dangling sides null-emit, on DIFFERENT cuts (a click's match window
     // ends at click_ts + w; a purchase's ends at its OWN ts, since it can
@@ -3059,6 +3091,24 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // list_* lambdas mirror the Spark HOFs; the two per-row folds ride the
+    // vec_dot ≡ list_dot_product ascending-left-fold parity (ones-vector
+    // dot = ordered sum); cross-row means use the round-9/decimal contract
+    "q140_array_hof" -> """
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS n_pos,
+  CAST(sum(CASE WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+  round(CAST(sum(CAST(round(sqrt(list_dot_product(embedding, embedding)), 9)
+        AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) + 0 AS mean_norm,
+  round(CAST(sum(CAST(round(list_dot_product(
+          list_transform(embedding, x -> greatest(least(CAST(x AS DOUBLE), 0.5), -0.5)),
+          list_transform(embedding, x -> 1.0)), 9)
+        AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) + 0 AS mean_clipped_sum,
+  CAST(max(list_max(embedding)) AS DOUBLE) AS max_elem
+FROM embeddings GROUP BY label ORDER BY label""",
 
     // q116's completion in batch: inner pairs UNION dangling clicks beyond
     // click_ts + w UNION dangling purchases beyond their OWN ts (a purchase
