@@ -785,6 +785,43 @@ ORDER BY r.rank DESC, partkey"""
     // CHANGE DATA FEED: bag-semantics diff (exceptAll) between versions,
     // inserts/deletes profiled; construction makes the exact feed knowable
     "q139_version_changes" -> ((s, dir) => graft.sources.Versioned.changesGate(s, dir)),
+    // FORWARD AS-OF: next purchase at-or-after each click per user — the
+    // mirror of q42's backward as-of, same single-shuffle union-sort shape
+    // with the window direction flipped. Right side pre-deduped per
+    // (user, ts) by max event_id so ties are engine-independent
+    "q141_asof_next_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(struct(col("event_id"), col("value"))).as("r"))
+        .select(col("user_id"), col("ts_ns"),
+          col("r.event_id").as("p_id"), col("r.value").as("p_value"))
+      AsOf.asofJoinForward(clicks, purchases, "user_id", "ts_ns",
+          Seq("p_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("asof_p_id").as("next_p_id"), col("asof_p_value").as("next_p_value"))
+        .orderBy("event_id")
+    }),
+    // NEAREST AS-OF with tolerance: the closer of the backward/forward
+    // matches within 10 min, ties to the past (the financial convention).
+    // Two keyed window passes, both linear
+    "q142_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("ts_ns"), col("p_id"))
+      AsOf.asofJoinNearest(clicks, purchases, "user_id", "ts_ns",
+          Seq("p_id"), tolerance = Some(600000000000L))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("asof_p_id").as("nearest_p_id"),
+          (col("asof_ts_ns") - col("ts_ns")).as("delta_ns"))
+        .orderBy("event_id")
+    }),
     // HIGHER-ORDER ARRAY FUNCTIONS: transform/filter/aggregate/exists over
     // the ragged embedding arrays — the right tool when per-element logic
     // doesn't justify a custom expression (vec_dot exists for the hot
@@ -3091,6 +3128,49 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // DuckDB's native ASOF JOIN with the inequality flipped forward
+    "q141_asof_next_purchase" -> """
+WITH c AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         max(event_id) AS p_id, arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_ns,
+       p.p_id AS next_p_id, p.p_value AS next_p_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
+ORDER BY c.event_id""",
+
+    // both ASOF directions, then the closer match within tolerance, ties
+    // to the past — the same pick logic the engine states
+    "q142_asof_nearest" -> """
+WITH c AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, max(event_id) AS p_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), b AS (
+  SELECT c.event_id, c.user_id, c.ts_ns, p.p_id AS b_id, p.ts_ns AS b_ts
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_ns >= p.ts_ns
+), f AS (
+  SELECT c.event_id, p.p_id AS f_id, p.ts_ns AS f_ts
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
+), j AS (
+  SELECT b.event_id, b.user_id, b.ts_ns, b.b_id, b.b_ts, f.f_id, f.f_ts,
+         (b.b_ts IS NOT NULL AND b.ts_ns - b.b_ts <= 600000000000) AS ok_b,
+         (f.f_ts IS NOT NULL AND f.f_ts - b.ts_ns <= 600000000000) AS ok_f
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id, ts_ns,
+       CASE WHEN ok_b AND (NOT ok_f OR ts_ns - b_ts <= f_ts - ts_ns) THEN b_id
+            WHEN ok_f THEN f_id END AS nearest_p_id,
+       CASE WHEN ok_b AND (NOT ok_f OR ts_ns - b_ts <= f_ts - ts_ns) THEN b_ts - ts_ns
+            WHEN ok_f THEN f_ts - ts_ns END AS delta_ns
+FROM j ORDER BY event_id""",
 
     // list_* lambdas mirror the Spark HOFs; the two per-row folds ride the
     // vec_dot ≡ list_dot_product ascending-left-fold parity (ones-vector
