@@ -303,6 +303,37 @@ FROM scored GROUP BY lang ORDER BY lang"""
     * rᵗ⁺¹ = round(0.15 + 0.85·Σ rᵗ(u)/deg(u), 6)) — the same
     * quantize-per-iteration replay technique as [[KmeansCellsCtes]].
     */
+  /** q144 oracle: the engine's BFS rounds unrolled — round i = union of
+    * (previous distances, previous frontier pushed one hop) min-merged per
+    * node — over the same co-purchase edge derivation as pageRankOracle.
+    */
+  private def bfsOracleSql(hops: Int): String = {
+    val rounds = (1 to hops).map { i =>
+      val prev = s"d${i - 1}"
+      s""", d$i AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM $prev
+    UNION ALL
+    SELECT u.v AS node, d.dist + 1 AS dist FROM $prev d JOIN u ON u.u = d.node
+  ) AS t GROUP BY node
+)"""
+    }.mkString
+    s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), u AS (
+  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst AS u, src AS v FROM e
+), d0 AS (
+  SELECT min(src) AS node, 0 AS dist FROM e
+)$rounds
+SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM d$hops GROUP BY dist ORDER BY dist"""
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
@@ -822,6 +853,32 @@ ORDER BY r.rank DESC, partkey"""
           (col("asof_ts_ns") - col("ts_ns")).as("delta_ns"))
         .orderBy("event_id")
     }),
+    // PER-DIMENSION EMBEDDING STATISTICS — the feature-standardization
+    // pass (mean/var/min/max per coordinate) an ML pipeline runs before
+    // whitening: posexplode → 64-group hash aggregate, map-side combined;
+    // means/variances via the round-9/decimal contract
+    "q143_dim_stats" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v"), 9).cast(dec)).as("sm"),
+          sum(round(col("v") * col("v"), 9).cast(dec)).as("ss"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("pos"), col("n"),
+          (round(col("sm").cast("double") / col("n"), 6) + lit(0.0)).as("mean_v"),
+          (round(col("ss").cast("double") / col("n")
+            - (col("sm").cast("double") / col("n"))
+              * (col("sm").cast("double") / col("n")), 6) + lit(0.0)).as("var_v"),
+          col("min_v"), col("max_v"))
+        .orderBy("pos")
+    }),
+    // BOUNDED-HOP BFS over the co-purchase graph: frontier join + min-agg
+    // rounds (Pregel's message round as a keyed equi-join), edge relation
+    // checkpointed once; profiled per distance ring
+    "q144_bfs_rings" -> ((s, dir) => GraphOps.bfsGate(s, dir)),
     // HIGHER-ORDER ARRAY FUNCTIONS: transform/filter/aggregate/exists over
     // the ragged embedding arrays — the right tool when per-element logic
     // doesn't justify a custom expression (vec_dot exists for the hot
@@ -3128,6 +3185,28 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // 1-based DuckDB list indexing over a fixed 64-wide range replays the
+    // posexplode; identical decimal/rounding arithmetic for mean and var
+    "q143_dim_stats" -> """
+WITH x AS (
+  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(64) t(i)
+), a AS (
+  SELECT pos, count(*) AS n,
+         sum(CAST(round(v, 9) AS DECIMAL(30,12))) AS sm,
+         sum(CAST(round(v * v, 9) AS DECIMAL(30,12))) AS ss,
+         min(v) AS min_v, max(v) AS max_v
+  FROM x GROUP BY pos
+)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+       round(CAST(sm AS DOUBLE) / n, 6) + 0 AS mean_v,
+       round(CAST(ss AS DOUBLE) / n
+         - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 6) + 0 AS var_v,
+       min_v, max_v
+FROM a ORDER BY pos""",
+
+    "q144_bfs_rings" -> bfsOracleSql(4),
 
     // DuckDB's native ASOF JOIN with the inequality flipped forward
     "q141_asof_next_purchase" -> """

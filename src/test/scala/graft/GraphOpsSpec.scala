@@ -133,4 +133,23 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(mvPath2 != mvPath, "a rebuilt source corpus must never serve the stale edge MV")
     assert(key(mv2) == direct)
   }
+
+  test("bfsDistances: hop-bounded rings on a path graph, unreached absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5, detached pair 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val seeds = Seq(1L).toDF("node")
+    def run(h: Int): Map[Long, Long] =
+      GraphOps.bfsDistances(edges, seeds, h).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(run(4) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // cycle shortcut: adding 1-4 pulls 4 and 5 closer
+    val cyc = edges.union(Seq((1L, 4L)).toDF("src", "dst")
+      .withColumn("w", lit(1L)))
+    val d = GraphOps.bfsDistances(cyc, seeds, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) == 1L && d(5L) == 2L && d(3L) == 2L)
+  }
 }
