@@ -853,6 +853,12 @@ ORDER BY r.rank DESC, partkey"""
           (col("asof_ts_ns") - col("ts_ns")).as("delta_ns"))
         .orderBy("event_id")
     }),
+    // STREAM-STATIC ENRICHMENT: live stream × broadcast static dimension,
+    // re-planned per micro-batch — zero join state, no watermark; facts
+    // without a dim row flow under 'UNKNOWN' (enrichment never drops).
+    // A real AvailableNow lifecycle, batch-SQL oracle
+    "q145_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamStaticEnrichParity(s, dir)),
     // PER-DIMENSION EMBEDDING STATISTICS — the feature-standardization
     // pass (mean/var/min/max per coordinate) an ML pipeline runs before
     // whitening: posexplode → 64-group hash aggregate, map-side combined;
@@ -3185,6 +3191,14 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // stream-static enrichment replayed as a plain batch left join
+    "q145_stream_enrich" -> """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY segment, event_type""",
 
     // 1-based DuckDB list indexing over a fixed 64-wide range replays the
     // posexplode; identical decimal/rounding arithmetic for mean and var

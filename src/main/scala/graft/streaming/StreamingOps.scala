@@ -135,6 +135,33 @@ object StreamingOps {
       .orderBy("event_type", "semana"))
   }
 
+  /** STREAM-STATIC enrichment gate (correctness-gate entry
+    * `q145_stream_enrich`): the standard streaming enrichment topology —
+    * a live stream joined per micro-batch against a STATIC broadcast
+    * dimension. Unlike stream-stream joins this holds NO join state: the
+    * static side is re-planned (and its broadcast reused) each
+    * micro-batch, so there is no watermark, no eviction question, and the
+    * result cannot depend on batch boundaries. Events without a dimension
+    * row keep flowing under an explicit 'UNKNOWN' segment — an enrichment
+    * must never drop facts. Complete mode is gate-only (segments ×
+    * event-types is tiny); decimal sums for batch-split invariance.
+    */
+  def streamStaticEnrichParity(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = eventStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .as("sum_dec"))
+    runMemoryGate(spark, "stream_enrich_gate", agg, OutputMode.Complete())(_
+      .select(col("segment"), col("event_type"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("segment", "event_type"))
+  }
+
   /** Batch-parity gate for SESSION windows (correctness-gate entry
     * `q87_stream_sessions`): a real Structured Streaming run of the
     * gap-based session aggregation — file source → session_window → memory

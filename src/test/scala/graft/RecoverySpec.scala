@@ -82,6 +82,29 @@ class RecoverySpec extends SparkSpecBase {
       s"recovered totals wrong:\n got $finalSnap\n want $expectAll")
   }
 
+  test("maxFilesPerTrigger bounds micro-batches without changing results") {
+    val root = Files.createTempDirectory("graft_rate").toString
+    val inDir = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(inDir).mkdirs()
+    (0 until 3).foreach(i =>
+      stage(events.filter(col("event_id") % 3 === i), inDir, s"p$i.parquet"))
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(col("ts_ns"), lit(1000000007L))).as("ns_sum"))
+    val q = StreamingOps.parquetSink(agg, out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // rate limit produced one micro-batch per file
+    val batches = spark.read.parquet(out).select("_batch_id").distinct().count()
+    assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    val expect = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(pmod(col("ts_ns"), lit(1000000007L))).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(snapshot(out) == expect)
+  }
+
   test("a replayed lifecycle with no new data changes nothing") {
     val root = Files.createTempDirectory("graft_recovery2").toString
     val inDir = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
