@@ -853,6 +853,30 @@ ORDER BY r.rank DESC, partkey"""
           (col("asof_ts_ns") - col("ts_ns")).as("delta_ns"))
         .orderBy("event_id")
     }),
+    // CORPUS MIXING DIAGNOSTICS: per-source lang-distribution entropy and
+    // KL divergence vs the corpus-wide mix — what a data-mixture tuner
+    // reads before reweighting sources. ln() is libm, so the q82 device
+    // applies: ln rounded at 6 on the BOUNDED-DISTINCT ratio relation
+    // (sources × langs), then round-9/decimal sums carry it exactly
+    "q146_lang_divergence" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val d = Tables.documents(s, dir)
+      val b = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val st = b.groupBy("source").agg(sum("n").as("ns"))
+      val c = b.groupBy("lang").agg(sum("n").as("nl"))
+      val t = d.agg(count(lit(1)).as("nt"))
+      val p = col("n").cast("double") / col("ns")
+      val q = col("nl").cast("double") / col("nt")
+      b.join(st, "source").join(c, "lang").crossJoin(broadcast(t))
+        .select(col("source"), col("ns"),
+          round(p * round(log(p), 6), 9).cast(dec).as("ht"),
+          round(p * round(log(p / q), 6), 9).cast(dec).as("kt"))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_docs"),
+          (round(-sum(col("ht")).cast("double"), 6) + lit(0.0)).as("entropy"),
+          (round(sum(col("kt")).cast("double"), 6) + lit(0.0)).as("kl_vs_corpus"))
+        .orderBy("source")
+    }),
     // STREAM-STATIC ENRICHMENT: live stream × broadcast static dimension,
     // re-planned per micro-batch — zero join state, no watermark; facts
     // without a dim row flow under 'UNKNOWN' (enrichment never drops).
@@ -3191,6 +3215,26 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // same ratio relation; ln rounded at 6 at the bounded-distinct level
+    // BEFORE any sum (the q82 libm contract), decimal-carried across rows
+    "q146_lang_divergence" -> """
+WITH b AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+st AS (SELECT source, sum(n) AS ns FROM b GROUP BY 1),
+c AS (SELECT lang, sum(n) AS nl FROM b GROUP BY 1),
+t AS (SELECT count(*) AS nt FROM documents),
+j AS (
+  SELECT b.source, st.ns,
+         CAST(b.n AS DOUBLE) / st.ns AS p,
+         CAST(c.nl AS DOUBLE) / t.nt AS q
+  FROM b JOIN st USING (source) JOIN c USING (lang) CROSS JOIN t
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+  round(-CAST(sum(CAST(round(p * round(ln(p), 6), 9) AS DECIMAL(30,12))) AS DOUBLE), 6) + 0
+    AS entropy,
+  round(CAST(sum(CAST(round(p * round(ln(p / q), 6), 9) AS DECIMAL(30,12))) AS DOUBLE), 6) + 0
+    AS kl_vs_corpus
+FROM j GROUP BY source ORDER BY source""",
 
     // stream-static enrichment replayed as a plain batch left join
     "q145_stream_enrich" -> """

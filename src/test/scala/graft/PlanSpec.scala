@@ -197,4 +197,35 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_shipdate:timestamp"),
       s"gap-fill scan reads more than (suppkey, price, shipdate):\n$plan")
   }
+
+  test("q141 forward as-of: one exchange on the key, no cross/range join") {
+    val q = SparkEntry.queries("q141_asof_next_purchase")(spark, sf)
+    val plan = executed(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of exploded into a product join:\n$plan")
+    assert(plan.contains("Window"), s"no window carry in:\n$plan")
+  }
+
+  test("q134 GLM scoring: single pass, partial+final aggregate, codegen'd") {
+    val plan = executed(graft.operators.Learn.glmQualityGate(spark, sf, iters = 1))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q143 dim stats: explode feeds a partial+final 64-group aggregate") {
+    val plan = executed(SparkEntry.queries("q143_dim_stats")(spark, sf))
+    assert(plan.contains("Generate posexplode"), s"no generate in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+  }
+
+  test("unicode normalization stays inside whole-stage codegen") {
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.nfc(col("text")).as("t"))
+      .groupBy(length(col("t"))).count()
+    df.collect() // AQE reports codegen spans only in the final executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
+      s"normalize->aggregate not inside a codegen stage:\n$plan")
+  }
 }
