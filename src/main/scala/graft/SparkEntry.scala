@@ -853,6 +853,11 @@ ORDER BY r.rank DESC, partkey"""
           (col("asof_ts_ns") - col("ts_ns")).as("delta_ns"))
         .orderBy("event_id")
     }),
+    // MERGE INTO a versioned table: one keyed change batch (updates,
+    // deletes, inserts under an _op column) applied by a single full-outer
+    // join and committed as a new version — the lakehouse upsert; readers
+    // of the old snapshot untouched until the atomic publish
+    "q147_versioned_merge" -> ((s, dir) => graft.sources.Versioned.mergeGate(s, dir)),
     // CORPUS MIXING DIAGNOSTICS: per-source lang-distribution entropy and
     // KL divergence vs the corpus-wide mix — what a data-mixture tuner
     // reads before reweighting sources. ln() is libm, so the q82 device
@@ -3215,6 +3220,27 @@ SELECT 'insert' AS _change, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
 FROM orders WHERE o_orderkey % 3 = 0
 GROUP BY o_orderstatus
 ORDER BY _change, o_orderstatus""",
+
+    // the MERGE batch replayed set-algebraically over the source
+    "q147_versioned_merge" -> """
+WITH kept AS (
+  SELECT * FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
+), up AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+), ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'X' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+), final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM up UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS total_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM final GROUP BY 1 ORDER BY 1""",
 
     // same ratio relation; ln rounded at 6 at the bounded-distinct level
     // BEFORE any sum (the q82 libm contract), decimal-carried across rows

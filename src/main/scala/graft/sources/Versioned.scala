@@ -98,6 +98,70 @@ object Versioned {
     victims.toSeq
   }
 
+  /** MERGE INTO: apply a keyed change set to the published snapshot and
+    * commit the result as ONE new version — the lakehouse upsert. The
+    * change relation carries the full payload plus an `_op` column:
+    * 'upsert' rows replace-or-insert their key, 'delete' rows remove it.
+    * One full-outer join keyed by the merge key — the same single keyed
+    * shuffle as any MERGE implementation; readers of the old version are
+    * untouched until the atomic publish.
+    */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+            key: String): Long = {
+    val cur = read(spark, table)
+    val payload = cur.columns.filterNot(_ == key).toSeq
+    val src = payload.foldLeft(changes)((df, c) => df.withColumnRenamed(c, s"__s_$c"))
+    val merged = cur.join(src, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "delete")
+      .select(col(key) +: payload.map(c =>
+        when(col("_op") === "upsert", col(s"__s_$c")).otherwise(col(c)).as(c)): _*)
+    commit(merged, table)
+  }
+
+  /** q147 materialization: a fresh versioned orders table (v1 = source)
+    * with one deterministic MERGE batch applied as v2 — updates
+    * (%7 keys: price +1000), deletes (%11 keys), inserts (%13 keys
+    * re-keyed +10M under status 'X'); delete wins key overlaps by
+    * construction (updates exclude %11).
+    */
+  private[graft] def mergedOrdersTable(spark: SparkSession, dir: String): String =
+    synchronized {
+      val fp = Formats.fingerprintOf(dir, "orders")
+      val table = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_versioned", fp, "orders_merge").toString
+      val orders = Tables.orders(spark, dir)
+      if (latestVersion(table) == 0L) commit(orders, table)
+      if (latestVersion(table) == 1L) {
+        val k = col("o_orderkey")
+        val updates = orders.filter(k % 7 === 0 && k % 11 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("_op", lit("upsert"))
+        val inserts = orders.filter(k % 13 === 0)
+          .withColumn("o_orderkey", k + 10000000L)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("_op", lit("upsert"))
+        val deletes = orders.filter(k % 11 === 0)
+          .withColumn("_op", lit("delete"))
+        merge(spark, table, updates.unionByName(inserts).unionByName(deletes),
+          "o_orderkey")
+      }
+      table
+    }
+
+  /** q147: the merged snapshot profiled per status; the oracle replays the
+    * construction set-algebraically over the source relation.
+    */
+  def mergeGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fx._
+    read(spark, mergedOrdersTable(spark, dir), 2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        rd(exactSum(col("o_totalprice")), 4).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Gate materialization (q138/q139), once per source fingerprint: v1 =
     * orders minus every third key, v2 = full orders, v3 = a "bad write"
     * that is rolled back and vacuumed — so the gate exercises commit,

@@ -63,6 +63,24 @@ class VersionedSpec extends SparkSpecBase {
     assert(ch.toSeq == Seq((2L, "b", "delete"), (3L, "c", "delete"), (4L, "d", "insert")))
   }
 
+  test("merge: upsert replaces, insert lands, delete removes, rest untouched") {
+    val t = freshTable()
+    Versioned.commit(df(0 until 5), t) // rows row-0..row-4
+    val changes = Seq(
+      (1L, "row-1-v2", "upsert"), // update existing
+      (9L, "row-9", "upsert"),    // insert new key
+      (3L, null.asInstanceOf[String], "delete") // remove
+    ).toDF("id", "s", "_op")
+    val v = Versioned.merge(spark, t, changes, "id")
+    assert(v == 2)
+    val got = Versioned.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "row-0", 1L -> "row-1-v2", 2L -> "row-2",
+      4L -> "row-4", 9L -> "row-9"))
+    // snapshot isolation: v1 still has the pre-merge content
+    assert(Versioned.read(spark, t, 1).count() == 5)
+  }
+
   test("gate materialization: published v2, v1 retained, bad v3 vacuumed") {
     val table = Versioned.ordersTable(spark, sf)
     assert(Versioned.latestVersion(table) == 2)
