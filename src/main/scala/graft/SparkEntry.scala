@@ -915,7 +915,8 @@ ORDER BY r.rank DESC, partkey"""
     // checkpointed once; profiled per distance ring
     "q144_bfs_rings" -> ((s, dir) => GraphOps.bfsGate(s, dir)),
     // HIGHER-ORDER ARRAY FUNCTIONS: transform/filter/aggregate/exists over
-    // the ragged embedding arrays — the right tool when per-element logic
+    // the embedding arrays (fixed 64-wide per FIXTURES.md, though nothing
+    // here assumes the width) — the right tool when per-element logic
     // doesn't justify a custom expression (vec_dot exists for the hot
     // loops). Fold-order parity with the oracle's list_* lambdas rides the
     // established vec_dot ≡ list_dot_product ascending-left-fold contract;
@@ -3270,12 +3271,15 @@ SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY segment, event_type""",
 
-    // 1-based DuckDB list indexing over a fixed 64-wide range replays the
-    // posexplode; identical decimal/rounding arithmetic for mean and var
+    // unnest + generate_subscripts expand in lockstep, replaying the
+    // posexplode for ANY per-row width (no fixed-64 assumption — a ragged
+    // array would previously have produced NULL out-of-range index rows);
+    // identical decimal/rounding arithmetic for mean and var
     "q143_dim_stats" -> """
 WITH x AS (
-  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
-  FROM embeddings CROSS JOIN range(64) t(i)
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
 ), a AS (
   SELECT pos, count(*) AS n,
          sum(CAST(round(v, 9) AS DECIMAL(30,12))) AS sm,

@@ -120,18 +120,14 @@ object Layout {
     */
   def compactSmallFiles(spark: SparkSession, src: String, dst: String,
                         targetBytes: Long): Unit = {
-    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    try {
-      // The read plan is lazy — the confs are active through the write
-      // action below, then restored.
-      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      spark.conf.set("spark.sql.files.openCostInBytes", "0")
-      spark.read.parquet(src).write.mode("overwrite").parquet(dst)
-    } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
-    }
+    // A CLONED session shares the SparkContext and catalog but has its own
+    // runtime SQLConf, so the split-planning overrides below are invisible
+    // to queries planned concurrently on the caller's session (mutating the
+    // shared conf would silently change their file-split planning).
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    iso.conf.set("spark.sql.files.openCostInBytes", "0")
+    iso.read.parquet(src).write.mode("overwrite").parquet(dst)
   }
 
   /** Registered query (q136): fragment the events relation into 48 tiny
@@ -148,11 +144,13 @@ object Layout {
     val frag = base.resolve("fragmented").toString
     val compacted = base.resolve("compacted").toString
     synchronized {
-      if (!Files.exists(Paths.get(frag, "_SUCCESS")))
+      // materializeAtomic: per-process tmp + atomic rename, so a second JVM
+      // racing the same fingerprinted path never reads a half-written copy.
+      graft.sources.Formats.materializeAtomic(frag)(tmp =>
         Tables.events(spark, dir).repartition(48)
-          .write.mode("overwrite").parquet(frag)
-      if (!Files.exists(Paths.get(compacted, "_SUCCESS")))
-        compactSmallFiles(spark, frag, compacted, 32L * 1024 * 1024)
+          .write.mode("overwrite").parquet(tmp))
+      graft.sources.Formats.materializeAtomic(compacted)(tmp =>
+        compactSmallFiles(spark, frag, tmp, 32L * 1024 * 1024))
     }
     import graft.functions.Fx._
     spark.read.parquet(compacted)

@@ -726,7 +726,7 @@ object Multimodal {
     */
   private[graft] def ensureSpectralFixtures(): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_spectral_fixtures_v1")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_spectral_fixtures_v2")
     Files.createDirectories(dir)
     def place(name: String)(write: java.io.File => Unit): Unit = {
       val target = dir.resolve(name)
@@ -745,7 +745,10 @@ object Multimodal {
       while (i < n) {
         val v = comps.map { case (hz, a) =>
           a * math.sin(2.0 * math.Pi * hz * i / rate) }.sum
-        bb.putShort(math.round(32768.0 * v).toShort)
+        // Scale by 32767 and clamp: at 32768.0, a component set summing to
+        // +1.0 would round to 32768, which toShort wraps to -32768 — a
+        // silent full-scale sign flip latent for arbitrary (hz, amp) input.
+        bb.putShort(math.max(-32768L, math.min(32767L, math.round(32767.0 * v))).toShort)
         i += 1
       }
       val ais = new javax.sound.sampled.AudioInputStream(

@@ -41,12 +41,42 @@ object Formats {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.delete(q))
+      finally walk.close()
+    }
+
+  /** Publish a shared materialization atomically: build into a
+    * per-process tmp sibling, then a single directory rename. A second JVM
+    * (bench alongside tests) racing the same fingerprinted path either wins
+    * the rename or observes the winner's complete directory — never a
+    * half-overwritten one; the loser's tmp dir is discarded. The in-JVM
+    * `synchronized` callers keep handling the single-process case.
+    */
+  private[graft] def materializeAtomic(path: String)(write: String => Unit): Unit = {
+    val dst = Paths.get(path)
+    if (Files.exists(dst.resolve("_SUCCESS"))) return
+    val tmp = Paths.get(path + s".tmp.${ProcessHandle.current().pid()}")
+    deleteRecursively(tmp)
+    write(tmp.toString)
+    try Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        // Lost the cross-JVM race: the winner's dir is complete (its rename
+        // was atomic), so drop ours; anything else is a real failure.
+        if (Files.exists(dst.resolve("_SUCCESS"))) deleteRecursively(tmp)
+        else throw e
+    }
+  }
+
   /** ORC round-trip of a DataFrame through `path` (write once, read back
     * with the source's declared schema).
     */
   def viaOrc(df: DataFrame, path: String): DataFrame = {
-    if (!Files.exists(Paths.get(path, "_SUCCESS")))
-      df.write.mode("overwrite").orc(path)
+    materializeAtomic(path)(tmp => df.write.mode("overwrite").orc(tmp))
     df.sparkSession.read.schema(df.schema).orc(path)
   }
 
@@ -55,8 +85,7 @@ object Formats {
     * inference would widen/narrow by content).
     */
   def viaJsonl(df: DataFrame, path: String): DataFrame = {
-    if (!Files.exists(Paths.get(path, "_SUCCESS")))
-      df.write.mode("overwrite").json(path)
+    materializeAtomic(path)(tmp => df.write.mode("overwrite").json(tmp))
     df.sparkSession.read.schema(df.schema).json(path)
   }
 

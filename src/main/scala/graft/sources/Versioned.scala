@@ -32,6 +32,18 @@ object Versioned {
 
   private def latestFile(table: String): Path = Paths.get(table, "_latest")
 
+  /** java.util.stream.Stream holds a directory fd until closed — the same
+    * try/finally discipline as Formats.fingerprintOf.
+    */
+  private def withStream[S <: java.util.stream.BaseStream[_, _], A](s: S)(f: S => A): A =
+    try f(s) finally s.close()
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) withStream(Files.walk(p)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.delete(q))
+    }
+
   private def versionDir(table: String, v: Long): Path =
     Paths.get(table, f"v$v%05d")
 
@@ -84,17 +96,15 @@ object Versioned {
     */
   def vacuum(table: String, keep: Int = Int.MaxValue): Seq[Long] = synchronized {
     val latest = latestVersion(table)
-    val dirs = Files.list(Paths.get(table)).toArray.map(_.asInstanceOf[Path])
-      .filter(p => p.getFileName.toString.matches("v\\d{5}"))
-      .map(p => p.getFileName.toString.drop(1).toLong).sorted
+    val dirs = withStream(Files.list(Paths.get(table))) { st =>
+      st.toArray.map(_.asInstanceOf[Path])
+        .filter(p => p.getFileName.toString.matches("v\\d{5}"))
+        .map(p => p.getFileName.toString.drop(1).toLong).sorted
+    }
     val dropNewer = dirs.filter(_ > latest)
     val dropOld = dirs.filter(_ <= latest).dropRight(keep)
     val victims = (dropNewer ++ dropOld).filter(_ != latest)
-    victims.foreach { v =>
-      val d = versionDir(table, v)
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    victims.foreach(v => deleteRecursively(versionDir(table, v)))
     victims.toSeq
   }
 
@@ -173,6 +183,12 @@ object Versioned {
       val table = Paths.get(System.getProperty("java.io.tmpdir"),
         "graft_versioned", fp, "orders").toString
       if (latestVersion(table) != 2L) {
+        // Wipe-and-rebuild on ANY mismatch: a crash that committed only v1
+        // would otherwise see latest==1, replay the %3-filtered build as v2,
+        // and publish filtered data as latest forever (the guard would then
+        // read latest==2 and never self-heal). Starting from an empty dir
+        // makes the construction idempotent regardless of prior state.
+        deleteRecursively(Paths.get(table))
         val orders = Tables.orders(spark, dir)
         commit(orders.filter(col("o_orderkey") % 3 =!= 0), table) // v1
         commit(orders, table)                                     // v2

@@ -90,4 +90,22 @@ class VersionedSpec extends SparkSpecBase {
     assert(Versioned.read(spark, table).count() == n)
     assert(Versioned.read(spark, table, 1).count() < n)
   }
+
+  test("gate materialization self-heals from a crashed half-build") {
+    val table = Versioned.ordersTable(spark, sf)
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    // Simulate a crash that committed only v1 (the %3-filtered relation):
+    // latest==1, no v2. The old `latest != 2` guard would replay the build
+    // ON TOP of this state, publishing the FILTERED data as v2 — and then
+    // never self-heal because the guard sees latest==2.
+    Versioned.rollback(table, 1)
+    Versioned.vacuum(table) // drops v2, leaving exactly the crash state
+    assert(Versioned.latestVersion(table) == 1)
+    assert(!Files.exists(Paths.get(table, "v00002")))
+    val healed = Versioned.ordersTable(spark, sf)
+    assert(healed == table)
+    assert(Versioned.latestVersion(table) == 2)
+    assert(Versioned.read(spark, table).count() == n) // published = FULL orders
+    assert(Versioned.read(spark, table, 1).count() < n)
+  }
 }
