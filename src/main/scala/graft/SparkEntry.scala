@@ -1308,7 +1308,112 @@ ORDER BY r.rank DESC, partkey"""
     // outside the text per the gate's standard conventions --
     "q121_readme_weekly_vol" -> ((s, dir) => GraftSql.readmeWeeklyVol(s, dir)),
     "q122_readme_risk_profile" -> ((s, dir) => GraftSql.readmeRiskProfile(s, dir)),
-    "q123_readme_liquidity" -> ((s, dir) => GraftSql.readmeLiquidity(s, dir))
+    "q123_readme_liquidity" -> ((s, dir) => GraftSql.readmeLiquidity(s, dir)),
+
+    // -- round 10: behavioral-analytics + time-series families --
+
+    // RETENTION COHORT MATRIX: cohort = first active ISO week per user,
+    // cell (cohort, k) = users from that cohort active k weeks later — the
+    // product-analytics staple. Shape: distinct (user, week) — one keyed
+    // shuffle — then a per-user window min (second keyed shuffle), then a
+    // tiny (cohorts × weeks) aggregate. After the distinct, each user
+    // contributes at most one row per week, so count(*) IS distinct users.
+    "q148_retention_cohorts" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("date"))
+          .cast(org.apache.spark.sql.types.DateType).as("wk"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      wk.withColumn("cohort", min(col("wk")).over(w))
+        .groupBy(dateStr(col("cohort")).as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / lit(7)).cast("long").as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // MARKOV TRANSITION MATRIX of event types per user: lag over the
+    // (ts, event_id) total order inside each user partition — one keyed
+    // shuffle — then a 25-row aggregate; transition probabilities via a
+    // window over the tiny result (integer counts, so the division is the
+    // only float op and is a single deterministic IEEE divide)
+    "q149_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", rd(col("n").cast("double") / sum(col("n")).over(tot), 6))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // WEEKLY OHLC RESAMPLE via ordered aggregates: min_by/max_by pick the
+    // first open / last close in ONE map-side-combinable hash aggregate —
+    // no window, no row_number, no second exchange. The 100 TB shape for
+    // downsampling: a window-rank formulation would sort every partition;
+    // this is a straight partial+final aggregate keyed (symbol, week).
+    "q151_weekly_ohlc" -> ((s, dir) =>
+      MarketView.dailyBars(s, dir)
+        .groupBy(col("symbol"), date_trunc("week", col("date"))
+          .cast(org.apache.spark.sql.types.DateType).as("wk"))
+        .agg(min_by(col("open"), col("date")).as("open"),
+          max(col("high")).as("high"), min(col("low")).as("low"),
+          max_by(col("close"), col("date")).as("close"),
+          sum(col("volume")).as("volume"), count(lit(1)).as("n_days"))
+        .select(col("symbol"), dateStr(col("wk")).as("semana"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("n_days"))
+        .orderBy("symbol", "semana")),
+
+    // DAY-OF-WEEK SEASONAL ANOMALIES: per-(symbol, weekday) mean/std of
+    // daily returns via decimal sufficient statistics (the q143 contract —
+    // order-free, engine-exact), broadcast back over one scan; a return is
+    // anomalous when its |z| > 2 against its own weekday's distribution.
+    // sqrt is IEEE-correctly-rounded, so mu/sd/z are bit-identical across
+    // engines; the threshold compares identical doubles. PG DOW shim: −1.
+    "q153_seasonal_anomaly" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val f = MarketView.fact(s, dir)
+        .filter(col("variacao_diaria").isNotNull)
+        .withColumn("dow", (dayofweek(col("date")) - 1).cast("long"))
+      val sm = col("sm").cast("double") / col("n")
+      val st = f.groupBy("symbol", "dow")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("variacao_diaria"), 9).cast(dec)).as("sm"),
+          sum(round(col("variacao_diaria") * col("variacao_diaria"), 9).cast(dec)).as("ss"))
+        .select(col("symbol"), col("dow"), rd(sm, 6).as("mu"),
+          rd(sqrt(greatest(lit(0.0), col("ss").cast("double") / col("n") - sm * sm)), 6).as("sd"))
+      f.join(broadcast(st), Seq("symbol", "dow"))
+        .withColumn("z", rd((col("variacao_diaria") - col("mu")) / nullIfZero(col("sd")), 4))
+        .filter(abs(col("z")) > 2)
+        .select(col("symbol"), dateStr(col("date")).as("date"), col("dow"),
+          rd(col("variacao_diaria"), 6).as("ret"), col("z"))
+        .orderBy("symbol", "date")
+    }),
+
+    // TIME-RANGE WINDOW FRAME: rolling 7-CALENDAR-DAY spend per user over
+    // the SPARSE per-user purchase days — RANGE on a day index, where a
+    // ROWS frame (q46's shape) would silently span gaps. One keyed shuffle;
+    // per-day and windowed sums both ride the round/decimal contract.
+    "q154_rolling_spend_7d" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("date"))
+        .agg(rd(sum(round(col("value"), 9).cast(dec)).cast("double"), 6).as("spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(unix_date(col("date")))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("spend_7d",
+          rd(sum(round(col("spend"), 6).cast(dec)).over(w).cast("double"), 6))
+        .withColumn("n_days_7d", count(lit(1)).over(w))
+        .select(col("user_id"), dateStr(col("date")).as("date"),
+          col("spend"), col("spend_7d"), col("n_days_7d"))
+        .orderBy("user_id", "date")
+    })
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -3651,6 +3756,83 @@ SELECT symbol,
        CAST(grouping(symbol) * 2 + grouping(date_part('year', date)) AS BIGINT) AS gid
 FROM bars
 GROUP BY CUBE (symbol, date_part('year', date))
-ORDER BY gid, symbol, ano""")
+ORDER BY gid, symbol, ano"""),
+
+    // after the DISTINCT, one row per (user, week) — count(*) = users
+    "q148_retention_cohorts" -> """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+  FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((a.wk - f.cohort) // 7 AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q149_markov_transitions" -> """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) + 0 AS p
+FROM t ORDER BY prev_type, event_type""",
+
+    // DuckDB min_by/max_by are the same ordered aggregates; daily dates are
+    // unique within (symbol, week), so the pick is deterministic
+    "q151_weekly_ohlc" -> (BARS + """
+SELECT symbol, strftime(CAST(date_trunc('week', date) AS DATE), '%Y-%m-%d') AS semana,
+       min_by(open, date) AS open, max(high) AS high, min(low) AS low,
+       max_by(close, date) AS close, CAST(sum(volume) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM bars GROUP BY 1, 2 ORDER BY symbol, semana"""),
+
+    // identical decimal sufficient statistics, identical rounded mu/sd, so
+    // z and the |z| > 2 cut compare bit-identical doubles on both engines
+    "q153_seasonal_anomaly" -> (FACT + """
+, f AS (
+  SELECT symbol, date, dayofweek(date) AS dow, variacao_diaria AS ret
+  FROM fact WHERE variacao_diaria IS NOT NULL
+), st AS (
+  SELECT symbol, dow, count(*) AS n,
+         sum(CAST(round(ret, 9) AS DECIMAL(30,12))) AS sm,
+         sum(CAST(round(ret * ret, 9) AS DECIMAL(30,12))) AS ss
+  FROM f GROUP BY 1, 2
+), ms AS (
+  SELECT symbol, dow,
+         round(CAST(sm AS DOUBLE) / n, 6) + 0 AS mu,
+         round(sqrt(greatest(0, CAST(ss AS DOUBLE) / n
+           - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))), 6) + 0 AS sd
+  FROM st
+)
+SELECT f.symbol, CAST(f.date AS VARCHAR) AS date, CAST(f.dow AS BIGINT) AS dow,
+       round(f.ret, 6) + 0 AS ret,
+       round((f.ret - mu) / nullif(sd, 0), 4) + 0 AS z
+FROM f JOIN ms ON f.symbol = ms.symbol AND f.dow = ms.dow
+WHERE abs(round((f.ret - mu) / nullif(sd, 0), 4) + 0) > 2
+ORDER BY f.symbol, f.date"""),
+
+    // RANGE over an integer day index == Spark's rangeBetween on unix_date
+    "q154_rolling_spend_7d" -> """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         round(CAST(sum(CAST(round(value, 9) AS DECIMAL(30,12))) AS DOUBLE), 6) + 0 AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT user_id, CAST(date AS VARCHAR) AS date, spend,
+       round(CAST(sum(CAST(round(spend, 6) AS DECIMAL(30,12))) OVER (
+         PARTITION BY user_id ORDER BY (date - DATE '1970-01-01')
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) + 0 AS spend_7d,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY (date - DATE '1970-01-01')
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_7d
+FROM d ORDER BY user_id, date"""
   )
 }
