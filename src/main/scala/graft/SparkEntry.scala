@@ -1393,6 +1393,21 @@ ORDER BY r.rank DESC, partkey"""
         .orderBy("symbol", "date")
     }),
 
+    // FAST/SLOW TRUNCATED EWMA + MACD per symbol: decays 0.5/0.75 whose
+    // powers, normalizers, and per-term multiplies are EXACT doubles on
+    // both engines (see Indicators scaladoc) — the per-row frame fold is
+    // order-free decimal, so the indicator is bit-reproducible. One
+    // exchange on symbol; the textbook decay^-rn window-sum trick is
+    // rejected in-code (it overflows double within a year of bars).
+    "q150_ema_macd" -> ((s, dir) => Indicators.emaMacd(s, dir)),
+
+    // 2-D SKYLINE (Pareto frontier) of the part catalogue: the engine runs
+    // the distributive bucketed sweep (distinct-x collapse -> in-bucket
+    // running max -> <=32-row cross-bucket prefix, broadcast back); the
+    // oracle is the literal quadratic NOT EXISTS definition. Hash equality
+    // proves sweep == definition, with nothing quadratic in the plan.
+    "q152_skyline_parts" -> ((s, dir) => Skyline.paretoParts(s, dir)),
+
     // TIME-RANGE WINDOW FRAME: rolling 7-CALENDAR-DAY spend per user over
     // the SPARSE per-user purchase days — RANGE on a day index, where a
     // ROWS frame (q46's shape) would silently span gaps. One keyed shuffle;
@@ -3818,6 +3833,20 @@ SELECT f.symbol, CAST(f.date AS VARCHAR) AS date, CAST(f.dow AS BIGINT) AS dow,
 FROM f JOIN ms ON f.symbol = ms.symbol AND f.dow = ms.dow
 WHERE abs(round((f.ret - mu) / nullif(sd, 0), 4) + 0) > 2
 ORDER BY f.symbol, f.date"""),
+
+    "q150_ema_macd" -> Indicators.emaMacdOracleSql(BARS),
+
+    // the quadratic NOT EXISTS dominance definition — the engine's
+    // distributive sweep must reproduce it exactly
+    "q152_skyline_parts" -> """
+SELECT p.p_partkey, CAST(p.p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_retailprice, p_size, p.p_partkey""",
 
     // RANGE over an integer day index == Spark's rangeBetween on unix_date
     "q154_rolling_spend_7d" -> """
