@@ -1408,6 +1408,14 @@ ORDER BY r.rank DESC, partkey"""
     // proves sweep == definition, with nothing quadratic in the plan.
     "q152_skyline_parts" -> ((s, dir) => Skyline.paretoParts(s, dir)),
 
+    // STREAMING CDC APPLY: a real foreachBatch lifecycle MERGEing each
+    // micro-batch into the versioned MVCC table with last-writer-wins
+    // semantics — convergent under ANY batching/ordering of the stream
+    // (unique (ts_ns, event_id) total order + tombstoned deletes), which is
+    // what makes a streaming apply oracle-able by a plain window query
+    "q155_stream_cdc_apply" -> ((s, dir) =>
+      graft.streaming.StreamingOps.cdcApplyParity(s, dir)),
+
     // TIME-RANGE WINDOW FRAME: rolling 7-CALENDAR-DAY spend per user over
     // the SPARSE per-user purchase days — RANGE on a day index, where a
     // ROWS frame (q46's shape) would silently span gaps. One keyed shuffle;
@@ -3847,6 +3855,19 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 ORDER BY p_retailprice, p_size, p.p_partkey""",
+
+    // LWW convergence: the streamed sequence of merges equals "greatest
+    // (ts, event_id) row per user, minus tombstoned last events"
+    "q155_stream_cdc_apply" -> """
+WITH last AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) AS ts_ns,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, ts_ns, event_type, value
+FROM last WHERE rk = 1 AND event_type <> 'error'
+ORDER BY user_id""",
 
     // RANGE over an integer day index == Spark's rangeBetween on unix_date
     "q154_rolling_spend_7d" -> """

@@ -128,6 +128,44 @@ object Versioned {
     commit(merged, table)
   }
 
+  /** LAST-WRITER-WINS CDC merge: apply one change batch to the published
+    * snapshot, where the winner for each key is the row with the greatest
+    * `ordCols` tuple ACROSS table and batch — not "the batch wins". With a
+    * unique total order (here (ts_ns, event_id)) this makes the merge
+    * CONVERGENT: any partition of a change stream into batches, in any
+    * application order, reaches the same final state — the property that
+    * lets a streaming foreachBatch apply be oracled by a plain batch query,
+    * and lets replayed/re-ordered micro-batches (driver restarts, late
+    * files) land harmlessly at 100 TB.
+    *
+    * Deletes are TOMBSTONES (a `tombstone` payload column), retained in the
+    * table so an out-of-order earlier update cannot resurrect a deleted
+    * key; readers filter them. One keyed shuffle for the per-key batch
+    * argmax + one keyed full-outer join per batch — the same shape as any
+    * lakehouse streaming MERGE.
+    */
+  def mergeLww(spark: SparkSession, table: String, batch: DataFrame,
+               key: String, ordCols: Seq[String]): Long = {
+    val cols = batch.columns.toSeq
+    val ord = struct(ordCols.map(col): _*)
+    val reduced = batch.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*), ord).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+    if (latestVersion(table) == 0L) return commit(reduced, table)
+    val cur = read(spark, table).select(cols.map(col): _*)
+    def packed(df: DataFrame, as: String) =
+      df.select(col(key), struct(cols.filterNot(_ == key).map(col): _*).as(as))
+    def ordOf(side: String) = struct(ordCols.map(c => col(side).getField(c)): _*)
+    val merged = packed(cur, "__c").join(packed(reduced, "__b"), Seq(key), "full_outer")
+      .withColumn("__w",
+        when(col("__c").isNull, col("__b"))
+          .when(col("__b").isNull, col("__c"))
+          .when(ordOf("__b") >= ordOf("__c"), col("__b"))
+          .otherwise(col("__c")))
+      .select(col(key) +: cols.filterNot(_ == key).map(c => col("__w").getField(c).as(c)): _*)
+    commit(merged, table)
+  }
+
   /** q147 materialization: a fresh versioned orders table (v1 = source)
     * with one deterministic MERGE batch applied as v2 — updates
     * (%7 keys: price +1000), deletes (%11 keys), inserts (%13 keys

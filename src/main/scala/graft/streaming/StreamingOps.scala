@@ -739,6 +739,64 @@ object StreamingOps {
     * The batch/stream unification lever: the SAME streaming query definition
     * (and checkpoint) serves continuous and scheduled-backfill execution.
     */
+  /** Batch-parity gate for the STREAMING CDC APPLY (q155): a real
+    * foreachBatch lifecycle that MERGEs each micro-batch into a versioned
+    * MVCC table with last-writer-wins semantics
+    * ([[graft.sources.Versioned.mergeLww]]) — the lakehouse "streaming
+    * MERGE INTO" shape (one per-key argmax + one keyed full-outer join per
+    * batch, all executor-parallel; the driver only orchestrates commits).
+    *
+    * The event stream is split into 4 time-ranged files and consumed with
+    * maxFilesPerTrigger=1, so the lifecycle really exercises multiple
+    * sequential merges into a growing table. Oracle-ability comes from LWW
+    * convergence, not batch-boundary luck: the final snapshot equals "the
+    * row with the greatest (ts_ns, event_id) per user, minus users whose
+    * last event is a tombstone" NO MATTER how the stream was batched — which
+    * is exactly the window query the DuckDB oracle states.
+    */
+  def cdcApplyParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{Formats, Tables, Versioned}
+    val fp = Formats.fingerprintOf(dir, "events")
+    val split = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_cdc_split", fp).toString
+    synchronized {
+      Formats.materializeAtomic(split) { tmp =>
+        Tables.events(spark, dir)
+          .select("user_id", "ts_ns", "event_id", "event_type", "value")
+          .repartitionByRange(4, col("ts_ns"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    val table = Files.createTempDirectory("graft_cdc_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt")
+    try {
+      val schema = spark.read.parquet(split).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(split)
+        .withColumn("tombstone", col("event_type") === "error")
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            Versioned.mergeLww(b.sparkSession, table, b, "user_id",
+              Seq("ts_ns", "event_id")): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      Versioned.read(spark, table)
+        .filter(!col("tombstone"))
+        .select(col("user_id"), col("ts_ns"), col("event_type"), col("value"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(Paths.get(table).getParent)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   def runAvailableNow(agg: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Update()): StreamingQuery =
     agg.writeStream.format("memory").queryName(queryName)

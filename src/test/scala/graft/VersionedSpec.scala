@@ -81,6 +81,42 @@ class VersionedSpec extends SparkSpecBase {
     assert(Versioned.read(spark, t, 1).count() == 5)
   }
 
+  private def lwwRows(t: String) =
+    Versioned.read(spark, t).filter(!col("tombstone"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("mergeLww converges: any batching, any application order, same state") {
+    def batch(rows: Seq[(Long, Long, String, Boolean)]) =
+      rows.toDF("id", "ord", "s", "tombstone")
+    // key 1: updated then deleted; key 2: updated twice; key 3: insert only
+    val all = Seq((1L, 1L, "a1", false), (2L, 1L, "b1", false),
+      (1L, 5L, "del", true), (2L, 3L, "b2", false), (3L, 2L, "c1", false))
+    val expected = Set((2L, 3L, "b2"), (3L, 2L, "c1")) // 1 is tombstoned
+    val splits = Seq(
+      Seq(all),                            // one batch
+      Seq(all.take(2), all.drop(2)),       // in order
+      Seq(all.drop(2), all.take(2)),       // REVERSED batch order
+      all.map(Seq(_)).reverse)             // row-at-a-time, fully reversed
+    splits.foreach { bs =>
+      val t = freshTable()
+      bs.foreach(b => Versioned.mergeLww(spark, t, batch(b), "id", Seq("ord")))
+      assert(lwwRows(t) == expected, s"split=$bs")
+    }
+  }
+
+  test("mergeLww tombstone blocks resurrection by an out-of-order earlier write") {
+    val t = freshTable()
+    Versioned.mergeLww(spark, t,
+      Seq((1L, 10L, "del", true)).toDF("id", "ord", "s", "tombstone"), "id", Seq("ord"))
+    Versioned.mergeLww(spark, t,
+      Seq((1L, 5L, "stale", false)).toDF("id", "ord", "s", "tombstone"), "id", Seq("ord"))
+    assert(lwwRows(t) == Set.empty) // the ord=5 update must NOT resurrect key 1
+    // but a genuinely NEWER write does revive it (delete is not forever)
+    Versioned.mergeLww(spark, t,
+      Seq((1L, 11L, "new", false)).toDF("id", "ord", "s", "tombstone"), "id", Seq("ord"))
+    assert(lwwRows(t) == Set((1L, 11L, "new")))
+  }
+
   test("gate materialization: published v2, v1 retained, bad v3 vacuumed") {
     val table = Versioned.ordersTable(spark, sf)
     assert(Versioned.latestVersion(table) == 2)
