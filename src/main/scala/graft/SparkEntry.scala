@@ -1408,6 +1408,41 @@ ORDER BY r.rank DESC, partkey"""
     // proves sweep == definition, with nothing quadratic in the plan.
     "q152_skyline_parts" -> ((s, dir) => Skyline.paretoParts(s, dir)),
 
+    // SCHEMA EVOLUTION: a pre-column generation and a post-column
+    // generation of the orders layout read as ONE relation via mergeSchema
+    // (the read-side union schema — the only viable path when backfilling
+    // a column would rewrite petabytes); old rows surface NULL, coalesced
+    // to 'legacy' so the gate never depends on engine NULL ordering
+    "q156_schema_evolution" -> ((s, dir) => {
+      graft.sources.Formats.ordersTwoGenerations(s, dir)
+        .groupBy(col("o_orderstatus"),
+          coalesce(col("o_priority_class"), lit("legacy")).as("priority_class"))
+        .agg(count(lit(1)).as("n_orders"),
+          rd(exactSum(col("o_totalprice")), 4).as("total_price"))
+        .orderBy("o_orderstatus", "priority_class")
+    }),
+
+    // REPRODUCIBLE SHARD MANIFEST: the deterministic hash-sharding a
+    // training run uses to split a corpus across workers — shard =
+    // md5(doc_id) mod 16 (engine-independent, rerun-stable), manifest =
+    // per-shard doc count, char volume, and an order-free content checksum.
+    // One map-side-combinable aggregate; the manifest is what makes a
+    // 100 TB re-shard auditable without re-reading the data.
+    "q157_shard_manifest" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 0)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .groupBy((col("h") % 16).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("h").cast(dec)).as("checksum"))
+        .select(col("shard"), col("n_docs"), col("n_chars"),
+          col("checksum").cast("string").as("checksum"))
+        .orderBy("shard")
+    }),
+
     // STREAMING CDC APPLY: a real foreachBatch lifecycle MERGEing each
     // micro-batch into the versioned MVCC table with last-writer-wins
     // semantics — convergent under ANY batching/ordering of the stream
@@ -3855,6 +3890,32 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 ORDER BY p_retailprice, p_size, p.p_partkey""",
+
+    // the evolution replayed as a UNION ALL over the source relation
+    "q156_schema_evolution" -> """
+WITH m AS (
+  SELECT o_orderstatus, 'legacy' AS priority_class, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderstatus,
+         CASE WHEN o_totalprice >= 200000.0 THEN 'high' ELSE 'std' END,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 2 <> 0
+)
+SELECT o_orderstatus, priority_class, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS total_price
+FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q157_shard_manifest" -> """
+WITH h AS (
+  SELECT n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT CAST(h % 16 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CAST(h AS DECIMAL(30,0))) AS VARCHAR) AS checksum
+FROM h GROUP BY 1 ORDER BY shard""",
 
     // LWW convergence: the streamed sequence of merges equals "greatest
     // (ts, event_id) row per user, minus tombstoned last events"

@@ -101,6 +101,37 @@ object Formats {
       viaJsonl(orc, base.resolve("orders_jsonl").toString)
     }
 
+  /** SCHEMA EVOLUTION boundary (q156): two parquet generations of the
+    * orders relation — gen1 written BEFORE a column existed, gen2 with the
+    * new `o_priority_class` column — read back as ONE relation via
+    * `mergeSchema`, the old generation's rows carrying NULL for the new
+    * column. This is the 100 TB reality of any long-lived table: schemas
+    * change mid-corpus and a full rewrite of petabytes to backfill a
+    * column is not an option; the read-side union schema is.
+    *
+    * The split predicate and the derived column are stated identically in
+    * the oracle, which replays the evolution as a UNION ALL over the source
+    * relation — hash equality proves the merged read is exactly that union.
+    */
+  def ordersTwoGenerations(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val fp = fingerprintOf(dir, "orders")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_evolve", fp)
+      val gen1 = base.resolve("gen1").toString
+      val gen2 = base.resolve("gen2").toString
+      val orders = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      materializeAtomic(gen1)(tmp => orders
+        .filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(tmp))
+      materializeAtomic(gen2)(tmp => orders
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_priority_class",
+          when(col("o_totalprice") >= 200000.0, lit("high")).otherwise(lit("std")))
+        .write.mode("overwrite").parquet(tmp))
+      spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+    }
+
   /** Registered query (q135): the aggregate runs on the JSONL end of the
     * two-hop chain; the oracle computes the same aggregate on the ORIGINAL
     * parquet — hash equality proves both hops preserved every value

@@ -66,4 +66,20 @@ class FormatsSpec extends SparkSpecBase {
     val after = markers.map(p => Files.getLastModifiedTime(p).toMillis).toSeq
     assert(before == after)
   }
+
+  test("schema evolution: merged read = union schema, old rows NULL, no row lost") {
+    import org.apache.spark.sql.functions._
+    val merged = Formats.ordersTwoGenerations(spark, sf)
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_totalprice", "o_priority_class"))
+    assert(merged.count() == orders.count())
+    // exactly the pre-column generation carries NULL
+    val nulls = merged.filter(col("o_priority_class").isNull)
+    assert(nulls.count() == orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(nulls.filter(col("o_orderkey") % 2 =!= 0).isEmpty)
+    // and the new generation's derived values are the stated CASE
+    assert(merged.filter(col("o_priority_class") === "high"
+      && col("o_totalprice") < 200000.0).isEmpty)
+  }
 }
