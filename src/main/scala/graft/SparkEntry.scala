@@ -1408,6 +1408,50 @@ ORDER BY r.rank DESC, partkey"""
     // proves sweep == definition, with nothing quadratic in the plan.
     "q152_skyline_parts" -> ((s, dir) => Skyline.paretoParts(s, dir)),
 
+    // SESSION PATH MINING: top event-type sequences (first 5 per session,
+    // 30-min gap sessions — q23's convention) joined '>'-separated. The
+    // per-session path is deterministic by construction: collect the
+    // (ts_ns, event_id, type) structs, array_sort gives the lexicographic
+    // = chronological order, transform projects the types. One keyed
+    // shuffle for the windows + per-session aggregate; the path census is
+    // tiny and the top-20 is TakeOrdered, never a global sort.
+    "q158_session_paths" -> ((s, dir) => {
+      val gapNs = 30L * 60L * 1000000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_session"))
+          .over(w.rowsBetween(Long.MinValue, 0)))
+      sess.groupBy("user_id", "sid")
+        .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, 5), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+
+    // CROSS-SOURCE DUPLICATE MATRIX: dedup DIAGNOSTICS — for each source
+    // pair, how many 6-token-prefix fingerprints (a standard near-dup
+    // blocking key) they share. The join runs on the DISTINCT (source, fp)
+    // relation, so each fingerprint carries at most |sources| rows into
+    // the equi-join — bounded fan-out, never doc×doc.
+    "q159_crosssource_dups" -> ((s, dir) => {
+      val fp = md5(array_join(
+        slice(graft.operators.TextOps.tokens(col("text")), 1, 6), " "))
+      val d = Tables.documents(s, dir)
+        .select(col("source"), fp.as("fp")).distinct()
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // SCHEMA EVOLUTION: a pre-column generation and a post-column
     // generation of the orders layout read as ONE relation via mergeSchema
     // (the read-side union schema — the only viable path when backfilling
@@ -3890,6 +3934,38 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 ORDER BY p_retailprice, p_size, p.p_partkey""",
+
+    // list(x ORDER BY ...) replays array_sort over the chronological structs
+    "q158_session_paths" -> """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+  FROM events
+), s AS (
+  SELECT *, sum(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), p AS (
+  SELECT user_id, sid,
+         array_to_string(list_slice(list(event_type ORDER BY ts_ns, event_id), 1, 5), '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+    "q159_crosssource_dups" -> """
+WITH d AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(string_split(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1, 6), ' ')) AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the evolution replayed as a UNION ALL over the source relation
     "q156_schema_evolution" -> """

@@ -219,6 +219,29 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
   }
 
+  test("q151 weekly OHLC: one partial+final aggregate, no window sort") {
+    val plan = executed(SparkEntry.queries("q151_weekly_ohlc")(spark, sf))
+    assert(plan.contains("partial_"), s"no map-side combine in:\n$plan")
+    // min_by/max_by must NOT have been planned as a rank window
+    assert(!plan.contains("Window"), s"resample fell back to a window sort:\n$plan")
+  }
+
+  test("q150 EWMA: both frames share one symbol exchange (bars agg + window only)") {
+    val q = SparkEntry.queries("q150_ema_macd")(spark, sf)
+    val plan = executed(q)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange for the dailyBars aggregate, one for the symbol window;
+    // a third would mean the two frames re-shuffled between each other
+    assert(exchanges <= 2, s"EWMA re-shuffled between frames ($exchanges):\n$plan")
+  }
+
+  test("q154 RANGE frame: daily collapse and window share the user_id exchange") {
+    val plan = executed(SparkEntry.queries("q154_rolling_spend_7d")(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // the RANGE frame must appear as a window, not a self-join
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+  }
+
   test("unicode normalization stays inside whole-stage codegen") {
     val df = graft.sources.Tables.documents(spark, sf)
       .select(graft.functions.TextFunctions.nfc(col("text")).as("t"))
