@@ -1408,6 +1408,114 @@ ORDER BY r.rank DESC, partkey"""
     // proves sweep == definition, with nothing quadratic in the plan.
     "q152_skyline_parts" -> ((s, dir) => Skyline.paretoParts(s, dir)),
 
+    // THROTTLE AUDIT: per (user, type), an event within 24h of its
+    // predecessor is throttled (the notification/dedupe cap) — lag diff on
+    // the (ts, event_id) total order, one keyed shuffle, per-type census
+    "q160_throttle_audit" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        .withColumn("kept", (col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > lit(86400L * 1000000000L)).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"),
+          (count(lit(1)) - sum(col("kept"))).as("n_throttled"))
+        .orderBy("event_type")
+    }),
+
+    // CUMULATIVE SUM WITH RESETS (gaps-and-islands cumsum): running
+    // purchase spend since the user's latest signup — segment id = running
+    // signup count, then an in-segment running decimal sum over purchases.
+    // Two keyed window exchanges (user, then (user, segment)); purchases
+    // before any signup land in segment 0 by construction.
+    "q161_spend_since_signup" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "seg").orderBy("ts_ns", "event_id")
+        .rowsBetween(Long.MinValue, 0)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("seg", sum(when(col("event_type") === "signup", 1L)
+          .otherwise(0L)).over(w.rowsBetween(Long.MinValue, 0)))
+        .filter(col("event_type") === "purchase")
+        .withColumn("spend",
+          rd(sum(round(col("value"), 9).cast(dec)).over(w2).cast("double"), 6))
+        .select(col("user_id"), col("ts_ns"), col("seg"), col("spend"))
+        .orderBy("user_id", "ts_ns")
+    }),
+
+    // PER-SYMBOL OLS TREND: closed-form regression of close on the day
+    // index from ONE pass of distributive sufficient statistics (n, Σt,
+    // Σx, Σtx, Σt²) under the decimal contract — the sums are exact and
+    // order-free, so slope/intercept are single deterministic IEEE chains
+    // on identical doubles. The map-side-combined aggregate shape is how
+    // per-key regression runs at 100 TB (never a per-key collect or fit).
+    "q162_symbol_trend" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val t = unix_date(col("date")).cast("double")
+      val a = MarketView.dailyBars(s, dir)
+        .select(col("symbol"), t.as("t"), col("close").as("x"))
+        .groupBy("symbol")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("t").cast(dec)).as("st"),
+          sum(round(col("x"), 9).cast(dec)).as("sx"),
+          sum(round(col("t") * col("x"), 9).cast(dec)).as("stx"),
+          sum((col("t") * col("t")).cast(dec)).as("stt"))
+      val (st, sx, stx, stt) = (col("st").cast("double"), col("sx").cast("double"),
+        col("stx").cast("double"), col("stt").cast("double"))
+      val slope = (col("n") * stx - st * sx) / (col("n") * stt - st * st)
+      // intercept from the PUBLISHED (6-decimal) slope: the raw slope*st
+      // product sits at ~1e6 scale where a 1-ulp slope difference crosses
+      // the round-6 boundary; quantizing first makes the chain exact
+      val slope6 = rd(slope, 6)
+      a.select(col("symbol"), col("n").cast("long").as("n_days"),
+          slope6.as("slope"),
+          rd((sx - slope6 * st) / col("n"), 6).as("intercept"))
+        .orderBy("symbol")
+    }),
+
+    // RETURN HISTOGRAM: fixed-width 2%-bins of daily returns per symbol,
+    // clamped to [-5, 5] — floor/least/greatest on identical doubles, so
+    // the binning is engine-exact; one partial+final aggregate
+    "q163_return_histogram" -> ((s, dir) =>
+      MarketView.fact(s, dir).filter(col("variacao_diaria").isNotNull)
+        .withColumn("bin", least(greatest(floor(col("variacao_diaria") / 2.0),
+          lit(-5.0)), lit(5.0)).cast("long"))
+        .groupBy("symbol", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("symbol", "bin")),
+
+    // INTER-ARRIVAL PROFILE: per event type, the arrival-gap distribution
+    // (mean + median) across (user, type) series. Gaps are exact integer
+    // microseconds; the median of integers interpolates to at worst a .5 —
+    // exact in double — and the mean rides the decimal contract, so both
+    // stats are engine-exact. (p90-style quantiles interpolate at inexact
+    // fractions whose FP shape is engine-specific — median is the quantile
+    // that is exact by construction, which is why the profile stops there.)
+    "q164_interarrival" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        // integer DIV: a / on longs is a DOUBLE divide, which loses ulps
+        // once a multi-month gap exceeds 2^53 ns — DIV stays exact
+        .withColumn("gap_us", expr("(ts_ns - prev_ns) div 1000"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          rd(sum(col("gap_us").cast(dec)).cast("double")
+            / count(lit(1)) / lit(1000000.0), 6).as("mean_gap_s"),
+          rd(expr("percentile(gap_us, 0.5)") / lit(1000000.0), 6).as("median_gap_s"))
+        .orderBy("event_type")
+    }),
+
     // SESSION PATH MINING: top event-type sequences (first 5 per session,
     // 30-min gap sessions — q23's convention) joined '>'-separated. The
     // per-session path is deterministic by construction: collect the
@@ -3934,6 +4042,79 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 ORDER BY p_retailprice, p_size, p.p_partkey""",
+
+    "q160_throttle_audit" -> """
+WITH g AS (
+  SELECT event_type,
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                                ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+FROM g GROUP BY 1 ORDER BY event_type""",
+
+    // segment BEFORE the purchase filter (the signup rows define segments
+    // but never contribute spend), in-segment running decimal sum after
+    "q161_spend_since_signup" -> """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), s AS (
+  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+          ROWS UNBOUNDED PRECEDING) AS seg
+  FROM e
+), p AS (
+  SELECT * FROM s WHERE event_type = 'purchase'
+)
+SELECT user_id, ts_ns, CAST(seg AS BIGINT) AS seg,
+       round(CAST(sum(CAST(round(value, 9) AS DECIMAL(30,12)))
+         OVER (PARTITION BY user_id, seg ORDER BY ts_ns, event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) + 0 AS spend
+FROM p ORDER BY user_id, ts_ns""",
+
+    // identical sufficient statistics, identical IEEE combination order
+    "q162_symbol_trend" -> (BARS + """, a AS (
+  SELECT symbol, CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST((date - DATE '1970-01-01') AS DECIMAL(30,12))) AS st,
+         sum(CAST(round(close, 9) AS DECIMAL(30,12))) AS sx,
+         sum(CAST(round((date - DATE '1970-01-01') * close, 9) AS DECIMAL(30,12))) AS stx,
+         sum(CAST((date - DATE '1970-01-01') * (date - DATE '1970-01-01') AS DECIMAL(30,12))) AS stt
+  FROM bars GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_days,
+       round((n * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) + 0 AS slope,
+       round((CAST(sx AS DOUBLE)
+           - (round((n * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) + 0)
+           * CAST(st AS DOUBLE)) / n, 6) + 0 AS intercept
+FROM a ORDER BY symbol"""),
+
+    "q163_return_histogram" -> (FACT + """
+SELECT symbol,
+       CAST(least(greatest(floor(variacao_diaria / 2.0), -5.0), 5.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM fact WHERE variacao_diaria IS NOT NULL
+GROUP BY 1, 2 ORDER BY symbol, bin"""),
+
+    // gaps in exact integer microseconds: the median interpolates to at
+    // worst a .5 (exact in double); the mean is a decimal sum
+    "q164_interarrival" -> """
+WITH g AS (
+  SELECT event_type,
+         (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY ts, event_id)) // 1000 AS gap_us
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(CAST(gap_us AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*) / 1000000.0, 6) + 0 AS mean_gap_s,
+       round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) + 0 AS median_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY event_type""",
 
     // list(x ORDER BY ...) replays array_sort over the chronological structs
     "q158_session_paths" -> """
