@@ -1516,6 +1516,14 @@ ORDER BY r.rank DESC, partkey"""
         .orderBy("event_type")
     }),
 
+    // STREAMING RECURSIVE EMA: unbounded-history recursive indicator as
+    // per-symbol keyed state (flatMapGroupsWithState), state quantized at
+    // 6 decimals each step so streaming == sequential fold == the oracle's
+    // RECURSIVE CTE, independent of micro-batch boundaries. The stateful
+    // complement of q150's truncated-window EWMA.
+    "q165_stream_ema" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamEmaParity(s, dir)),
+
     // SESSION PATH MINING: top event-type sequences (first 5 per session,
     // 30-min gap sessions — q23's convention) joined '>'-separated. The
     // per-session path is deterministic by construction: collect the
@@ -4115,6 +4123,21 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) + 0 AS median_gap_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1 ORDER BY event_type""",
+
+    // the same quantized recursion, replayed as a RECURSIVE CTE
+    "q165_stream_ema" -> ("WITH RECURSIVE " + BARS.stripPrefix("WITH ") + """, b AS (
+  SELECT symbol, date, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM bars
+), r AS (
+  SELECT symbol, date, rn, round(close, 6) + 0 AS ema
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, round(0.125 * b.close + 0.875 * r.ema, 6) + 0
+  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, strftime(date, '%Y-%m-%d') AS date, ema
+FROM r ORDER BY symbol, date"""),
 
     // list(x ORDER BY ...) replays array_sort over the chronological structs
     "q158_session_paths" -> """

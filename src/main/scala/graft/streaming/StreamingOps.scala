@@ -797,6 +797,94 @@ object StreamingOps {
     }
   }
 
+  case class BarRow(symbol: String, date: java.sql.Date, close: Double)
+  case class EmaState(last_epoch_day: Int, ema: Double)
+  case class EmaOut(symbol: String, date: String, ema: Double)
+
+  /** Round half-away-from-zero at 6 decimals the way `round(x, 6)` does in
+    * BOTH engines: through `BigDecimal.valueOf` (the SHORTEST decimal
+    * representation of the double — Spark's Round expression does exactly
+    * this), NOT the exact binary expansion, which differs at the 6th digit
+    * for values like ...8005 whose binary form undershoots (measured: one
+    * final-digit ulp on ~3/150 rows with the exact-expansion variant).
+    */
+  private def rd6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+
+  /** Batch-parity gate for a STREAMING RECURSIVE INDICATOR (q165): the
+    * classic recursive EMA (ema_t = α·x_t + (1−α)·ema_{t−1}, α = 0.125)
+    * maintained as per-symbol keyed state via flatMapGroupsWithState,
+    * emitting one row per bar. Unlike the truncated-window EWMA (q150),
+    * the recursion has UNBOUNDED history — inexpressible as a window
+    * without the overflowing decay^-rn trick — which is exactly the case
+    * for arbitrary stateful streaming, and the oracle is a RECURSIVE CTE
+    * replaying the same quantized recursion.
+    *
+    * Cross-engine exactness: the state is QUANTIZED at 6 decimals every
+    * step (the GLM per-iteration device), α = 0.125/0.875 are exact binary
+    * fractions, and each step is the same two-multiply-one-add IEEE chain —
+    * so streaming, a sequential fold, and the recursive SQL all emit
+    * identical doubles, independent of micro-batch boundaries.
+    *
+    * Ordering: the bars relation is split into 4 time-RANGED files consumed
+    * with maxFilesPerTrigger=1 (chronological batches; a range partition
+    * never splits one date across files), and each group's in-batch rows
+    * are sorted by date before folding — per-(symbol, batch) memory is
+    * bounded by the rate-limited batch size, not the stream.
+    */
+  def streamEmaParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.sources.Formats
+    val fp = Formats.fingerprintOf(dir, "events")
+    val split = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ema_split", fp).toString
+    synchronized {
+      Formats.materializeAtomic(split) { tmp =>
+        graft.operators.MarketView.dailyBars(spark, dir)
+          .select(col("symbol"), col("date"), col("close"))
+          .repartitionByRange(4, col("date"))
+          .write.mode("overwrite").parquet(tmp)
+        // FileStreamSource ingests oldest-modTime first; one write stamps
+        // all four range files with ONE mtime, leaving the ingest order
+        // unspecified (observed scrambled). Stamp ascending mtimes in part
+        // order — range partitioning is ascending, so part order IS
+        // chronological order.
+        val parts = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+          finally st.close()
+        }
+        parts.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+      }
+    }
+    import spark.implicits._
+    val schema = spark.read.parquet(split).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(split).as[BarRow]
+    val out = src.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (sym: String, rows: Iterator[BarRow], state: GroupState[EmaState]) =>
+          var st = state.getOption.getOrElse(EmaState(Int.MinValue, 0.0))
+          val outs = rows.toSeq.sortBy(_.date.getTime).map { b =>
+            val day = (b.date.getTime / 86400000L).toInt
+            val e = if (st.last_epoch_day == Int.MinValue) rd6(b.close)
+                    else rd6(0.125 * b.close + 0.875 * st.ema)
+            st = EmaState(day, e)
+            EmaOut(sym, b.date.toString, e)
+          }
+          state.update(st)
+          outs.iterator
+      }
+    runMemoryGate(spark, "stream_ema_gate", out.toDF(), OutputMode.Update())(_
+      .select(col("symbol"), col("date"), col("ema"))
+      .orderBy("symbol", "date"))
+  }
+
   def runAvailableNow(agg: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Update()): StreamingQuery =
     agg.writeStream.format("memory").queryName(queryName)

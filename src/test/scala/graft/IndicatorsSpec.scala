@@ -55,6 +55,30 @@ class IndicatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming recursive EMA (q165) equals the sequential quantized fold") {
+    import graft.operators.MarketView
+    def rd6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val bars = MarketView.dailyBars(spark, sf)
+      .select("symbol", "date", "close").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = bars.toSeq.flatMap { case (sym, rows) =>
+      var prev = Double.NaN
+      rows.sortBy(_._2).map { case (_, d, x) =>
+        val e = if (prev.isNaN) rd6(x) else rd6(0.125 * x + 0.875 * prev)
+        prev = e
+        (sym, d) -> e
+      }
+    }.toMap
+    val got = graft.streaming.StreamingOps.streamEmaParity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"$k: ${got(k)} != $e") // EXACT equality — the contract
+    }
+  }
+
   test("macd is the difference of the published (rounded) EMAs") {
     Indicators.emaMacd(spark, sf).collect().foreach { r =>
       val macd = BigDecimal(r.getDouble(2)) - BigDecimal(r.getDouble(3))
