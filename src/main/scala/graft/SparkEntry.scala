@@ -1524,6 +1524,15 @@ ORDER BY r.rank DESC, partkey"""
     "q165_stream_ema" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamEmaParity(s, dir)),
 
+    // PARTITION-PRUNED COPY-ON-WRITE MERGE: the q155 scale refinement —
+    // the versioned table laid out in 16 key-hash bucket dirs; a merge
+    // rewrites ONLY buckets containing batch keys and hard-links the rest
+    // forward, so a small batch against a huge table costs O(touched
+    // buckets), not a full rewrite. Gate: full LWW collapse (v1) + a
+    // sparse adjustment batch (v2, users %97) through the pruned path.
+    "q166_cow_merge" -> ((s, dir) =>
+      graft.sources.Versioned.bucketedMergeGate(s, dir)),
+
     // SESSION PATH MINING: top event-type sequences (first 5 per session,
     // 30-min gap sessions — q23's convention) joined '>'-separated. The
     // per-session path is deterministic by construction: collect the
@@ -4123,6 +4132,25 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) + 0 AS median_gap_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1 ORDER BY event_type""",
+
+    // both merges replayed: last event per user, %97 users replaced by
+    // the adjustment row, error-tombstoned users filtered unless adjusted
+    "q166_cow_merge" -> """
+WITH last AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) AS ts_ns,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+), base AS (
+  SELECT user_id, ts_ns, event_type, value FROM last WHERE rk = 1
+), mx AS (SELECT max(epoch_ns(ts)) AS m FROM events)
+SELECT user_id,
+       CASE WHEN user_id % 97 = 0 THEN (SELECT m FROM mx) + 1000 ELSE ts_ns END AS ts_ns,
+       CASE WHEN user_id % 97 = 0 THEN 'adjust' ELSE event_type END AS event_type,
+       CASE WHEN user_id % 97 = 0 THEN 0.5 ELSE value END AS value
+FROM base
+WHERE user_id % 97 = 0 OR event_type <> 'error'
+ORDER BY user_id""",
 
     // the same quantized recursion, replayed as a RECURSIVE CTE
     "q165_stream_ema" -> ("WITH RECURSIVE " + BARS.stripPrefix("WITH ") + """, b AS (

@@ -64,11 +64,16 @@ object Versioned {
     Files.createDirectories(Paths.get(table))
     val v = latestVersion(table) + 1
     df.write.mode("overwrite").parquet(versionDir(table, v).toString)
+    publish(table, v)
+    v
+  }
+
+  /** Atomic pointer swap publishing version `v` as latest. */
+  private def publish(table: String, v: Long): Unit = {
     val tmp = Paths.get(table, s"._latest.tmp${System.nanoTime()}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestFile(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    v
   }
 
   /** Snapshot read of a pinned version (defaults to the published one). */
@@ -144,26 +149,138 @@ object Versioned {
     * argmax + one keyed full-outer join per batch — the same shape as any
     * lakehouse streaming MERGE.
     */
-  def mergeLww(spark: SparkSession, table: String, batch: DataFrame,
-               key: String, ordCols: Seq[String]): Long = {
+  /** Per-key argmax of a change batch by the `ordCols` tuple. */
+  private def lwwReduce(batch: DataFrame, key: String,
+                        ordCols: Seq[String]): DataFrame = {
     val cols = batch.columns.toSeq
-    val ord = struct(ordCols.map(col): _*)
-    val reduced = batch.groupBy(col(key))
-      .agg(max_by(struct(cols.map(col): _*), ord).as("__r"))
+    batch.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*), struct(ordCols.map(col): _*)).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
-    if (latestVersion(table) == 0L) return commit(reduced, table)
-    val cur = read(spark, table).select(cols.map(col): _*)
+  }
+
+  /** The LWW full-outer combine: winner per key = greater `ordCols` tuple. */
+  private def lwwCombine(cur: DataFrame, reduced: DataFrame, key: String,
+                         ordCols: Seq[String], cols: Seq[String]): DataFrame = {
     def packed(df: DataFrame, as: String) =
       df.select(col(key), struct(cols.filterNot(_ == key).map(col): _*).as(as))
     def ordOf(side: String) = struct(ordCols.map(c => col(side).getField(c)): _*)
-    val merged = packed(cur, "__c").join(packed(reduced, "__b"), Seq(key), "full_outer")
+    packed(cur, "__c").join(packed(reduced, "__b"), Seq(key), "full_outer")
       .withColumn("__w",
         when(col("__c").isNull, col("__b"))
           .when(col("__b").isNull, col("__c"))
           .when(ordOf("__b") >= ordOf("__c"), col("__b"))
           .otherwise(col("__c")))
       .select(col(key) +: cols.filterNot(_ == key).map(c => col("__w").getField(c).as(c)): _*)
-    commit(merged, table)
+  }
+
+  def mergeLww(spark: SparkSession, table: String, batch: DataFrame,
+               key: String, ordCols: Seq[String]): Long = {
+    val cols = batch.columns.toSeq
+    val reduced = lwwReduce(batch, key, ordCols)
+    if (latestVersion(table) == 0L) return commit(reduced, table)
+    val cur = read(spark, table).select(cols.map(col): _*)
+    commit(lwwCombine(cur, reduced, key, ordCols, cols), table)
+  }
+
+  // -------------------------------------------------------------------------
+  // Partition-pruned copy-on-write (bucketed) LWW merge
+  // -------------------------------------------------------------------------
+
+  /** PARTITION-PRUNED COW MERGE: the scale refinement of [[mergeLww]]. The
+    * table is laid out in `nBuckets` key-hash bucket directories
+    * (`_bucket=N/`, Spark partitioned layout) inside each immutable version
+    * dir; a merge REWRITES only buckets that contain batch keys and
+    * HARD-LINKS every untouched bucket's files forward into the new
+    * version — so a small change batch against a huge table costs
+    * O(touched buckets), not a full-table rewrite (the copy-on-write
+    * amplification the flat layout suffers; SCALING.md round-10 note).
+    *
+    * Bucket routing is `pmod(hash(key), n)` — it decides only WHERE a row
+    * lives, never a result, so engine-specific hashing is fine. Snapshot
+    * isolation is unchanged: readers of the old version hold directories
+    * whose files are never mutated (hard links share immutable inodes;
+    * rewritten buckets get fresh files), and the atomic `_latest` swap
+    * publishes the new version. LWW semantics are byte-identical to
+    * [[mergeLww]] because the combine runs per bucket on a key-disjoint
+    * partition of the data.
+    */
+  def mergeLwwBucketed(spark: SparkSession, table: String, batch: DataFrame,
+                       key: String, ordCols: Seq[String],
+                       nBuckets: Int = 16): Long = synchronized {
+    val cols = batch.columns.toSeq
+    val bkt = pmod(hash(col(key)), lit(nBuckets))
+    val reduced = lwwReduce(batch, key, ordCols).withColumn("_bucket", bkt)
+    val latest = latestVersion(table)
+    if (latest == 0L) {
+      Files.createDirectories(Paths.get(table))
+      reduced.write.partitionBy("_bucket")
+        .parquet(versionDir(table, 1).toString)
+      publish(table, 1)
+      return 1L
+    }
+    // ≤ nBuckets ints to the driver — the pruning decision, not data
+    val touched = reduced.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val oldDir = versionDir(table, latest)
+    val newDir = versionDir(table, latest + 1)
+    val curTouched = spark.read.parquet(oldDir.toString)
+      .filter(col("_bucket").isin(touched.toSeq: _*))
+      .select((cols :+ "_bucket").map(col): _*)
+    val merged = lwwCombine(
+      curTouched, reduced.filter(col("_bucket").isin(touched.toSeq: _*)),
+      key, ordCols, cols).withColumn("_bucket", bkt)
+    merged.write.partitionBy("_bucket").parquet(newDir.toString)
+    // carry untouched buckets forward as hard links (copy fallback):
+    // zero data movement, shared immutable inodes
+    (0 until nBuckets).filterNot(touched).foreach { b =>
+      val src = oldDir.resolve(s"_bucket=$b")
+      if (Files.exists(src)) {
+        val dst = newDir.resolve(s"_bucket=$b")
+        Files.createDirectories(dst)
+        val st = Files.list(src)
+        try st.forEach { f =>
+          val t = dst.resolve(f.getFileName.toString)
+          try Files.createLink(t, f)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING) }
+        } finally st.close()
+      }
+    }
+    publish(table, latest + 1)
+    latest + 1
+  }
+
+  /** q166 gate: v1 = the LWW collapse of ALL events (bucketed layout);
+    * v2 = a SMALL adjustment batch (one synthetic newest row per user with
+    * user_id % 97 == 0) applied through the pruned COW merge. The oracle
+    * replays both: last event per user, with the %97 users replaced by the
+    * adjustment and error-tombstoned users filtered unless adjusted.
+    */
+  def bucketedMergeGate(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Formats.fingerprintOf(dir, "events")
+    val table = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_versioned", fp, "events_cow").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("tombstone", col("event_type") === "error")
+    synchronized {
+      if (latestVersion(table) != 2L) {
+        deleteRecursively(Paths.get(table)) // self-heal: idempotent rebuild
+        mergeLwwBucketed(spark, table, ev, "user_id", Seq("ts_ns", "event_id"))
+        val maxTs = ev.agg(max(col("ts_ns"))).head().getLong(0) // one scalar
+        val adjust = ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id")).distinct()
+          .select(col("user_id"), (lit(maxTs) + lit(1000L)).as("ts_ns"),
+            (col("user_id") + lit(10000000L)).as("event_id"),
+            lit("adjust").as("event_type"), lit(0.5).as("value"),
+            lit(false).as("tombstone"))
+        mergeLwwBucketed(spark, table, adjust, "user_id", Seq("ts_ns", "event_id"))
+      }
+    }
+    read(spark, table).filter(!col("tombstone"))
+      .select(col("user_id"), col("ts_ns"), col("event_type"), col("value"))
+      .orderBy("user_id")
   }
 
   /** q147 materialization: a fresh versioned orders table (v1 = source)

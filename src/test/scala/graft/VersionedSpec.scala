@@ -117,6 +117,53 @@ class VersionedSpec extends SparkSpecBase {
     assert(lwwRows(t) == Set((1L, 11L, "new")))
   }
 
+  test("bucketed COW merge: untouched buckets hard-link forward, touched rewrite") {
+    val t = freshTable()
+    val v1rows = (1L to 200L).map(i => (i, 1L, s"v$i", false))
+    Versioned.mergeLwwBucketed(spark, t,
+      v1rows.toDF("id", "ord", "s", "tombstone"), "id", Seq("ord"))
+    val hot = spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(16)).as("b")).head().getInt(0)
+    def files(v: Int, b: Int): Seq[java.nio.file.Path] = {
+      val d = Paths.get(t, f"v$v%05d", s"_bucket=$b")
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val st = Files.list(d)
+        try st.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq.sortBy(_.toString)
+        finally st.close()
+      }
+    }
+    Versioned.mergeLwwBucketed(spark, t,
+      Seq((7L, 5L, "v7-new", false)).toDF("id", "ord", "s", "tombstone"),
+      "id", Seq("ord"))
+    (0 until 16).filter(_ != hot).foreach { b =>
+      val (f1, f2) = (files(1, b), files(2, b))
+      assert(f1.map(_.getFileName.toString) == f2.map(_.getFileName.toString), s"bucket $b")
+      f1.zip(f2).foreach { case (a, c) =>
+        assert(Files.isSameFile(a, c), s"bucket $b not hard-linked: $a") }
+    }
+    // the hot bucket was genuinely rewritten (fresh inodes)
+    val hotPairs = files(1, hot).map(_.getFileName.toString)
+      .intersect(files(2, hot).map(_.getFileName.toString))
+    hotPairs.foreach { n =>
+      assert(!Files.isSameFile(Paths.get(t, "v00001", s"_bucket=$hot", n),
+        Paths.get(t, "v00002", s"_bucket=$hot", n)), s"hot bucket reused $n")
+    }
+    // semantics: byte-identical to the flat LWW merge
+    val flat = freshTable()
+    Versioned.mergeLww(spark, flat, v1rows.toDF("id", "ord", "s", "tombstone"),
+      "id", Seq("ord"))
+    Versioned.mergeLww(spark, flat,
+      Seq((7L, 5L, "v7-new", false)).toDF("id", "ord", "s", "tombstone"),
+      "id", Seq("ord"))
+    val a = Versioned.read(spark, t).select("id", "ord", "s", "tombstone")
+    val b = Versioned.read(spark, flat).select("id", "ord", "s", "tombstone")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // snapshot isolation: v1 still shows the pre-merge row
+    val old = Versioned.read(spark, t, 1).filter(col("id") === 7L).collect()
+    assert(old.map(_.getString(2)).toSeq == Seq("v7"))
+  }
+
   test("gate materialization: published v2, v1 retained, bad v3 vacuumed") {
     val table = Versioned.ordersTable(spark, sf)
     assert(Versioned.latestVersion(table) == 2)
