@@ -28,6 +28,13 @@ object SparkEntry {
   // Shared DuckDB oracle prefixes: the market view re-hosted on `events`
   // (SURVEY.md §7.1). Deterministic intraday order = (ts, event_id).
   // ---------------------------------------------------------------------------
+  /** Benford first-digit shares log10(1 + 1/d), d = 1..9 — computed ONCE on
+    * the driver and shared with the q167 oracle as shortest-repr literals
+    * (which round-trip to the same doubles), so no runtime libm call exists
+    * on either engine's data path.
+    */
+  private val benfordShares: Seq[Double] = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
   private val BARS = """WITH e AS (
   SELECT event_type AS symbol, CAST(ts AS DATE) AS date, value, ts, event_id,
          TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
@@ -1523,6 +1530,55 @@ ORDER BY r.rank DESC, partkey"""
     // complement of q150's truncated-window EWMA.
     "q165_stream_ema" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamEmaParity(s, dir)),
+
+    // BENFORD FIRST-DIGIT AUDIT: the fraud/data-quality screen — observed
+    // first-digit distribution of volumes per symbol vs Benford's law,
+    // with a chi-square statistic. First digit via STRING head (exact on
+    // both engines — no log10 at runtime); expected shares are driver-
+    // computed literals shared verbatim with the oracle; chi2 terms ride
+    // the round-9/decimal window sum.
+    "q167_benford" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val p = benfordShares // digit d -> log10(1 + 1/d), as driver literals
+      val expCol = (1 to 9).foldLeft(lit(0.0))((acc, d) =>
+        when(col("digit") === d, lit(p(d - 1))).otherwise(acc))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+      MarketView.dailyBars(s, dir)
+        .filter(col("volume") > 0)
+        .withColumn("digit",
+          substring(col("volume").cast("string"), 1, 1).cast("long"))
+        .groupBy("symbol", "digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum(col("n_obs")).over(w))
+        .withColumn("exp_n", col("n") * expCol)
+        .withColumn("term",
+          (col("n_obs") - col("exp_n")) * (col("n_obs") - col("exp_n")) / col("exp_n"))
+        .withColumn("chi2",
+          rd(sum(round(col("term"), 9).cast(dec)).over(w).cast("double"), 4))
+        .select(col("symbol"), col("digit"), col("n_obs"),
+          rd(col("exp_n"), 4).as("exp_n"), col("chi2"))
+        .orderBy("symbol", "digit")
+    }),
+
+    // K-ANONYMITY PROFILE: the privacy audit a training corpus gets before
+    // release — quasi-identifier groups (lang, source, 100-char length
+    // bucket), per-language k-distribution: group count, min k, groups and
+    // row share below k = 5. Two stacked aggregates, both map-side
+    // combinable; the at-risk share is an exact integer ratio.
+    "q168_k_anonymity" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+      g.groupBy("lang")
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("groups_below_5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_5"),
+          sum(col("k")).as("n_rows"))
+        .withColumn("pct_at_risk",
+          rd(col("rows_below_5").cast("double") / col("n_rows") * 100, 4))
+        .orderBy("lang")
+    }),
 
     // PARTITION-PRUNED COPY-ON-WRITE MERGE: the q155 scale refinement —
     // the versioned table laid out in 16 key-hash bucket dirs; a merge
@@ -4132,6 +4188,39 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) + 0 AS median_gap_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1 ORDER BY event_type""",
+
+    // identical literals, identical window decimal sums
+    "q167_benford" -> (BARS + s""", o AS (
+  SELECT symbol, CAST(substr(CAST(volume AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n_obs
+  FROM bars WHERE volume > 0 GROUP BY 1, 2
+), p AS (SELECT * FROM (VALUES ${benfordShares.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, CAST($v AS DOUBLE))" }.mkString(", ")}) t(digit, share)),
+e2 AS (
+  SELECT o.symbol, o.digit, o.n_obs,
+         sum(o.n_obs) OVER (PARTITION BY o.symbol) AS n, p.share
+  FROM o JOIN p ON p.digit = o.digit
+)
+SELECT symbol, digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(n * share, 4) + 0 AS exp_n,
+       round(CAST(sum(CAST(round((n_obs - n * share) * (n_obs - n * share)
+             / (n * share), 9) AS DECIMAL(30,12)))
+           OVER (PARTITION BY symbol) AS DOUBLE), 4) + 0 AS chi2
+FROM e2 ORDER BY symbol, digit"""),
+
+    "q168_k_anonymity" -> """
+WITH g AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+           / CAST(sum(k) AS DOUBLE) * 100, 4) + 0 AS pct_at_risk
+FROM g GROUP BY 1 ORDER BY lang""",
 
     // both merges replayed: last event per user, %97 users replaced by
     // the adjustment row, error-tombstoned users filtered unless adjusted
