@@ -1531,6 +1531,37 @@ ORDER BY r.rank DESC, partkey"""
     "q165_stream_ema" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamEmaParity(s, dir)),
 
+    // SLIDING STREAMING WINDOWS: 14-day windows every 7 days — each event
+    // in exactly TWO overlapping windows (what tumbling can't express);
+    // Complete mode + decimal sums make the lifecycle batch-boundary
+    // independent; oracle assigns each event to both window starts
+    "q169_stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingOps.slidingWindowParity(s, dir)),
+
+    // EQUAL-FREQUENCY DECILES: ntile(10) over the strict (return, date)
+    // total order per symbol — the quantile-discretizer binning; per-decile
+    // census with range bounds. Both engines implement ntile's positional
+    // rule identically given the same strict order.
+    "q170_return_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy(col("variacao_diaria"), col("date"))
+      MarketView.fact(s, dir).filter(col("variacao_diaria").isNotNull)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("symbol", "decile")
+        .agg(count(lit(1)).as("n"),
+          rd(min(col("variacao_diaria")), 6).as("lo"),
+          rd(max(col("variacao_diaria")), 6).as("hi"))
+        .orderBy("symbol", "decile")
+    }),
+
+    // WRITE-AUDIT-PUBLISH: staged version -> audit -> atomic publish (or
+    // vacuum on failure) — the Iceberg/Delta WAP workflow over the
+    // versioned table. The gate's construction stages a CORRUPT batch
+    // whose audit fails (discarded, latest untouched) then a valid batch
+    // that publishes; hash equality with the good-batch-only oracle proves
+    // the corrupt stage never leaked into the published snapshot.
+    "q171_wap" -> ((s, dir) => graft.sources.Versioned.wapGate(s, dir)),
+
     // BENFORD FIRST-DIGIT AUDIT: the fraud/data-quality screen — observed
     // first-digit distribution of volumes per symbol vs Benford's law,
     // with a chi-square statistic. First digit via STRING head (exact on
@@ -4188,6 +4219,42 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) + 0 AS median_gap_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1 ORDER BY event_type""",
+
+    // every event assigned to BOTH of its sliding-window starts
+    "q169_stream_sliding" -> """
+WITH e AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk, event_type, value
+  FROM events
+), w AS (
+  SELECT wk AS ws, event_type, value FROM e
+  UNION ALL
+  SELECT wk - 7, event_type, value FROM e
+)
+SELECT event_type, strftime(ws, '%Y-%m-%d') AS win_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS sum_value
+FROM w GROUP BY 1, 2 ORDER BY event_type, win_start""",
+
+    "q170_return_deciles" -> (FACT + """
+, d AS (
+  SELECT symbol, variacao_diaria,
+         ntile(10) OVER (PARTITION BY symbol
+                         ORDER BY variacao_diaria, date) AS decile
+  FROM fact WHERE variacao_diaria IS NOT NULL
+)
+SELECT symbol, CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+       round(min(variacao_diaria), 6) + 0 AS lo,
+       round(max(variacao_diaria), 6) + 0 AS hi
+FROM d GROUP BY 1, 2 ORDER BY symbol, decile"""),
+
+    // only the AUDITED, published batch: baseline repriced on %3 keys
+    "q171_wap" -> """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 0
+                                THEN o_totalprice + 10.0
+                                ELSE o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 4) + 0 AS total_price,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
+FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
 
     // identical literals, identical window decimal sums
     "q167_benford" -> (BARS + s""", o AS (

@@ -84,6 +84,28 @@ object Versioned {
     spark.read.parquet(versionDir(table, v).toString)
   }
 
+  /** WRITE-AUDIT-PUBLISH support: write `df` as an UNPUBLISHED version dir
+    * (no pointer swap). Readers of the published snapshot cannot see it;
+    * an audit validates the staged data via [[read]] with the returned
+    * version pinned, then either [[publishStaged]] promotes it atomically
+    * or [[vacuum]] (which removes dirs newer than latest) discards it.
+    * The Iceberg/Delta WAP workflow over plain parquet.
+    */
+  def stage(df: DataFrame, table: String): Long = synchronized {
+    Files.createDirectories(Paths.get(table))
+    val v = latestVersion(table) + 1
+    df.write.mode("overwrite").parquet(versionDir(table, v).toString)
+    v
+  }
+
+  /** Promote a staged version to latest — the O(1) atomic publish half of
+    * write-audit-publish. Requires the staged dir to exist.
+    */
+  def publishStaged(table: String, v: Long): Unit = synchronized {
+    require(Files.exists(versionDir(table, v)), s"staged v$v missing")
+    publish(table, v)
+  }
+
   /** Roll back by publishing an OLDER version as latest — O(1), no data
     * movement; the bad version's files stay until vacuum.
     */
@@ -380,6 +402,53 @@ object Versioned {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("o_orderkey")).as("n_keys"))
       .orderBy("_change", "o_orderstatus")
+  }
+
+  /** q171 gate: the full WRITE-AUDIT-PUBLISH workflow. v1 = the source
+    * relation published; attempt A stages a CORRUPT batch (%5 keys nulled)
+    * whose audit (no-null-keys) FAILS → vacuumed, latest untouched;
+    * attempt B stages a valid repriced batch (%3 keys +10) whose audit
+    * passes → atomically published as v2. The gate profiles the published
+    * snapshot — hash equality with the oracle's replay of ONLY the good
+    * batch proves the corrupt stage never leaked.
+    */
+  def wapGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fx._
+    val fp = Formats.fingerprintOf(dir, "orders")
+    val table = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_versioned", fp, "orders_wap").toString
+    synchronized {
+      if (latestVersion(table) != 2L) {
+        deleteRecursively(Paths.get(table)) // idempotent rebuild
+        val orders = Tables.orders(spark, dir)
+        val k = col("o_orderkey")
+        commit(orders, table) // v1: published baseline
+        // attempt A: corrupt batch — audit fails, stage is discarded
+        val bad = orders.withColumn("o_orderkey",
+          when(k % 5 === 0, lit(null)).otherwise(k))
+        val vBad = stage(bad, table)
+        val badNulls = read(spark, table, vBad)
+          .filter(col("o_orderkey").isNull).limit(1).count()
+        require(badNulls > 0) // the audit genuinely trips
+        vacuum(table) // discard the failed stage; latest still 1
+        // attempt B: valid repricing — audit passes, publish atomically
+        val good = orders.withColumn("o_totalprice",
+          when(k % 3 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        val vGood = stage(good, table)
+        val audit = read(spark, table, vGood)
+        val ok = audit.filter(col("o_orderkey").isNull).limit(1).isEmpty &&
+          audit.count() == orders.count()
+        require(ok, "good batch failed its audit")
+        publishStaged(table, vGood)
+      }
+    }
+    read(spark, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        rd(exactSum(col("o_totalprice")), 4).as("total_price"),
+        count(when(col("o_orderkey").isNull, 1)).as("null_keys"))
+      .orderBy("o_orderstatus")
   }
 
   /** Change-data-feed between two versions, keyed by full-row identity:

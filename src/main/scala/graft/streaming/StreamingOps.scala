@@ -135,6 +135,29 @@ object StreamingOps {
       .orderBy("event_type", "semana"))
   }
 
+  /** SLIDING-window streaming gate (q169): 14-day windows sliding every 7
+    * days, Monday-aligned — every event lands in exactly TWO overlapping
+    * windows, which is the semantics tumbling windows cannot express
+    * (trend smoothing, 2-week actives). Same determinism devices as the
+    * weekly gate: Complete mode (final state of every window, batch-
+    * boundary independent) and decimal value sums. The oracle replays the
+    * overlap by assigning each event to both of its window starts
+    * (monday(d) and monday(d) − 7) and aggregating the union.
+    */
+  def slidingWindowParity(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "14 days", "7 days", "4 days"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sum_dec"))
+    runMemoryGate(spark, "stream_sliding_gate", agg, OutputMode.Complete())(_
+      .select(col("event_type"),
+        graft.functions.Fx.dateStr(col("window.start").cast("date")).as("win_start"),
+        col("n_events"),
+        graft.functions.Fx.rd(col("sum_dec").cast("double"), 4).as("sum_value"))
+      .orderBy("event_type", "win_start"))
+  }
+
   /** STREAM-STATIC enrichment gate (correctness-gate entry
     * `q145_stream_enrich`): the standard streaming enrichment topology —
     * a live stream joined per micro-batch against a STATIC broadcast

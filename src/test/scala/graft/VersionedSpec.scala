@@ -164,6 +164,28 @@ class VersionedSpec extends SparkSpecBase {
     assert(old.map(_.getString(2)).toSeq == Seq("v7"))
   }
 
+  test("write-audit-publish: failed audit never moves latest; success is atomic") {
+    val t = freshTable()
+    Versioned.commit(df(0 until 10), t) // published baseline
+    val staged = Versioned.stage(df(0 until 3), t) // candidate (would shrink!)
+    assert(staged == 2)
+    // staging is invisible to published readers
+    assert(Versioned.latestVersion(t) == 1)
+    assert(Versioned.read(spark, t).count() == 10)
+    // ...but auditable via the pinned version
+    assert(Versioned.read(spark, t, staged).count() == 3)
+    // audit fails -> vacuum discards the stage, latest untouched
+    Versioned.vacuum(t)
+    assert(!Files.exists(Paths.get(t, "v00002")))
+    assert(Versioned.read(spark, t).count() == 10)
+    // second attempt passes audit -> atomic publish
+    val good = Versioned.stage(df(0 until 12), t)
+    assert(good == 2)
+    Versioned.publishStaged(t, good)
+    assert(Versioned.latestVersion(t) == 2)
+    assert(Versioned.read(spark, t).count() == 12)
+  }
+
   test("gate materialization: published v2, v1 retained, bad v3 vacuumed") {
     val table = Versioned.ordersTable(spark, sf)
     assert(Versioned.latestVersion(table) == 2)
