@@ -1727,6 +1727,50 @@ ORDER BY r.rank DESC, partkey"""
         .select(col("user_id"), dateStr(col("date")).as("date"),
           col("spend"), col("spend_7d"), col("n_days_7d"))
         .orderBy("user_id", "date")
+    }),
+
+    // TWO-PASS EXACT HEAVY HITTERS: Misra–Gries candidate sketch (map-side
+    // k-counter summaries, O(k) bytes per partition through the exchange)
+    // then an exact recount of ONLY the candidates; the oracle is the plain
+    // GROUP BY / HAVING over the full key universe — hash equality proves
+    // the sketch missed nothing (the q95/q110 proof framing).
+    "q172_exact_heavy_hitters" -> ((s, dir) => Sketches.tokenHeavyHittersGate(s, dir)),
+
+    // PEAK CONCURRENCY sweep line: session intervals → ±1 deltas collapsed
+    // per exact nanosecond → per-day running sums + a dates-sized cross-day
+    // carry. Integer-only; no global window over the full delta stream.
+    "q173_peak_concurrency" -> ((s, dir) => EventOps.peakConcurrency(s, dir)),
+
+    // JARO–WINKLER RECORD LINKAGE on the collapsed part-name domain: the
+    // codegen'd native expression is bit-matched to DuckDB's
+    // jaro_winkler_similarity (byte-level, integer-halved transpositions,
+    // 0.7 boost gate — probed and pinned in TextExpressionsSpec), so the
+    // τ=0.84 cut selects identical pairs and the gate hash-compares raw
+    // rounded doubles. Quadratic step bounded by the 64-name domain.
+    "q174_jw_linkage" -> ((s, dir) =>
+      TextOps.jwLinkage(Tables.part(s, dir), "p_name", 0.84)),
+
+    // ROLLING EXACT MEDIAN (15-row frame) of daily volume per symbol: the
+    // engine sorts each frame's collected values and interpolates even
+    // counts exactly like DuckDB's windowed median (quantile_cont 0.5);
+    // volumes are integers < 2^53, so the lower/upper average is one exact
+    // IEEE op. One symbol-keyed exchange shared with the window sort.
+    "q175_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date").rowsBetween(-14, 0)
+      MarketView.dailyBars(s, dir)
+        .withColumn("vols", sort_array(collect_list(col("volume")).over(w)))
+        .withColumn("n", size(col("vols")))
+        .withColumn("med_15",
+          when(col("n") === 0, lit(null).cast("double"))
+            .when(col("n") % 2 === 1,
+              element_at(col("vols"), ((col("n") + 1) / 2).cast("int")).cast("double"))
+            .otherwise(
+              (element_at(col("vols"), (col("n") / 2).cast("int")) +
+                element_at(col("vols"), (col("n") / 2 + 1).cast("int"))) / 2.0))
+        .select(col("symbol"), dateStr(col("date")).as("date"), col("volume"),
+          rd(col("med_15"), 6).as("med_15"), col("n").cast("long").as("n_frame"))
+        .orderBy("symbol", "date")
     })
   )
 
@@ -4408,6 +4452,92 @@ SELECT user_id, CAST(date AS VARCHAR) AS date, spend,
        CAST(count(*) OVER (
          PARTITION BY user_id ORDER BY (date - DATE '1970-01-01')
          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_7d
-FROM d ORDER BY user_id, date"""
+FROM d ORDER BY user_id, date""",
+
+    // the sketch-free one-pass definition: GROUP BY the FULL key universe,
+    // HAVING the same total/48 cut — hash equality proves the Misra–Gries
+    // candidate set was a superset of every qualifying token
+    "q172_exact_heavy_hitters" -> """
+WITH d AS (
+  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents
+), t AS (
+  SELECT unnest(string_split(norm, ' ')) AS tok FROM d
+), tot AS (SELECT count(*) AS total FROM t),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+SELECT c.tok, c.n, round(CAST(c.n AS DOUBLE) / tot.total, 6) + 0 AS share
+FROM c, tot
+WHERE c.n > tot.total / 48.0
+ORDER BY n DESC, tok""",
+
+    // the same sweep line stated directly: sessions via gaps-and-islands,
+    // ±1 deltas collapsed per nanosecond, day-partitioned running sums plus
+    // the cross-day carry; all integer arithmetic on raw nanoseconds
+    "q173_peak_concurrency" -> """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events
+), s AS (
+  SELECT user_id, ts_ns, event_id,
+         CASE WHEN lag(ts_ns) OVER w IS NULL
+                OR ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+), g AS (
+  SELECT user_id, ts_ns,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+), iv AS (
+  SELECT user_id, sess, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns
+  FROM g GROUP BY 1, 2
+), dl AS (
+  SELECT ts_ns, sum(d) AS d FROM (
+    SELECT start_ns AS ts_ns, 1 AS d FROM iv
+    UNION ALL SELECT end_ns + 1, -1 FROM iv
+  ) GROUP BY 1
+), dd AS (
+  SELECT ts_ns, d, ts_ns // 86400000000000 AS day FROM dl
+), run AS (
+  SELECT day, sum(d) OVER (PARTITION BY day ORDER BY ts_ns
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM dd
+), daily AS (SELECT day, sum(d) AS tot FROM dd GROUP BY 1),
+car AS (
+  SELECT day, coalesce(sum(tot) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM daily
+), mx AS (
+  SELECT day, max(run) AS mx, CAST(count(*) AS BIGINT) AS n_points
+  FROM run GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + CAST(m.day AS INT), '%Y-%m-%d') AS date,
+       CAST(c.carry AS BIGINT) AS carry_in,
+       CAST(greatest(c.carry, c.carry + m.mx) AS BIGINT) AS peak,
+       m.n_points
+FROM mx m JOIN car c USING (day) ORDER BY date""",
+
+    // DuckDB's native jaro_winkler_similarity over the same collapsed
+    // domain — the engine's byte-level expression must agree on every
+    // double, or pairs at the τ boundary would differ
+    "q174_jw_linkage" -> """
+WITH n AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       round(jaro_winkler_similarity(a.name, b.name), 6) + 0 AS jw,
+       a.n AS n_a, b.n AS n_b
+FROM n a JOIN n b ON a.name < b.name
+WHERE jaro_winkler_similarity(a.name, b.name) >= 0.84
+ORDER BY name_a, name_b""",
+
+    // DuckDB's windowed median IS quantile_cont(0.5) over the frame —
+    // identical interpolation; count(volume) mirrors collect_list's
+    // null-skipping
+    "q175_rolling_median" -> (BARS + """
+SELECT symbol, CAST(date AS VARCHAR) AS date, volume,
+       round(median(volume) OVER w, 6) + 0 AS med_15,
+       CAST(count(volume) OVER w AS BIGINT) AS n_frame
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY date
+             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, date""")
   )
 }

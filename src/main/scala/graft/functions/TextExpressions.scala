@@ -79,6 +79,107 @@ case class UnicodeNormalize(child: Expression, formName: String)
     copy(child = newChild)
 }
 
+/** Jaro–Winkler similarity as a native codegen'd Catalyst expression —
+  * the record-linkage scorer (q174).
+  *
+  * Semantics are pinned to DuckDB's `jaro_winkler_similarity` so the gate
+  * can hash-compare raw doubles (probed empirically against DuckDB 1.x,
+  * locked by TextExpressionsSpec):
+  *  - operates on the raw UTF-8 BYTES (not code points): 'café' vs 'cafe'
+  *    scores as the 5-byte vs 4-byte sequences;
+  *  - either side empty → 0.0 (including both empty);
+  *  - match window = max(len)/2 − 1, floored at 0 (so 2-char swaps score 0);
+  *  - transpositions: mismatched positions between the two matched
+  *    sequences, INTEGER-halved — jaro = (m/la + m/lb + (m − t)/m) / 3;
+  *  - Winkler boost only when jaro > 0.7: + min(prefix,4) · 0.1 · (1−jaro).
+  *
+  * Every step is exact integer arithmetic until the three final divides,
+  * which are single IEEE operations — the result is bit-identical across
+  * engines, so a τ-threshold filter selects the same pairs on both sides.
+  * Bound: O(la·lb) bitset-free two-pass on a shared boolean scratch — for
+  * linkage keys (names, titles ≤ a few hundred bytes) this stays cheap and
+  * inside whole-stage codegen via a reference-object call.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "jaro_winkler"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string inputs, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  def similarity(u: UTF8String, v: UTF8String): Double =
+    JaroWinkler.similarity(u.getBytes, v.getBytes)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    similarity(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaroWinklerExpr", this, classOf[JaroWinkler].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.similarity($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Byte-level Jaro–Winkler, DuckDB-parity (see case-class scaladoc). */
+  def similarity(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a(i) == b(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // count mismatched positions between the two matched sequences
+    var mism = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(j)) j += 1
+        if (a(i) != b(j)) mism += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = mism / 2 // integer halving — pinned to the DuckDB probe
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxPrefix = math.min(4, math.min(la, lb))
+    while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+}
+
 /** Column-API and SQL-registry front doors for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graft.SqlShim.{column, expression}
@@ -87,6 +188,9 @@ object TextFunctions {
   def nfd(c: Column): Column = column(UnicodeNormalize(expression(c), "NFD"))
   def nfkc(c: Column): Column = column(UnicodeNormalize(expression(c), "NFKC"))
   def nfkd(c: Column): Column = column(UnicodeNormalize(expression(c), "NFKD"))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(JaroWinkler(expression(a), expression(b)))
 
   /** SQL names mirror DuckDB's `nfc_normalize`; the compatibility forms get
     * the same suffix convention. Runtime + idempotent, like

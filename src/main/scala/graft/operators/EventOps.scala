@@ -103,4 +103,69 @@ object EventOps {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  /** Session INTERVALS (user, session start/end ns) — the gaps-and-islands
+    * expansion of [[sessionize]]: same new-session flag, then a running sum
+    * assigns the island id and one aggregate collapses each island to its
+    * [min, max] nanosecond bounds. One shuffle keyed user_id.
+    */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+  }
+
+  /** PEAK CONCURRENCY per day — the interval sweep line (q173): how many
+    * sessions are simultaneously open, reported as each day's maximum.
+    *
+    * Shape: every session interval becomes two integer deltas (+1 at
+    * start_ns, −1 at end_ns + 1 — half-open, so a one-event session still
+    * counts at its instant), deltas COLLAPSE per exact nanosecond first
+    * (removing any same-timestamp ordering ambiguity — the running sum is
+    * then a pure function of the data), and the global running sum is
+    * decomposed as per-day running sums plus a cross-day carry:
+    *
+    *   - per-day: window partitioned by the integer UTC day index — at most
+    *     one day's deltas sort together, never the full history;
+    *   - carry-in: per-day delta totals (a tiny dates-sized relation)
+    *     prefix-summed on the driver-sized window.
+    *
+    * A day's peak is max(carry + running) over its delta points, floored at
+    * the carry itself (the level standing at midnight). All arithmetic is
+    * int64 on raw nanoseconds — hash-exact cross-engine with no float path.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    peakConcurrencyFrom(Tables.events(spark, dir), gapMinutes)
+
+  def peakConcurrencyFrom(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val nsPerDay = 86400000000000L
+    val iv = sessionIntervals(events, gapMinutes)
+    val deltas = iv.select(col("start_ns").as("ts_ns"), lit(1L).as("d"))
+      .unionAll(iv.select((col("end_ns") + 1L).as("ts_ns"), lit(-1L).as("d")))
+      .groupBy("ts_ns").agg(sum(col("d")).as("d"))
+      .withColumn("day", (col("ts_ns") / lit(nsPerDay)).cast("long"))
+    val dayW = Window.partitionBy("day").orderBy("ts_ns")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("run", sum(col("d")).over(dayW))
+    val carryW = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy("day").agg(sum(col("d")).as("tot"))
+      .withColumn("carry", coalesce(sum(col("tot")).over(carryW), lit(0L)))
+    run.groupBy("day")
+      .agg(max(col("run")).as("mx"), count(lit(1)).as("n_points"))
+      .join(carry.select("day", "carry"), Seq("day"))
+      .select(
+        dateStr(date_add(lit("1970-01-01").cast(DateType), col("day").cast("int"))).as("date"),
+        col("carry").as("carry_in"),
+        greatest(col("carry"), col("carry") + col("mx")).as("peak"),
+        col("n_points"))
+      .orderBy("date")
+  }
 }

@@ -144,4 +144,59 @@ object Sketches {
 
   def cmsHeavyHittersGate(spark: SparkSession, dir: String): DataFrame =
     cmsHeavyHitters(Tables.events(spark, dir))
+
+  // -------------------------------------------------------------------------
+  // Two-pass EXACT heavy hitters: Misra–Gries candidates → exact recount
+  // -------------------------------------------------------------------------
+
+  /** Items of `keyCol` whose EXACT frequency exceeds total/phi, computed
+    * without ever aggregating the full key universe — the canonical 100 TB
+    * frequent-items shape (q172):
+    *
+    *  1. Candidate pass: one [[graft.functions.MisraGriesKeys]] aggregate
+    *     with `capacity` counters. Map-side partials are ≤ capacity entries
+    *     per task; the exchange carries O(capacity) bytes per partition, and
+    *     the merged summary is guaranteed (MG invariant) to contain every
+    *     key with frequency > total/(capacity+1).
+    *  2. Exact pass: recount ONLY the candidates — a broadcast left-semi
+    *     join filters the stream map-side, so the groupBy shuffle carries
+    *     at most `capacity` distinct keys per partition — then apply the
+    *     real threshold total/phi.
+    *
+    * Requires phi ≤ capacity + 1 so the sketch's guarantee covers the
+    * threshold; then the result PROVABLY equals the one-pass
+    * `GROUP BY key HAVING count(*) > total/phi` (the oracle), which at
+    * scale would shuffle every distinct key. Hash equality is the proof
+    * that the sketch missed nothing.
+    */
+  def exactHeavyHitters(rows: DataFrame, keyCol: String,
+                        capacity: Int, phi: Double): DataFrame = {
+    require(phi <= capacity + 1,
+      s"threshold 1/$phi is below the sketch guarantee 1/${capacity + 1}")
+    val keyed = rows.select(col(keyCol).as("key"))
+    val sketch = keyed
+      .agg(graft.functions.MisraGriesKeys.mgKeys(col("key"), capacity).as("s"))
+      .select(col("s.total").as("total"), explode(col("s.keys")).as("key"))
+      .localCheckpoint(true) // ≤ capacity rows; both probe joins read one materialization
+    val exact = keyed
+      .join(broadcast(sketch.select("key")), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    exact
+      .join(broadcast(sketch), Seq("key"))
+      .filter(col("n") > col("total") / phi)
+      .select(col("key"), col("n"),
+        rd(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  /** Gate: exact heavy hitters over the corpus TOKEN stream (the natural
+    * Zipf domain: ~30 head tokens plus a rare tail marker at every SF) at
+    * threshold total/48 with 64 MG counters.
+    */
+  def tokenHeavyHittersGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    exactHeavyHitters(toks, "tok", capacity = 64, phi = 48.0)
+      .withColumnRenamed("key", "tok")
+  }
 }

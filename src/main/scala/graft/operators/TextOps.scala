@@ -1981,4 +1981,32 @@ object TextOps {
         least(floor(col("pct_rank") * 10).cast("long"), lit(9L)).as("decile"))
       .orderBy("doc_id")
   }
+
+  /** Jaro–Winkler record linkage over a COLLAPSED value domain (q174):
+    * candidate generation collapses the rows to their distinct `valueCol`
+    * values with multiplicities (one hash aggregate), and the quadratic
+    * similarity step runs only on that bounded-domain relation — the same
+    * collapse discipline as [[fuzzyMatches]], with the domain (64 part
+    * names here) playing the role the block key plays there. Similarity is
+    * the codegen'd [[graft.functions.JaroWinkler]] expression, bit-matched
+    * to DuckDB's `jaro_winkler_similarity`, so the τ cut selects identical
+    * pairs on both engines and the gate hash-compares exactly.
+    *
+    * At 100 TB: the collapsed relation is small enough to broadcast
+    * whenever the value domain is (catalog names, brands, titles); for
+    * open-domain strings you block first (the [[fuzzyMatches]] prefix
+    * strategy) and apply the same scorer inside blocks.
+    */
+  def jwLinkage(rows: DataFrame, valueCol: String, tau: Double): DataFrame = {
+    val n = rows.groupBy(col(valueCol).as("name")).agg(count(lit(1)).as("n"))
+    val a = n.select(col("name").as("name_a"), col("n").as("n_a"))
+    val b = n.select(col("name").as("name_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("jw",
+        graft.functions.TextFunctions.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= tau)
+      .select(col("name_a"), col("name_b"), rd(col("jw"), 6).as("jw"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -75,4 +75,31 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out.count() > 0)
     assert(out.filter(col("sum_k").isNull).count() == 0)
   }
+
+  test("peak concurrency: hand-computed sweep with same-ns cancellation and midnight carry") {
+    val D = 86400000000000L // ns per day
+    // u1 [100,200], u2 [150,150], u3 [201,201], u4 [D-1000, D+1000] (one
+    // session spanning midnight: 2000 ns gap << 30 min)
+    val ev = Seq(
+      (1L, 100L, 1L), (1L, 200L, 2L),
+      (2L, 150L, 3L),
+      (3L, 201L, 4L),
+      (4L, D - 1000L, 5L), (4L, D + 1000L, 6L)
+    ).toDF("user_id", "ts_ns", "event_id")
+    val out = EventOps.peakConcurrencyFrom(ev, gapMinutes = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day 0 deltas: +1@100 +1@150 -1@151 0@201 (u3 start cancels u1 end+1)
+    // -1@202 +1@(D-1000) -> running 1,2,1,1,0,1 -> peak 2, 6 delta points
+    // day 1: carry-in 1 (u4 still open), -1@(D+1001) -> peak = carry = 1
+    assert(out.toSeq == Seq(
+      ("1970-01-01", 0L, 2L, 6L),
+      ("1970-01-02", 1L, 1L, 1L)))
+  }
+
+  test("peak concurrency is partitioning-invariant") {
+    val base = Tables.events(spark, sf)
+    val a = EventOps.peakConcurrencyFrom(base.repartition(1), 30).collect().toSeq
+    val b = EventOps.peakConcurrencyFrom(base.repartition(13), 30).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

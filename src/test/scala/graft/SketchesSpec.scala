@@ -77,4 +77,63 @@ class SketchesSpec extends SparkSpecBase {
     val hh = Sketches.cmsHeavyHitters(df, 4, 64, 3).collect()
     hh.foreach { r => assert(r.getLong(2) >= r.getLong(1)) }
   }
+
+  // ---------------------------------------------------------------------------
+  // Misra–Gries exact heavy hitters (q172)
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic Zipf-ish stream: key i appears ceil(400/i) times for
+    * i = 1..400 — 400 distinct keys, so a 32-counter sketch is forced to
+    * evict constantly on every partition and on every merge.
+    */
+  private def zipfRows = (1 to 400).flatMap(i => Seq.fill(400 / i + 1)(s"k$i"))
+
+  test("MG guarantee under eviction: every key with freq > n/(k+1) survives the sketch") {
+    val df = zipfRows.toDF("key").repartition(8)
+    val n = zipfRows.size.toLong
+    val k = 32
+    val sketch = df
+      .agg(graft.functions.MisraGriesKeys.mgKeys(col("key"), k).as("s"))
+      .select(col("s.total"), col("s.keys")).collect().head
+    assert(sketch.getLong(0) == n)
+    val kept = sketch.getSeq[String](1).toSet
+    assert(kept.size <= k)
+    val exact = zipfRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustKeep = exact.filter { case (_, c) => c > n.toDouble / (k + 1) }.keySet
+    assert(mustKeep.nonEmpty && (mustKeep -- kept).isEmpty,
+      s"guarantee violated: missing ${mustKeep -- kept}")
+  }
+
+  test("two-pass exact heavy hitters == brute-force GROUP BY HAVING, any partitioning") {
+    val n = zipfRows.size.toLong
+    val phi = 20.0
+    val exact = zipfRows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c > n / phi }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = zipfRows.toDF("key").repartition(parts)
+      val out = Sketches.exactHeavyHitters(df, "key", capacity = 32, phi = phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == exact, s"parts=$parts")
+    }
+  }
+
+  test("exact heavy hitters rejects a threshold below the sketch guarantee") {
+    val df = Seq("a", "b").toDF("key")
+    intercept[IllegalArgumentException] {
+      Sketches.exactHeavyHitters(df, "key", capacity = 8, phi = 10.0)
+    }
+  }
+
+  test("MG summary serialization round-trips through merge") {
+    val a = new graft.functions.MGSummary(4)
+    Seq("x", "x", "x", "y", "z", "w", "v").foreach(a.add)
+    val b = graft.functions.MGSummary.fromBytes(4, a.toBytes)
+    assert(b.total == a.total && b.keysSorted.sameElements(a.keysSorted))
+    val c = new graft.functions.MGSummary(4)
+    Seq("x", "q", "q", "q").foreach(c.add)
+    b.mergeIn(c)
+    assert(b.total == 11)
+    assert(b.keysSorted.length <= 4)
+    assert(b.keysSorted.contains("x")) // freq 4 > 11/5 — must survive the merge
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.text.Normalizer
 
-import graft.functions.{TextFunctions, UnicodeNormalize}
+import graft.functions.{JaroWinkler, TextFunctions, UnicodeNormalize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -107,5 +107,73 @@ class TextExpressionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.toLowerCase.contains("string") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Jaro–Winkler (q174)
+  // ---------------------------------------------------------------------------
+
+  /** (a, b, expected) — expected values are DuckDB 1.x
+    * `jaro_winkler_similarity` outputs, probed verbatim; the expression must
+    * reproduce every one BIT-EXACTLY or the q174 τ cut could diverge.
+    */
+  private val jwPinned = Seq(
+    ("MARTHA", "MARHTA", 0.9611111111111111),       // classic, prefix 3
+    ("DIXON", "DICKSONX", 0.8133333333333332),
+    ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no prefix, no boost
+    ("DWAYNE", "DUANE", 0.8400000000000001),
+    ("", "", 0.0),                                   // DuckDB: empty -> 0
+    ("", "a", 0.0),
+    ("a", "a", 1.0),
+    ("AL", "AL", 1.0),
+    ("xy", "yx", 0.0),                               // window 0: no matches
+    ("CRATE", "TRACE", 0.7333333333333334),          // jaro > 0.7 but prefix 0
+    ("aaaaaa", "aaaaab", 0.9333333333333333),
+    ("prefixmatchlong", "prefixmatchlong2", 0.9874999999999999), // prefix cap 4
+    ("abqqqqqqqq", "abzzzzzzzz", 0.4666666666666666), // below 0.7: boost gated
+    ("abcdef", "bcadef", 0.9444444444444445),         // odd mismatches: t = 3/2 = 1
+    ("acb", "abc", 0.5555555555555555),
+    ("café", "cafe", 0.8483333333333334),             // BYTE-level: é is 2 bytes
+    ("ééé", "éée", 0.8933333333333334),
+    ("ABCDE", "abcde", 0.0),                          // case-sensitive
+    ("greenish metallic", "green metallic", 0.9218487394957984)
+  )
+
+  test("jaro_winkler reproduces every pinned DuckDB value bit-exactly") {
+    jwPinned.foreach { case (a, b, want) =>
+      val got = JaroWinkler.similarity(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got == want, s"jw($a, $b): got $got want $want")
+      // symmetry
+      val rev = JaroWinkler.similarity(
+        b.getBytes("UTF-8"), a.getBytes("UTF-8"))
+      assert(rev == want, s"jw($b, $a) asymmetric: $rev vs $want")
+    }
+  }
+
+  test("jaro_winkler column: codegen == interpreted, NULL propagates") {
+    val df = jwPinned.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    def run(wholestage: Boolean): Seq[Double] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholestage.toString)
+      try df.select(TextFunctions.jaroWinkler(col("a"), col("b"))).as[Double].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run(wholestage = true) == run(wholestage = false))
+    assert(run(wholestage = true) == jwPinned.map(_._3))
+    val n = Seq(("x", null: String)).toDF("a", "b")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("jaro_winkler bounds and identity on random byte strings") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val s = JaroWinkler.similarity(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: jw($a, $b) = $s")
+      if (a == b && a.nonEmpty)
+        assert(s == 1.0)
+    }
   }
 }
