@@ -1771,6 +1771,69 @@ ORDER BY r.rank DESC, partkey"""
         .select(col("symbol"), dateStr(col("date")).as("date"), col("volume"),
           rd(col("med_15"), 6).as("med_15"), col("n").cast("long").as("n_frame"))
         .orderBy("symbol", "date")
+    }),
+
+    // MARKET-BASKET ASSOCIATION RULES over the q120/q127 co-purchase edge
+    // base: support/confidence/lift from integer co-occurrence counts (all
+    // products < 2^53 — every ratio is a single exact-operand IEEE divide).
+    // Pair fan-out stays bounded by per-order line count; item counts join
+    // by broadcast. Top-20 by lift via TakeOrdered, ties broken (a, b).
+    "q178_association_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
+      val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val edges = GraphOps.copurchaseEdges(s, dir).filter(col("w") >= 2)
+      edges
+        .join(broadcast(items.select(col("pk").as("src"), col("n_item").as("n_a"))), "src")
+        .join(broadcast(items.select(col("pk").as("dst"), col("n_item").as("n_b"))), "dst")
+        .crossJoin(broadcast(nOrders))
+        .select(
+          col("src").as("item_a"), col("dst").as("item_b"),
+          col("w").as("n_ab"), col("n_a"), col("n_b"),
+          rd(col("w").cast("double") / col("n_orders"), 6).as("support"),
+          rd(col("w").cast("double") / col("n_a"), 6).as("conf_ab"),
+          rd(col("w").cast("double") / col("n_b"), 6).as("conf_ba"),
+          rd((col("w").cast("double") * col("n_orders")) /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+    // CUSUM CHANGE-POINT detection, window-reduced: the recursive
+    // S_t = max(0, S_{t-1} + z_t - k) folds to P_t - min(0, running-min P)
+    // where P is the prefix sum of (z - k) — so the sequential control
+    // chart becomes two plain windows over one symbol exchange. All state
+    // is DECIMAL (z quantized at 6, increments at 9): the running sums,
+    // mins, and the h-threshold compare are exact on both engines.
+    "q179_cusum" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+      val f = MarketView.fact(s, dir)
+        .filter(col("variacao_diaria").isNotNull)
+      val sm = col("sm").cast("double") / col("n")
+      val st = f.groupBy("symbol")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("variacao_diaria"), 9).cast(dec)).as("sm"),
+          sum(round(col("variacao_diaria") * col("variacao_diaria"), 9).cast(dec)).as("ss"))
+        .select(col("symbol"), rd(sm, 6).as("mu"),
+          rd(sqrt(greatest(lit(0.0), col("ss").cast("double") / col("n") - sm * sm)), 6).as("sd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val z = f.join(broadcast(st), "symbol")
+        .withColumn("z", rd((col("variacao_diaria") - col("mu")) / nullIfZero(col("sd")), 6))
+        .filter(col("z").isNotNull)
+      val zero = lit(0).cast(dec)
+      val withP = z
+        .withColumn("p", sum(round(col("z") - lit(0.5), 9).cast(dec)).over(w))
+        .withColumn("q", sum(round(-col("z") - lit(0.5), 9).cast(dec)).over(w))
+        .withColumn("s_pos", col("p") - least(min(col("p")).over(w), zero))
+        .withColumn("s_neg", col("q") - least(min(col("q")).over(w), zero))
+      withP.select(col("symbol"), dateStr(col("date")).as("date"), col("z"),
+          rd(col("s_pos").cast("double"), 6).as("s_pos"),
+          rd(col("s_neg").cast("double"), 6).as("s_neg"),
+          (col("s_pos") > 4 || col("s_neg") > 4).cast("long").as("alarm"))
+        .orderBy("symbol", "date")
     })
   )
 
@@ -4538,6 +4601,69 @@ SELECT symbol, CAST(date AS VARCHAR) AS date, volume,
 FROM bars
 WINDOW w AS (PARTITION BY symbol ORDER BY date
              ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
-ORDER BY symbol, date""")
+ORDER BY symbol, date"""),
+
+    // every ratio is a single IEEE divide over exact integer operands, so
+    // lift/support/confidence agree bit-for-bit; top-20 tie-broken (a, b)
+    "q178_association_rules" -> """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+it AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+e AS (
+  SELECT a.pk AS item_a, b.pk AS item_b, count(*) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT e.item_a, e.item_b, CAST(e.w AS BIGINT) AS n_ab,
+       CAST(x.n_item AS BIGINT) AS n_a, CAST(y.n_item AS BIGINT) AS n_b,
+       round(CAST(e.w AS DOUBLE) / n.n_orders, 6) + 0 AS support,
+       round(CAST(e.w AS DOUBLE) / x.n_item, 6) + 0 AS conf_ab,
+       round(CAST(e.w AS DOUBLE) / y.n_item, 6) + 0 AS conf_ba,
+       round((CAST(e.w AS DOUBLE) * n.n_orders) /
+             (CAST(x.n_item AS DOUBLE) * y.n_item), 6) + 0 AS lift
+FROM e JOIN it x ON e.item_a = x.pk JOIN it y ON e.item_b = y.pk, n
+ORDER BY lift DESC, item_a, item_b LIMIT 20""",
+
+    // the same window reduction stated in SQL: P - min(0, running-min P),
+    // everything DECIMAL until the final rounded cast
+    "q179_cusum" -> (FACT + """
+, f AS (
+  SELECT symbol, date, variacao_diaria AS ret
+  FROM fact WHERE variacao_diaria IS NOT NULL
+), st AS (
+  SELECT symbol, count(*) AS n,
+         sum(CAST(round(ret, 9) AS DECIMAL(30,12))) AS sm,
+         sum(CAST(round(ret * ret, 9) AS DECIMAL(30,12))) AS ss
+  FROM f GROUP BY 1
+), ms AS (
+  SELECT symbol,
+         round(CAST(sm AS DOUBLE) / n, 6) + 0 AS mu,
+         round(sqrt(greatest(0, CAST(ss AS DOUBLE) / n
+           - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))), 6) + 0 AS sd
+  FROM st
+), z AS (
+  SELECT f.symbol, f.date,
+         round((f.ret - mu) / nullif(sd, 0), 6) + 0 AS z
+  FROM f JOIN ms ON f.symbol = ms.symbol
+  WHERE round((f.ret - mu) / nullif(sd, 0), 6) IS NOT NULL
+), p0 AS (
+  SELECT symbol, date, z,
+         sum(CAST(round(z - 0.5, 9) AS DECIMAL(30,12))) OVER w AS p,
+         sum(CAST(round(-z - 0.5, 9) AS DECIMAL(30,12))) OVER w AS q
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING)
+), pq AS (
+  SELECT symbol, date, z, p, q,
+         min(p) OVER w AS minp, min(q) OVER w AS minq
+  FROM p0
+  WINDOW w AS (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING)
+)
+SELECT symbol, CAST(date AS VARCHAR) AS date, z,
+       round(CAST(p - least(minp, 0) AS DOUBLE), 6) + 0 AS s_pos,
+       round(CAST(q - least(minq, 0) AS DOUBLE), 6) + 0 AS s_neg,
+       CAST(CASE WHEN p - least(minp, 0) > 4 OR q - least(minq, 0) > 4
+            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM pq ORDER BY symbol, date""")
   )
 }

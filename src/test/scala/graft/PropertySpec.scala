@@ -55,4 +55,20 @@ class PropertySpec extends SparkSpecBase {
       assert(full.take(3) == top3)
     }
   }
+
+  test("CUSUM window reduction == the sequential recursive fold (q179 identity)") {
+    // S_t = max(0, S_{t-1} + x_t) must equal P_t - min(0, running-min P)
+    // where P is the prefix sum of x — on random series, in exact decimals
+    val xGen = Gen.listOfN(40, Gen.chooseNum(-3.0, 3.0))
+    for (xs <- samples(xGen, 8)) {
+      val inc = xs.map(x => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      // sequential definition
+      val seqS = inc.scanLeft(BigDecimal(0)) { (s, x) => (s + x).max(0) }.tail
+      // window reduction
+      val p = inc.scanLeft(BigDecimal(0))(_ + _).tail
+      val runmin = p.scanLeft(BigDecimal(0))(_ min _).tail
+      val redS = p.zip(runmin).map { case (pt, mt) => pt - mt.min(0) }
+      assert(seqS == redS)
+    }
+  }
 }
