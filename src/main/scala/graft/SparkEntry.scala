@@ -1773,6 +1773,19 @@ ORDER BY r.rank DESC, partkey"""
         .orderBy("symbol", "date")
     }),
 
+    // SAMPLE AUTOCORRELATION at lags 1..5 per symbol — the Box–Jenkins
+    // model-identification diagnostic. Two-pass mean-centering under the
+    // q179 decimal contract; the k lag columns ride ONE symbol-keyed window
+    // scan, and the unpivot explodes the symbols-sized aggregate, never the
+    // bar stream.
+    "q176_acf" -> ((s, dir) => Indicators.acf(MarketView.fact(s, dir), 5)),
+
+    // ANCHORED VWAP re-anchored monthly: typical price (H+L+C)/3 weighted
+    // by integer daily volume; running numerator is an order-free decimal
+    // window sum, so the running ratio is exact-operand IEEE on both
+    // engines. One symbol exchange, no join.
+    "q177_vwap" -> ((s, dir) => Indicators.anchoredVwap(MarketView.dailyBars(s, dir))),
+
     // MARKET-BASKET ASSOCIATION RULES over the q120/q127 co-purchase edge
     // base: support/confidence/lift from integer co-occurrence counts (all
     // products < 2^53 — every ratio is a single exact-operand IEEE divide).
@@ -1834,7 +1847,30 @@ ORDER BY r.rank DESC, partkey"""
           rd(col("s_neg").cast("double"), 6).as("s_neg"),
           (col("s_pos") > 4 || col("s_neg") > 4).cast("long").as("alarm"))
         .orderBy("symbol", "date")
-    })
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV per symbol vs the pooled rest: exact
+    // ECDF max-gap over the 6-decimal return grid — integer counting, one
+    // scan, rest-ECDF derived by subtraction (no second pass)
+    "q180_ks_test" -> ((s, dir) => Stats.ksPerSymbol(MarketView.fact(s, dir))),
+
+    // GINI COEFFICIENT of per-customer revenue within market segment:
+    // cent-exact decimal sums, rank-product formula (tie-order invariant)
+    "q181_gini" -> ((s, dir) =>
+      Stats.giniBySegment(Tables.orders(s, dir), Tables.customer(s, dir))),
+
+    // LEAVE-ONE-OUT TARGET ENCODING of p_brand on l_extendedprice:
+    // (S - y) / (n - 1) per row via one broadcast of per-category decimal
+    // stats; the gate row is the per-category audit incl. an order-free
+    // checksum of every row-level encoding
+    "q182_target_encoding" -> ((s, dir) =>
+      Learn.looTargetEncoding(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    // FEATURE–LABEL CORRELATION ranking over embedding dimensions: one
+    // posexplode scan → 64-group sufficient statistics, Pearson r from
+    // exact decimal sums
+    "q183_feature_label_corr" -> ((s, dir) =>
+      Learn.featureLabelCorr(Tables.embeddings(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4603,6 +4639,14 @@ WINDOW w AS (PARTITION BY symbol ORDER BY date
              ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
 ORDER BY symbol, date"""),
 
+    // two-pass mean-centering + lag products under the q179 decimal
+    // contract; the unpivot is a UNION ALL over the symbols-sized aggregate
+    "q176_acf" -> Indicators.acfOracleSql(FACT, 5),
+
+    // month-anchored running decimal window sums; the ratio divides exact
+    // operands
+    "q177_vwap" -> Indicators.anchoredVwapOracleSql(BARS),
+
     // every ratio is a single IEEE divide over exact integer operands, so
     // lift/support/confidence agree bit-for-bit; top-20 tie-broken (a, b)
     "q178_association_rules" -> """
@@ -4664,6 +4708,20 @@ SELECT symbol, CAST(date AS VARCHAR) AS date, z,
        round(CAST(q - least(minq, 0) AS DOUBLE), 6) + 0 AS s_neg,
        CAST(CASE WHEN p - least(minp, 0) > 4 OR q - least(minq, 0) > 4
             THEN 1 ELSE 0 END AS BIGINT) AS alarm
-FROM pq ORDER BY symbol, date""")
+FROM pq ORDER BY symbol, date"""),
+
+    // exact ECDF max-gap on the 6-decimal return grid; all ratios divide
+    // integer-valued doubles
+    "q180_ks_test" -> Stats.ksOracleSql(FACT),
+
+    // rank-product Gini on cent-exact decimals (tie-order invariant)
+    "q181_gini" -> Stats.giniOracleSql,
+
+    // (S - y)/(n - 1) replayed per row; per-category audit + order-free
+    // encoding checksum
+    "q182_target_encoding" -> Learn.looTargetEncodingOracleSql,
+
+    // Pearson r from the same six decimal sufficient statistics
+    "q183_feature_label_corr" -> Learn.featureLabelCorrOracleSql
   )
 }

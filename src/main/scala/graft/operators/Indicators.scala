@@ -130,4 +130,135 @@ JOIN nf ON nf.m = least(r.rn, ${FastWindow})
 JOIN ns ON ns.m = least(r.rn, ${SlowWindow})
 ORDER BY r.symbol, date"""
   }
+
+  /** Sample autocorrelation function (q176): r_k of the daily return per
+    * symbol at lags 1..`maxLag`, the Box–Jenkins model-identification
+    * diagnostic that complements the q179 control chart and q150 EWMA.
+    *
+    *   r_k = sum_t d_t * d_{t-k}  /  sum_t d_t^2,   d_t = x_t - mean(x)
+    *
+    * Cross-engine exactness follows the q179 contract: the mean is a
+    * decimal-sum ratio published at 6 decimals, deviations are rounded at 6
+    * (identical doubles on both engines), each product is ONE IEEE multiply
+    * rounded at 9 and summed as DECIMAL(30,12) (order-free), and the final
+    * ratio divides two exact operands.
+    *
+    * Scale shape: one exchange on symbol shared by the lag window and the
+    * final aggregate; the per-symbol stats relation is broadcast back. The
+    * k lag columns are materialized side by side so the big relation is
+    * scanned ONCE (the explode happens on the symbols-sized aggregate, not
+    * the bar stream).
+    */
+  def acf(fact: DataFrame, maxLag: Int): DataFrame = {
+    import graft.functions.Fx._
+    val f = fact.filter(col("variacao_diaria").isNotNull)
+    val mu = f.groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("variacao_diaria"), 9).cast(dec)).as("sm"))
+      .select(col("symbol"), rd(col("sm").cast("double") / col("n"), 6).as("mu"))
+    val w = Window.partitionBy("symbol").orderBy("date")
+    val d0 = f.join(broadcast(mu), "symbol")
+      .withColumn("d", rd(col("variacao_diaria") - col("mu"), 6))
+    val lagged = (1 to maxLag).foldLeft(d0)((df, k) =>
+      df.withColumn(s"d_$k", lag(col("d"), k).over(w)))
+    val aggs =
+      sum(round(col("d") * col("d"), 9).cast(dec)).as("den") +:
+        (1 to maxLag).flatMap(k => Seq(
+          sum(round(col("d") * col(s"d_$k"), 9).cast(dec)).as(s"num_$k"),
+          count(col(s"d_$k")).as(s"cnt_$k")))
+    val g = lagged.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+    g.select(col("symbol"), col("den"),
+        explode(array((1 to maxLag).map(k => struct(
+          lit(k).cast("long").as("lag"),
+          col(s"num_$k").as("num"),
+          col(s"cnt_$k").as("n_terms"))): _*)).as("e"))
+      .select(col("symbol"), col("e.lag").as("lag"),
+        rd(col("e.num").cast("double") /
+          nullIfZero(col("den").cast("double")), 6).as("acf"),
+        col("e.n_terms").as("n_terms"))
+      .orderBy("symbol", "lag")
+  }
+
+  /** The q176 oracle: the identical two-pass arithmetic in DuckDB; the
+    * lag-column unpivot is restated as a UNION ALL over the symbols-sized
+    * aggregate.
+    */
+  def acfOracleSql(factPrefix: String, maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(k => s"lag(d, $k) OVER w AS d_$k").mkString(",\n         ")
+    val aggCols = (1 to maxLag).map(k =>
+      s"sum(CAST(round(d * d_$k, 9) AS DECIMAL(30,12))) AS num_$k, count(d_$k) AS cnt_$k")
+      .mkString(",\n         ")
+    val arms = (1 to maxLag).map(k =>
+      s"SELECT symbol, CAST($k AS BIGINT) AS lag, CAST(num_$k AS DOUBLE) AS num, CAST(den AS DOUBLE) AS den, cnt_$k AS n_terms FROM g")
+      .mkString("\n  UNION ALL\n  ")
+    factPrefix + s""", f AS (
+  SELECT symbol, date, variacao_diaria AS x FROM fact WHERE variacao_diaria IS NOT NULL
+), m AS (
+  SELECT symbol,
+         round(CAST(sum(CAST(round(x, 9) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) + 0 AS mu
+  FROM f GROUP BY 1
+), d AS (
+  SELECT f.symbol, f.date, round(f.x - m.mu, 6) + 0 AS d
+  FROM f JOIN m ON f.symbol = m.symbol
+), l AS (
+  SELECT symbol, d,
+         $lagCols
+  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)
+), g AS (
+  SELECT symbol,
+         sum(CAST(round(d * d, 9) AS DECIMAL(30,12))) AS den,
+         $aggCols
+  FROM l GROUP BY 1
+), u AS (
+  $arms
+)
+SELECT symbol, lag, round(num / nullif(den, 0), 6) + 0 AS acf, n_terms
+FROM u ORDER BY symbol, lag"""
+  }
+
+  /** Anchored VWAP (q177): the volume-weighted average price re-anchored at
+    * each month start — the execution-quality benchmark price. The typical
+    * price (high+low+close)/3 is weighted by integer daily volume; the
+    * running numerator is an order-free decimal window sum, so the running
+    * ratio is exact-operand IEEE on both engines.
+    *
+    * Scale shape: one exchange on (symbol) shared by the month-anchored
+    * running frames; no second scan, no join.
+    */
+  def anchoredVwap(bars: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    val w = Window.partitionBy(col("symbol"), col("month")).orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bars
+      .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      .withColumn("tp", round((col("high") + col("low") + col("close")) / 3.0, 6))
+      .withColumn("pv", sum(round(col("tp") * col("volume"), 6).cast(dec)).over(w))
+      .withColumn("vv", sum(col("volume")).over(w))
+      .select(col("symbol"), dateStr(col("date")).as("date"), col("month"),
+        rd(col("tp"), 6).as("typical_price"),
+        rd(col("pv").cast("double") / nullIfZero(col("vv").cast("double")), 6)
+          .as("vwap_anchored"),
+        col("vv").cast("long").as("cum_volume"))
+      .orderBy("symbol", "date")
+  }
+
+  /** The q177 oracle: same frames in DuckDB SQL. */
+  def anchoredVwapOracleSql(barsPrefix: String): String =
+    barsPrefix + """, b AS (
+  SELECT symbol, date, strftime(date, '%Y-%m') AS month,
+         round((high + low + close) / 3.0, 6) + 0 AS tp, volume
+  FROM bars
+), r AS (
+  SELECT symbol, date, month, tp,
+         sum(CAST(round(tp * volume, 6) AS DECIMAL(30,12))) OVER w AS pv,
+         sum(volume) OVER w AS vv
+  FROM b
+  WINDOW w AS (PARTITION BY symbol, month ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, strftime(date, '%Y-%m-%d') AS date, month,
+       round(tp, 6) + 0 AS typical_price,
+       round(CAST(pv AS DOUBLE) / nullif(CAST(vv AS DOUBLE), 0), 6) + 0 AS vwap_anchored,
+       CAST(vv AS BIGINT) AS cum_volume
+FROM r ORDER BY symbol, date"""
 }

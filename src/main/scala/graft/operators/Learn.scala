@@ -112,4 +112,136 @@ object Learn {
         (lit(w(2)) + lit(0.0)).as("w_dot"), (lit(w(3)) + lit(0.0)).as("w_space"))
       .orderBy("lang")
   }
+
+  private val dec = DecimalType(30, 12)
+
+  /** Leave-one-out target encoding (q182): the categorical-feature
+    * construction GBDT/linear pipelines use — each row's category is
+    * replaced by the mean target of the OTHER rows in that category,
+    * enc_i = (S_c - y_i) / (n_c - 1), which removes the self-leakage a
+    * plain group mean has.
+    *
+    * One hash aggregate builds per-category (n, S) with S an order-free
+    * decimal sum; the encoding pass re-joins those ~|categories| rows by
+    * broadcast, so the big relation is scanned twice with NO shuffle on
+    * the second pass. The gate publishes per-category audit rows (count,
+    * target mean, and an order-free decimal checksum + min/max of the
+    * row-level encodings), so every row's encoding is hash-verified
+    * without a row-sized result.
+    */
+  def looTargetEncoding(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    // Integer-cent arithmetic end to end: prices are cent-exact, so the
+    // per-category sum is an exact BIGINT and (S - y)/(n - 1) is a chain of
+    // exact-operand IEEE ops on BOTH engines. A DECIMAL(30,12) sufficient
+    // statistic would be exact too, but its int128-scaled cast to double is
+    // NOT correctly rounded in every engine (measured: 1-ulp quotient skew
+    // flipped one round-at-6 boundary at sf0.01) — the cents grid keeps
+    // every intermediate under 2^53 where conversions are exact.
+    val rows = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("yc"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val stats = rows.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("sc"))
+    rows.join(broadcast(stats), "brand")
+      .withColumn("enc",
+        when(col("n") > 1,
+          rd((col("sc") - col("yc")).cast("double") / 100.0 / (col("n") - 1), 6))
+          .otherwise(lit(null).cast("double")))
+      .groupBy("brand")
+      .agg(max(col("n")).as("n_rows"),
+        max(rd(col("sc").cast("double") / 100.0 / col("n"), 6)).as("avg_target"),
+        sum(col("enc").cast(DecimalType(20, 6))).as("enc_sum"),
+        min(col("enc")).as("enc_min"), max(col("enc")).as("enc_max"))
+      .select(col("brand"), col("n_rows"), col("avg_target"),
+        rd(col("enc_sum").cast("double"), 6).as("enc_sum"),
+        col("enc_min"), col("enc_max"))
+      .orderBy("brand")
+  }
+
+  /** The q182 oracle: identical integer-cent arithmetic in DuckDB. */
+  def looTargetEncodingOracleSql: String = """
+WITH rows_ AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS yc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), stats AS (
+  SELECT brand, count(*) AS n, sum(yc) AS sc
+  FROM rows_ GROUP BY 1
+), enc AS (
+  SELECT r.brand, s.n, s.sc,
+         CASE WHEN s.n > 1 THEN
+           round(CAST(s.sc - r.yc AS DOUBLE) / 100.0 / (s.n - 1), 6) + 0
+         END AS enc
+  FROM rows_ r JOIN stats s ON r.brand = s.brand
+)
+SELECT brand, CAST(max(n) AS BIGINT) AS n_rows,
+       max(round(CAST(sc AS DOUBLE) / 100.0 / n, 6) + 0) AS avg_target,
+       round(CAST(sum(CAST(enc AS DECIMAL(20,6))) AS DOUBLE), 6) + 0 AS enc_sum,
+       min(enc) AS enc_min, max(enc) AS enc_max
+FROM enc GROUP BY brand ORDER BY brand"""
+
+  /** Per-dimension feature–label Pearson correlation over the embedding
+    * corpus (q183) — the feature-selection ranking pass. One posexplode
+    * scan feeds a 64-group map-side-combined aggregate of the six
+    * sufficient statistics (all order-free decimal sums of single-IEEE-op
+    * products: float→double casts are exact and float×smallint products
+    * fit a double mantissa), so both engines derive the identical
+    * correlation from identical operands.
+    */
+  def featureLabelCorr(embeddings: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    val x = embeddings
+      .select(col("label").cast("double").as("y"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"), col("xf").cast("double").as("x"), col("y"))
+    val g = x.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(round(col("x"), 9).cast(dec)).as("sx"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).as("sxx"),
+      sum(round(col("y"), 9).cast(dec)).as("sy"),
+      sum(round(col("y") * col("y"), 9).cast(dec)).as("syy"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = sqrt(n * d("sxx") - d("sx") * d("sx")) *
+      sqrt(n * d("syy") - d("sy") * d("sy"))
+    g.select(col("dim"), col("n"), rd(num / nullIfZero(den), 6).as("corr"))
+      .withColumn("abs_corr", abs(col("corr")))
+      .orderBy(col("abs_corr").desc, col("dim"))
+  }
+
+  /** The q183 oracle: q143's unnest/subscript lockstep expansion + the same
+    * sufficient-statistics arithmetic.
+    */
+  def featureLabelCorrOracleSql: String = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings
+), g AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(round(x, 9) AS DECIMAL(30,12))) AS sx,
+         sum(CAST(round(x * x, 9) AS DECIMAL(30,12))) AS sxx,
+         sum(CAST(round(y, 9) AS DECIMAL(30,12))) AS sy,
+         sum(CAST(round(y * y, 9) AS DECIMAL(30,12))) AS syy,
+         sum(CAST(round(x * y, 9) AS DECIMAL(30,12))) AS sxy
+  FROM x GROUP BY dim
+), c AS (
+  SELECT dim, n,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) + 0 AS corr
+  FROM g
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, corr,
+       abs(corr) AS abs_corr
+FROM c ORDER BY abs_corr DESC, dim"""
 }

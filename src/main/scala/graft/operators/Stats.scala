@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.Fx._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-level statistical tests over the market view — the
+  * drift/inequality diagnostics a data-quality or research pipeline runs
+  * after the per-point checks (q10 gate, q77 outliers, q153 anomalies).
+  *
+  * Cross-engine exactness: both tests reduce to integer counting on a
+  * published 6-decimal value grid (KS) or exact decimal revenue sums
+  * (Gini); every ratio divides exact-operand doubles, so DuckDB and Spark
+  * produce bit-identical statistics.
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov per symbol (q180): D = sup |F_s - F_rest|
+    * between one symbol's daily-return distribution and the pooled rest —
+    * the classic distribution-drift test.
+    *
+    * The ECDFs jump only at sample points, so D is an exact max over the
+    * distinct-value grid: per-(symbol, value) and per-value counts, one
+    * running sum per symbol over the shared grid, then
+    * F_rest(v) = (N(<=v) - N_s(<=v)) / (N - n_s) — the rest-ECDF costs no
+    * second scan. All ratios divide integer-valued doubles (< 2^53), so
+    * both engines compare identical IEEE values.
+    *
+    * Scale shape: two hash aggregates over one scan (map-side combined);
+    * the grid fan-out is symbols × distinct rounded returns — bounded by
+    * the 6-decimal percent-change domain, NOT the row count — and the
+    * running sums partition by symbol.
+    */
+  def ksPerSymbol(fact: DataFrame): DataFrame = {
+    val vals = fact.filter(col("variacao_diaria").isNotNull)
+      .select(col("symbol"), rd(col("variacao_diaria"), 6).as("v"))
+    val per = vals.groupBy("symbol", "v").agg(count(lit(1)).as("c_s"))
+    val tot = vals.groupBy("v").agg(count(lit(1)).as("c_all"))
+    val ns = vals.groupBy("symbol").agg(count(lit(1)).as("n_s"))
+    val nAll = vals.agg(count(lit(1)).as("n_all"))
+    val grid = tot.crossJoin(broadcast(ns))
+      .join(per, Seq("symbol", "v"), "left")
+      .na.fill(0L, Seq("c_s"))
+    val w = Window.partitionBy("symbol").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val diff = grid
+      .withColumn("cum_s", sum(col("c_s")).over(w))
+      .withColumn("cum_all", sum(col("c_all")).over(w))
+      .crossJoin(broadcast(nAll))
+      .withColumn("n_rest", col("n_all") - col("n_s"))
+      .withColumn("diff", abs(
+        col("cum_s").cast("double") / col("n_s")
+          - (col("cum_all") - col("cum_s")).cast("double") / col("n_rest")))
+    diff.groupBy("symbol")
+      .agg(max(col("n_s")).as("n_s"), max(col("n_rest")).as("n_rest"),
+        max(col("diff")).as("d_raw"))
+      .select(col("symbol"), col("n_s"), col("n_rest"),
+        rd(col("d_raw"), 6).as("d_stat"),
+        rd(col("d_raw") * sqrt(
+          col("n_s").cast("double") * col("n_rest") / (col("n_s") + col("n_rest"))),
+          6).as("ks_scaled"))
+      .orderBy("symbol")
+  }
+
+  /** The q180 oracle: identical counting/window arithmetic in DuckDB. */
+  def ksOracleSql(factPrefix: String): String =
+    factPrefix + """, f AS (
+  SELECT symbol, round(variacao_diaria, 6) + 0 AS v
+  FROM fact WHERE variacao_diaria IS NOT NULL
+), per AS (SELECT symbol, v, count(*) AS c_s FROM f GROUP BY 1, 2),
+tot AS (SELECT v, count(*) AS c_all FROM f GROUP BY 1),
+ns AS (SELECT symbol, count(*) AS n_s FROM f GROUP BY 1),
+na AS (SELECT count(*) AS n_all FROM f),
+grid AS (
+  SELECT ns.symbol, ns.n_s, tot.v, tot.c_all, coalesce(per.c_s, 0) AS c_s
+  FROM tot CROSS JOIN ns
+  LEFT JOIN per ON per.symbol = ns.symbol AND per.v = tot.v
+), cum AS (
+  SELECT symbol, n_s, v,
+         sum(c_s) OVER w AS cum_s, sum(c_all) OVER w AS cum_all
+  FROM grid
+  WINDOW w AS (PARTITION BY symbol ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT symbol, n_s, na.n_all - n_s AS n_rest,
+         abs(CAST(cum_s AS DOUBLE) / n_s
+           - CAST(cum_all - cum_s AS DOUBLE) / (na.n_all - n_s)) AS diff
+  FROM cum, na
+)
+SELECT symbol, CAST(max(n_s) AS BIGINT) AS n_s, CAST(max(n_rest) AS BIGINT) AS n_rest,
+       round(max(diff), 6) + 0 AS d_stat,
+       round(max(diff) * sqrt(CAST(max(n_s) AS DOUBLE) * max(n_rest)
+             / (max(n_s) + max(n_rest))), 6) + 0 AS ks_scaled
+FROM d GROUP BY symbol ORDER BY symbol"""
+
+  /** Gini coefficient of per-customer revenue within each market segment
+    * (q181) — the revenue-concentration audit. Customers with no orders
+    * count at zero revenue.
+    *
+    *   G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+    *
+    * with x_i ascending. Ties on revenue are rank-order invariant: the
+    * coefficient sum over a tied block is the same for any permutation
+    * (identical x factors), so the (rev, custkey) tie-break only pins the
+    * row_number, not the result. Revenue is cent-exact decimal; the rank
+    * products stay exact in DECIMAL(38,2); the final ratio divides exact
+    * operands.
+    *
+    * Scale shape: per-customer hash aggregate, then a per-segment rank —
+    * the one per-partition sort; at 100 TB the q83 two-phase prefix-sum
+    * pattern (range-partitioned rank) replaces the window without changing
+    * the aggregate, which is already rank-product distributive.
+    */
+  def giniBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cents = DecimalType(18, 2)
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast(cents)).as("rev"))
+    val base = customer
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+      .join(rev, col("custkey") === col("o_custkey"), "left")
+      .select(col("segment"), col("custkey"),
+        coalesce(col("rev"), lit(java.math.BigDecimal.ZERO).cast(cents)).as("rev"))
+    val w = Window.partitionBy("segment").orderBy(col("rev"), col("custkey"))
+    val sRev = col("s_rev").cast("double")
+    base.withColumn("i", row_number().over(w))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev").cast(DecimalType(38, 2))).as("s_rev"),
+        sum((col("i") * col("rev")).cast(DecimalType(38, 2))).as("s_irev"))
+      .select(col("segment"), col("n_customers"),
+        rd(sRev, 2).as("total_rev"),
+        rd((lit(2.0) * col("s_irev").cast("double")
+            - (col("n_customers") + 1).cast("double") * sRev)
+          / nullIfZero(col("n_customers").cast("double") * sRev), 6).as("gini"))
+      .orderBy("segment")
+  }
+
+  /** The q181 oracle: same rank formula in DuckDB. */
+  def giniOracleSql: String = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+         coalesce(rev.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+), ranked AS (
+  SELECT segment, rev,
+         row_number() OVER (PARTITION BY segment ORDER BY rev, custkey) AS i
+  FROM base
+), g AS (
+  SELECT segment, count(*) AS n,
+         sum(CAST(rev AS DECIMAL(38,2))) AS s_rev,
+         sum(CAST(i * rev AS DECIMAL(38,2))) AS s_irev
+  FROM ranked GROUP BY 1
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       round(CAST(s_rev AS DOUBLE), 2) + 0 AS total_rev,
+       round((2.0 * CAST(s_irev AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(s_rev AS DOUBLE))
+         / nullif(CAST(n AS DOUBLE) * CAST(s_rev AS DOUBLE), 0), 6) + 0 AS gini
+FROM g ORDER BY segment"""
+}

@@ -85,4 +85,58 @@ class IndicatorsSpec extends SparkSpecBase {
       assert(math.abs(macd.toDouble - r.getDouble(4)) < 1e-9, r.toString)
     }
   }
+
+  test("acf agrees with a sequential per-series reference and is bounded") {
+    import graft.operators.MarketView
+    val fact = MarketView.fact(spark, sf)
+    val series = fact.filter("variacao_diaria IS NOT NULL")
+      .select("symbol", "date", "variacao_diaria").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.sortBy(_._2).map(_._3).toSeq }
+
+    def rd6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    def ref(xs: Seq[Double], k: Int): Option[Double] = {
+      val mu = rd6((xs.map(x => BigDecimal(math.round(x * 1e9)) / 1e9).sum / xs.size).toDouble)
+      val d = xs.map(x => rd6(x - mu))
+      val den = d.map(v => BigDecimal(math.round(v * v * 1e9)) / 1e9).sum
+      val num = d.drop(k).zip(d.dropRight(k))
+        .map { case (a, b) => BigDecimal(math.round(a * b * 1e9)) / 1e9 }.sum
+      if (den == 0) None else Some(rd6((num / den).toDouble))
+    }
+
+    val got = Indicators.acf(fact, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3)))
+      .toMap
+    series.foreach { case (sym, xs) =>
+      (1 to 5).foreach { k =>
+        val (gv, n) = got((sym, k.toLong))
+        assert(n == math.max(0, xs.size - k), s"$sym lag $k n_terms")
+        val e = ref(xs, k)
+        assert(gv.map(rd6) == e.map(rd6), s"$sym lag $k: $gv != $e")
+        gv.foreach(v => assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6, s"$sym lag $k out of [-1,1]"))
+      }
+    }
+  }
+
+  test("anchored vwap is volume-weighted and resets at month starts") {
+    import graft.operators.MarketView
+    val rows = Indicators.anchoredVwap(MarketView.dailyBars(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._3)).foreach { case ((_, _), g) =>
+      val sorted = g.sortBy(_._2)
+      // first row of each anchor: vwap == typical price
+      assert(math.abs(sorted.head._5 - sorted.head._4) < 1e-6, sorted.head.toString)
+      // cum_volume strictly non-decreasing within the anchor
+      sorted.map(_._6).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a); case _ => ()
+      }
+      // running vwap stays within the [min, max] typical-price envelope
+      val tps = sorted.map(_._4)
+      sorted.foreach { r =>
+        assert(r._5 >= tps.min - 1e-6 && r._5 <= tps.max + 1e-6, r.toString)
+      }
+    }
+  }
 }
