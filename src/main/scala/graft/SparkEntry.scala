@@ -341,6 +341,35 @@ SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
 FROM d$hops GROUP BY dist ORDER BY dist"""
   }
 
+  /** The q184 oracle: the Bellman–Ford rounds unrolled in SQL — the q144
+    * unrolling lifted to the min-plus semiring (relax by dist + w instead
+    * of dist + 1).
+    */
+  private def weightedPathsOracleSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s""", d$i AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM $prev
+    UNION ALL
+    SELECT u.v AS node, d.dist + u.w AS dist FROM $prev d JOIN u ON u.u = d.node
+  ) AS t GROUP BY node
+)"""
+    }.mkString
+    s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), u AS (
+  SELECT src AS u, dst AS v, w FROM e UNION ALL SELECT dst AS u, src AS v, w FROM e
+), d0 AS (
+  SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e
+)$rs
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node"""
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
@@ -1870,7 +1899,27 @@ ORDER BY r.rank DESC, partkey"""
     // posexplode scan → 64-group sufficient statistics, Pearson r from
     // exact decimal sums
     "q183_feature_label_corr" -> ((s, dir) =>
-      Learn.featureLabelCorr(Tables.embeddings(s, dir)))
+      Learn.featureLabelCorr(Tables.embeddings(s, dir))),
+
+    // WEIGHTED SHORTEST PATHS: 4-round Bellman–Ford over the co-purchase
+    // edge MV — q144's BFS lifted to the min-plus semiring; exact integer
+    // distances, per-round equi-join + min agg
+    "q184_weighted_paths" -> ((s, dir) => GraphOps.weightedPathsGate(s, dir)),
+
+    // CUPED variance reduction: per-user cent-exact covariates, pooled
+    // theta published at 6 decimals (quantize-first), arm means adjusted
+    // from identical doubles
+    "q186_cuped" -> ((s, dir) => Stats.cuped(Tables.events(s, dir))),
+
+    // HISTOGRAM SPLIT FINDING: variance-reduction gain per quantity
+    // threshold via the sum-of-squares identity — per-bin BIGINT cent
+    // stats, candidate sweep on the bounded bin relation
+    "q187_split_finding" -> ((s, dir) => Learn.stumpSplitGain(Tables.lineitem(s, dir))),
+
+    // EXACT PENNY ALLOCATION: largest-remainder proration of order totals
+    // across line items — all-integer, per-order cents sum exactly
+    "q188_penny_allocation" -> ((s, dir) =>
+      Analytics.pennyAllocation(Tables.lineitem(s, dir), Tables.orders(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4722,6 +4771,18 @@ FROM pq ORDER BY symbol, date"""),
     "q182_target_encoding" -> Learn.looTargetEncodingOracleSql,
 
     // Pearson r from the same six decimal sufficient statistics
-    "q183_feature_label_corr" -> Learn.featureLabelCorrOracleSql
+    "q183_feature_label_corr" -> Learn.featureLabelCorrOracleSql,
+
+    // Bellman–Ford rounds unrolled in SQL over the same edge derivation
+    "q184_weighted_paths" -> weightedPathsOracleSql(4),
+
+    // cent-exact covariates, pooled quantize-first theta
+    "q186_cuped" -> Stats.cupedOracleSql(),
+
+    // the same histogram sweep; Sum(y^2) cancels from the gain identity
+    "q187_split_finding" -> Learn.stumpSplitGainOracleSql,
+
+    // integer largest-remainder proration replayed row for row
+    "q188_penny_allocation" -> Analytics.pennyAllocationOracleSql
   )
 }

@@ -322,4 +322,98 @@ object Analytics {
           .as("std_value"))
       .orderBy("symbol", "semana")
   }
+
+  /** Exact penny allocation (q188) — largest-remainder proration: each
+    * order's total (integer cents) is distributed across its line items
+    * proportionally to quantity, with the rounding remainder assigned one
+    * cent at a time to the largest fractional parts (ties to the lowest
+    * line number). Per-order cents sum EXACTLY to the order total — the
+    * invariant every revenue-recognition / cost-attribution pipeline needs
+    * and naive `round(share)` violates.
+    *
+    * All-integer arithmetic (tc * qty <= cents * 50 stays far under 2^63),
+    * so both engines agree bit-for-bit. The gate publishes per-priority
+    * audit rows whose alloc_cents == order_cents equality and the
+    * line-number-weighted checksum pin every row-level allocation without
+    * a row-sized result.
+    *
+    * Scale shape: two hash aggregates + one per-order window rank, all
+    * keyed by order key — one shuffle partitioning reused end to end; the
+    * remainder rank never leaves its order group.
+    */
+  /** Row-level largest-remainder allocation (the q188 engine; see
+    * [[pennyAllocation]] for the contract). One row per line item with the
+    * exact integer cent allocation.
+    */
+  def pennyAllocationRows(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      col("l_quantity").cast("long").as("qty"))
+    val ord = orders.select(col("o_orderkey").as("ok"),
+      col("o_orderpriority").as("priority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("tc"))
+    val qsum = li.groupBy("ok").agg(sum(col("qty")).as("qt"))
+    val j = li.join(qsum, "ok").join(ord, "ok")
+      .withColumn("base", expr("(tc * qty) div qt"))
+      .withColumn("frac", expr("(tc * qty) % qt"))
+    val basesum = j.groupBy("ok").agg(sum(col("base")).as("sbase"))
+    val w = Window.partitionBy("ok").orderBy(col("frac").desc, col("ln"))
+    j.join(basesum, "ok")
+      .withColumn("r", col("tc") - col("sbase"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("bumped", when(col("rk") <= col("r"), 1L).otherwise(0L))
+      .withColumn("alloc", col("base") + col("bumped"))
+  }
+
+  def pennyAllocation(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val alloc = pennyAllocationRows(lineitem, orders)
+    alloc.groupBy("ok", "priority", "tc")
+      .agg(sum(col("alloc")).as("alloc_sum"), count(lit(1)).as("n_items"),
+        sum(col("bumped")).as("n_bumped"),
+        sum(col("alloc") * col("ln")).as("checksum"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_items")).as("n_items"),
+        sum(col("alloc_sum")).as("alloc_cents"), sum(col("tc")).as("order_cents"),
+        sum(col("n_bumped")).as("n_bumped"), sum(col("checksum")).as("checksum"))
+      .orderBy("priority")
+  }
+
+  /** The q188 oracle: the same integer proration in DuckDB. */
+  def pennyAllocationOracleSql: String = """
+WITH li AS (
+  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), ord AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc
+  FROM orders
+), qsum AS (SELECT ok, sum(qty) AS qt FROM li GROUP BY 1),
+j AS (
+  SELECT li.ok, li.ln, o.priority, o.tc,
+         (o.tc * li.qty) // q.qt AS base, (o.tc * li.qty) % q.qt AS frac
+  FROM li JOIN qsum q ON li.ok = q.ok JOIN ord o ON li.ok = o.ok
+), bs AS (SELECT ok, sum(base) AS sbase FROM j GROUP BY 1),
+a AS (
+  SELECT j.*, j.tc - bs.sbase AS r,
+         row_number() OVER (PARTITION BY j.ok ORDER BY j.frac DESC, j.ln) AS rk
+  FROM j JOIN bs ON j.ok = bs.ok
+), al AS (
+  SELECT ok, priority, tc, ln,
+         base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS alloc,
+         CASE WHEN rk <= r THEN 1 ELSE 0 END AS bumped
+  FROM a
+), po AS (
+  SELECT ok, priority, max(tc) AS tc, sum(alloc) AS alloc_sum,
+         count(*) AS n_items, sum(bumped) AS n_bumped,
+         sum(alloc * ln) AS checksum
+  FROM al GROUP BY 1, 2
+)
+SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       CAST(sum(alloc_sum) AS BIGINT) AS alloc_cents,
+       CAST(sum(tc) AS BIGINT) AS order_cents,
+       CAST(sum(n_bumped) AS BIGINT) AS n_bumped,
+       CAST(sum(checksum) AS BIGINT) AS checksum
+FROM po GROUP BY 1 ORDER BY priority"""
 }

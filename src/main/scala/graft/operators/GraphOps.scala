@@ -267,4 +267,42 @@ object GraphOps {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy("dist")
   }
+
+  /** Bounded-round single-source WEIGHTED shortest paths (q184): Bellman–
+    * Ford relaxation as keyed equi-join + min-agg rounds over the
+    * symmetrized weighted edge relation — [[bfsDistances]] lifted from the
+    * boolean to the min-plus (tropical) semiring. After k rounds the
+    * distance is exact for every node whose cheapest path uses <= k edges
+    * — the bounded-round contract the oracle unrolls. Integer edge weights
+    * keep every candidate distance an exact BIGINT, so min-agg ties are
+    * engine-independent.
+    *
+    * Scale shape: identical to BFS — the edge relation is checkpointed
+    * once and each round is one equi-join keyed by node + a min
+    * aggregate; the distances relation never exceeds |V| rows.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val next = dist.join(sym, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
+  /** Registered query (q184): 4-round Bellman–Ford from the minimum
+    * canonical-src node, edge cost = co-purchase weight; per-node exact
+    * integer distances.
+    */
+  def weightedPathsGate(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val edges = copurchaseEdgesMV(spark, dir)
+    val seed = edges.agg(min(col("src")).as("node"))
+    weightedDistances(edges, seed, rounds)
+      .select(col("node"), col("dist").cast("long").as("dist"))
+      .orderBy("node")
+  }
 }

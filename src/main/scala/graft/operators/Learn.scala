@@ -244,4 +244,76 @@ WITH x AS (
 SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, corr,
        abs(corr) AS abs_corr
 FROM c ORDER BY abs_corr DESC, dim"""
+
+  /** Regression-stump split finding (q187) — the inner loop of histogram
+    * GBDT (LightGBM-style): for every candidate threshold t on l_quantity,
+    * the variance-reduction gain of splitting l_extendedprice at
+    * quantity <= t,
+    *
+    *   gain(t) = S_L^2/n_L + S_R^2/n_R - S^2/N
+    *
+    * (the sum-of-squares identity: the Sum(y^2) term cancels from the SSE
+    * difference, so no squared-target statistic is needed). One hash
+    * aggregate bins the scan into per-quantity (n, S) with S an exact
+    * BIGINT cent sum; the candidate sweep is a running sum over the
+    * BOUNDED distinct-value relation (50 rows) — exactly the histogram
+    * trick that makes split finding scan-bound at 100 TB. Cent sums stay
+    * < 2^53, so every cast and the gain arithmetic are exact-operand IEEE
+    * on both engines.
+    */
+  def stumpSplitGain(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    import org.apache.spark.sql.expressions.Window
+    val bins = lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("yc"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_q"), sum(col("yc")).as("s_q"))
+    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum(col("n_q")).as("n_tot"), sum(col("s_q")).as("s_tot"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    bins
+      .withColumn("n_l", sum(col("n_q")).over(w))
+      .withColumn("s_l", sum(col("s_q")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r", col("n_tot") - col("n_l"))
+      .withColumn("s_r", col("s_tot") - col("s_l"))
+      .filter(col("n_r") > 0)
+      .withColumn("gain",
+        rd((d(col("s_l")) * col("s_l") / col("n_l")
+          + d(col("s_r")) * col("s_r") / col("n_r")
+          - d(col("s_tot")) * col("s_tot") / col("n_tot")) / 10000.0, 6))
+      .withColumn("is_best",
+        (col("gain") === max(col("gain")).over(
+          Window.partitionBy(lit(1)))).cast("long"))
+      .select(col("q").as("threshold"), col("n_l").as("n_left"),
+        col("n_r").as("n_right"), col("gain"), col("is_best"))
+      .orderBy("threshold")
+  }
+
+  /** The q187 oracle: identical histogram sweep in DuckDB. */
+  def stumpSplitGainOracleSql: String = """
+WITH bins AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n_q,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s_q
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(n_q) AS n_tot, sum(s_q) AS s_tot FROM bins),
+cum AS (
+  SELECT q, sum(n_q) OVER w AS n_l, sum(s_q) OVER w AS s_l
+  FROM bins
+  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g AS (
+  SELECT q, n_l, tot.n_tot - n_l AS n_r, s_l, tot.s_tot - s_l AS s_r,
+         tot.n_tot, tot.s_tot
+  FROM cum, tot WHERE tot.n_tot - n_l > 0
+), sc AS (
+  SELECT q, n_l, n_r,
+         round((CAST(s_l AS DOUBLE) * s_l / n_l
+                + CAST(s_r AS DOUBLE) * s_r / n_r
+                - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 10000.0, 6) + 0 AS gain
+  FROM g
+)
+SELECT q AS threshold, CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       gain, CAST(CASE WHEN gain = (SELECT max(gain) FROM sc) THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM sc ORDER BY threshold"""
 }

@@ -162,4 +162,96 @@ SELECT segment, CAST(n AS BIGINT) AS n_customers,
               - CAST(n + 1 AS DOUBLE) * CAST(s_rev AS DOUBLE))
          / nullif(CAST(n AS DOUBLE) * CAST(s_rev AS DOUBLE), 0), 6) + 0 AS gini
 FROM g ORDER BY segment"""
+
+  /** CUPED variance reduction (q186) — the A/B-experiment adjustment:
+    * per-user post-period purchase spend adjusted by the pre-period
+    * engagement covariate,
+    *
+    *   y'_i = y_i - theta * (x_i - mean(x)),  theta = cov(x, y) / var(x)
+    *
+    * with theta pooled over all users (the standard CUPED estimator, which
+    * leaves arm means unbiased). Arms are user_id % 2 — a deterministic
+    * hash split.
+    *
+    * Exactness: values are cent-exact, so per-user covariates are exact
+    * BIGINT cent sums and the pooled sufficient statistics are exact
+    * int64 sums (cents^2 products stay < 2^53 per the gate data contract;
+    * at sums beyond 2^53 the DECIMAL(38,0) + quantized-publication path
+    * applies). theta and the global mean are PUBLISHED at 6 decimals
+    * before the adjustment (the q162 quantize-first discipline), so the
+    * arm-level arithmetic combines identical doubles.
+    *
+    * Scale shape: one scan → per-user hash aggregate; the pooled stats and
+    * the 2-row arm relation are broadcast — no second scan of events.
+    */
+  def cuped(events: DataFrame, cutDate: String = "2024-01-15"): DataFrame = {
+    val cut = to_date(lit(cutDate))
+    val cents = round(col("value") * 100, 0).cast("long")
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("date") < cut &&
+          col("event_type").isin("click", "view"), cents)), lit(0L)).as("xc"),
+        coalesce(sum(when(col("date") >= cut &&
+          col("event_type") === "purchase", cents)), lit(0L)).as("yc"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+      sum(col("xc") * col("xc")).as("sxx"), sum(col("xc") * col("yc")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val pooled = g.select(
+      rd((d("n") * d("sxy") - d("sx") * d("sy"))
+        / nullIfZero(d("n") * d("sxx") - d("sx") * d("sx")), 6).as("theta"),
+      rd(d("sx") / 100.0 / col("n"), 6).as("mean_x_global"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("xc")).as("sxa"), sum(col("yc")).as("sya"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        rd(d("sxa") / 100.0 / col("n_users"), 6).as("mean_x"),
+        rd(d("sya") / 100.0 / col("n_users"), 6).as("mean_y"),
+        col("theta"), col("mean_x_global"))
+      .withColumn("mean_y_adj",
+        rd(col("mean_y") - col("theta") * (col("mean_x") - col("mean_x_global")), 6))
+      .orderBy("arm")
+  }
+
+  /** The q186 oracle: identical cent counting + quantize-first combination
+    * in DuckDB (events re-shaped exactly as `Tables.events`: date =
+    * CAST(ts AS DATE)).
+    */
+  def cupedOracleSql(cutDate: String = "2024-01-15"): String = s"""
+WITH pu AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '$cutDate'
+                            AND event_type IN ('click', 'view')
+                           THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS xc,
+         coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '$cutDate'
+                            AND event_type = 'purchase'
+                           THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS yc
+  FROM events GROUP BY 1
+), g AS (
+  SELECT count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
+         sum(xc * xc) AS sxx, sum(xc * yc) AS sxy
+  FROM pu
+), pooled AS (
+  SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) + 0 AS theta,
+         round(CAST(sx AS DOUBLE) / 100.0 / n, 6) + 0 AS mean_x_global
+  FROM g
+), arms AS (
+  SELECT user_id % 2 AS arm, count(*) AS n_users,
+         sum(xc) AS sxa, sum(yc) AS sya
+  FROM pu GROUP BY 1
+), m AS (
+  SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+         round(CAST(sxa AS DOUBLE) / 100.0 / n_users, 6) + 0 AS mean_x,
+         round(CAST(sya AS DOUBLE) / 100.0 / n_users, 6) + 0 AS mean_y,
+         theta, mean_x_global
+  FROM arms, pooled
+)
+SELECT arm, n_users, mean_x, mean_y, theta, mean_x_global,
+       round(mean_y - theta * (mean_x - mean_x_global), 6) + 0 AS mean_y_adj
+FROM m ORDER BY arm"""
 }
