@@ -1906,6 +1906,13 @@ ORDER BY r.rank DESC, partkey"""
     // distances, per-round equi-join + min agg
     "q184_weighted_paths" -> ((s, dir) => GraphOps.weightedPathsGate(s, dir)),
 
+    // WATERMARK LATE-DATA DROP (9th streaming lifecycle): two-file ingest
+    // makes the drop deterministic — the late file arrives after the
+    // watermark passed its windows by ≥18 days, Append withholds the
+    // still-open tail; the oracle states BOTH cuts in batch SQL
+    "q185_stream_late_drop" -> ((s, dir) =>
+      graft.streaming.StreamingOps.lateDropParity(s, dir)),
+
     // CUPED variance reduction: per-user cent-exact covariates, pooled
     // theta published at 6 decimals (quantize-first), arm means adjusted
     // from identical doubles
@@ -4775,6 +4782,25 @@ FROM pq ORDER BY symbol, date"""),
 
     // Bellman–Ford rounds unrolled in SQL over the same edge derivation
     "q184_weighted_paths" -> weightedPathsOracleSql(4),
+
+    // both watermark cuts stated in batch SQL: the late set is excluded,
+    // and only daily windows whose end precedes max(on-time ts) − 48 h are
+    // emitted; all boundaries carry multi-hour margins so ms-floor and
+    // <=-vs-< conventions cannot matter
+    "q185_stream_late_drop" -> """
+WITH e AS (
+  SELECT event_id, ts, CAST(ts AS DATE) AS d, epoch_ns(ts) AS tns,
+         event_type, value
+  FROM events
+), ontime AS (
+  SELECT * FROM e WHERE NOT (d < DATE '2024-01-10' AND event_id % 5 = 0)
+), wm AS (SELECT max(tns) - 172800000000000 AS w_ns FROM ontime)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM ontime, wm
+WHERE epoch_ns(CAST(d AS TIMESTAMP)) + 86400000000000 < wm.w_ns
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // cent-exact covariates, pooled quantize-first theta
     "q186_cuped" -> Stats.cupedOracleSql(),

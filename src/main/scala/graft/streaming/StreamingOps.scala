@@ -908,6 +908,100 @@ object StreamingOps {
       .orderBy("symbol", "date"))
   }
 
+  /** WATERMARK LATE-DATA DROP gate (q185): the one streaming semantics no
+    * prior gate exercises — rows arriving AFTER the watermark has passed
+    * their window are DROPPED from the aggregation (the
+    * numRowsDroppedByWatermark path), and still-open windows are withheld
+    * by Append mode. Both cuts are made deterministic and stated in the
+    * oracle.
+    *
+    * The choreography needs THREE files under maxFilesPerTrigger=1 because
+    * Spark runs a TWO-watermark model (SPARK-24634): batch n filters late
+    * input with the PREVIOUS batch's eviction watermark — the late filter
+    * trails eviction by one batch, so late rows arriving one batch after
+    * the max timestamp would still be merged (measured: dropped=0 on a
+    * 2-file split). Hence:
+    *
+    *   - file 0: the bulk on-time set, containing the stream's max ts.
+    *     Its batch runs with watermark 1970 — nothing dropped or evicted;
+    *   - file 1: a small mid-January on-time slice. Its batch evicts with
+    *     watermark max(ts) − 48 h ≈ Jan 28 (emitting every window ending
+    *     before it, this slice included — merge precedes eviction within
+    *     a batch), while its LATE filter is still the 1970 value;
+    *   - file 2: the late set (events before 2024-01-10, event_id % 5 ==
+    *     0). Its late filter is now the Jan-28 watermark; every row's
+    *     daily window ended ≥ 18 days earlier, so ALL are dropped — a
+    *     margin so wide that <=-vs-< conventions cannot matter.
+    *
+    * The late file adds no later timestamps, so Append emits exactly the
+    * daily windows whose end precedes max(on-time ts) − 48 h; the
+    * watermark's time-of-day (23:26) never coincides with a midnight
+    * window end, so the emission cut is boundary-convention-proof too.
+    * The oracle replays both cuts in batch SQL over the ORIGINAL events
+    * relation; hash equality proves the engine dropped exactly the late
+    * set and withheld exactly the open windows. Decimal value sums make
+    * the aggregate micro-batch independent (the q85 device).
+    */
+  private[graft] def lateSplitDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.Formats
+    val fp = Formats.fingerprintOf(dir, "events")
+    val split = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_late_split_v2", fp).toString
+    synchronized {
+      Formats.materializeAtomic(split) { tmp =>
+        val ev = graft.sources.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+            col("date"))
+        val late = col("date") < lit("2024-01-10").cast("date") &&
+          col("event_id") % 5 === 0
+        val mid = !late &&
+          col("date").between(lit("2024-01-12").cast("date"),
+            lit("2024-01-20").cast("date")) && col("event_id") % 7 === 1
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          val sub = Paths.get(tmp, s"_$name")
+          df.drop("date").coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val part = {
+            val st = Files.list(sub)
+            try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .find(_.getFileName.toString.startsWith("part-")).get
+            finally st.close()
+          }
+          val dest = Paths.get(tmp, s"$name.parquet")
+          Files.move(part, dest)
+          deleteRecursively(sub)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        writeOne(ev.filter(!late && !mid), "00_bulk", 1000000000000L)
+        writeOne(ev.filter(mid), "01_mid", 1000000060000L)
+        writeOne(ev.filter(late), "02_late", 1000000120000L)
+        // materializeAtomic keys completion on this marker (underscore
+        // prefix: invisible to the file stream source)
+        Files.createFile(Paths.get(tmp, "_SUCCESS"))
+      }
+    }
+    split
+  }
+
+  def lateDropParity(spark: SparkSession, dir: String): DataFrame = {
+    val split = lateSplitDir(spark, dir)
+    val schema = spark.read.parquet(split).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(split)
+    val agg = src.withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .as("sum_dec"))
+    runMemoryGate(spark, "stream_late_gate", agg, OutputMode.Append())(_
+      .select(col("event_type"),
+        graft.functions.Fx.dateStr(col("window.start").cast("date")).as("day"),
+        col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type", "day"))
+  }
+
   def runAvailableNow(agg: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Update()): StreamingQuery =
     agg.writeStream.format("memory").queryName(queryName)

@@ -586,4 +586,55 @@ class StreamingOpsSpec extends SparkSpecBase {
         s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("lateDropParity: the late file is dropped BY THE WATERMARK, not merely absent") {
+    // Re-run the q185 lifecycle with progress capture: the drop must show in
+    // numRowsDroppedByWatermark (proving Spark's late filter fired — the
+    // gate's hash parity alone cannot distinguish drop-by-watermark from a
+    // source that never delivered the rows), and its size must equal the
+    // late set exactly.
+    val split = StreamingOps.lateSplitDir(spark, sf)
+    // the watermark filter runs on the map-side PARTIAL aggregate, so the
+    // dropped-row metric counts distinct late (day, type) groups, not raw
+    // late rows
+    val lateGroups = spark.read.parquet(s"$split/02_late.parquet")
+      .select(col("ts").cast("date"), col("event_type")).distinct().count()
+    assert(lateGroups > 0)
+    val schema = spark.read.parquet(split).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(split)
+    val agg = src.withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_spec")
+    val q = agg.writeStream.format("memory").queryName("late_spec")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == lateGroups, s"dropped=$dropped lateGroups=$lateGroups")
+      // and the emitted relation excludes every late-set (day, type) delta:
+      // Jan 1-9 counts must equal the on-time-only batch counts
+      val emitted = spark.table("late_spec")
+        .select(col("window.start").cast("date").cast("string").as("day"),
+          col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect()
+        .filter(_._1 < "2024-01-10").toSet
+      val batch = graft.sources.Tables.events(spark, sf)
+        .filter(!(col("date") < lit("2024-01-10").cast("date") &&
+          col("event_id") % 5 === 0))
+        .filter(col("date") < lit("2024-01-10").cast("date"))
+        .groupBy(col("date").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(emitted == batch,
+        s"only-stream=${emitted -- batch}, only-batch=${batch -- emitted}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("late_spec")
+    }
+  }
 }
