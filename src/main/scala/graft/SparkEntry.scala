@@ -1926,7 +1926,31 @@ ORDER BY r.rank DESC, partkey"""
     // EXACT PENNY ALLOCATION: largest-remainder proration of order totals
     // across line items — all-integer, per-order cents sum exactly
     "q188_penny_allocation" -> ((s, dir) =>
-      Analytics.pennyAllocation(Tables.lineitem(s, dir), Tables.orders(s, dir)))
+      Analytics.pennyAllocation(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
+    // MUTUAL INFORMATION between market segment and order priority: joint
+    // contingency via one broadcast join + hash aggregate; margins and the
+    // MI fold are windows over the bounded cells relation (q82 ln contract)
+    "q189_mutual_information" -> ((s, dir) =>
+      Stats.mutualInformation(Tables.orders(s, dir), Tables.customer(s, dir))),
+
+    // SEASONAL-NAIVE BACKTEST: close(d-7) forecast + MAE/bias/RMSE/MAPE —
+    // the baseline every forecaster must beat; calendar self-join, no
+    // window sort, decimal metric folds
+    "q190_forecast_backtest" -> ((s, dir) =>
+      Indicators.seasonalNaiveBacktest(MarketView.dailyBars(s, dir))),
+
+    // THEIL–SEN robust slope: median of all pairwise slopes per symbol —
+    // pair fan-out bounded by the CALENDAR (trading days), not row scale
+    "q191_theil_sen" -> ((s, dir) => Stats.theilSen(MarketView.dailyBars(s, dir))),
+
+    // GENERIC COLUMN PROFILER (Deequ-style): one aggregate over one scan —
+    // nulls, exact distincts, canonical-by-type min/max representations
+    "q192_column_profile" -> ((s, dir) => Quality.columnProfile(Tables.orders(s, dir))),
+
+    // REFERENTIAL-INTEGRITY AUDIT: all seven FK edges of the star schema,
+    // each one broadcast-anti-join aggregate; NULL FKs are not orphans
+    "q193_referential_integrity" -> ((s, dir) => Quality.referentialIntegrity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4809,6 +4833,22 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q187_split_finding" -> Learn.stumpSplitGainOracleSql,
 
     // integer largest-remainder proration replayed row for row
-    "q188_penny_allocation" -> Analytics.pennyAllocationOracleSql
+    "q188_penny_allocation" -> Analytics.pennyAllocationOracleSql,
+
+    // identical contingency windows + the q82/q146 ln contract
+    "q189_mutual_information" -> Stats.mutualInformationOracleSql,
+
+    // the same calendar join + decimal metric folds
+    "q190_forecast_backtest" -> Indicators.seasonalNaiveBacktestOracleSql(BARS),
+
+    // the literal pairwise-slope median (435 slopes per symbol — odd count,
+    // so both engines take the exact middle element)
+    "q191_theil_sen" -> Stats.theilSenOracleSql(BARS),
+
+    // the same single-pass profile, per-type canonical formatting literal
+    "q192_column_profile" -> Quality.columnProfileOracleSql,
+
+    // the same seven anti-join audits
+    "q193_referential_integrity" -> Quality.referentialIntegrityOracleSql
   )
 }

@@ -261,4 +261,57 @@ SELECT symbol, strftime(date, '%Y-%m-%d') AS date, month,
        round(CAST(pv AS DOUBLE) / nullif(CAST(vv AS DOUBLE), 0), 6) + 0 AS vwap_anchored,
        CAST(vv AS BIGINT) AS cum_volume
 FROM r ORDER BY symbol, date"""
+
+  /** Seasonal-naive forecast backtest (q190): forecast close(d) =
+    * close(d − 7 days) per symbol, evaluated wherever the lag exists —
+    * the standard forecasting BASELINE every model must beat, plus the
+    * accuracy metrics (MAE, MAPE, RMSE, bias) any backtest harness
+    * reports.
+    *
+    * The 7-day lag is a calendar self-join on (symbol, date−7) — exact
+    * date arithmetic, no window sort. Errors are single IEEE subtracts of
+    * identical doubles; per-metric folds are round-at-9 decimal sums
+    * (order-free; the per-symbol eval set is calendar-bounded, so the
+    * scaled decimals stay far inside int64-exact double range).
+    */
+  def seasonalNaiveBacktest(bars: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    val b = bars.select(col("symbol"), col("date"), col("close"))
+    val f = b.select(col("symbol"), date_add(col("date"), 7).as("date"),
+      col("close").as("fc"))
+    val ev = b.join(f, Seq("symbol", "date"))
+      .withColumn("err", col("close") - col("fc"))
+      .withColumn("ape", abs(col("err")) / col("close"))
+    ev.groupBy("symbol")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(round(abs(col("err")), 9).cast(dec)).as("sae"),
+        sum(round(col("err"), 9).cast(dec)).as("se"),
+        sum(round(col("err") * col("err"), 9).cast(dec)).as("sse"),
+        sum(round(col("ape"), 9).cast(dec)).as("sape"))
+      .select(col("symbol"), col("n_eval"),
+        rd(col("sae").cast("double") / col("n_eval"), 6).as("mae"),
+        rd(col("se").cast("double") / col("n_eval"), 6).as("bias"),
+        rd(sqrt(col("sse").cast("double") / col("n_eval")), 6).as("rmse"),
+        rd(col("sape").cast("double") / col("n_eval") * 100.0, 6).as("mape_pct"))
+      .orderBy("symbol")
+  }
+
+  /** The q190 oracle: the same calendar join + decimal folds. */
+  def seasonalNaiveBacktestOracleSql(barsPrefix: String): String =
+    barsPrefix + """, ev AS (
+  SELECT a.symbol, a.close - f.close AS err,
+         abs(a.close - f.close) / a.close AS ape
+  FROM bars a JOIN bars f
+    ON a.symbol = f.symbol AND f.date + 7 = a.date
+)
+SELECT symbol, count(*) AS n_eval,
+       round(CAST(sum(CAST(round(abs(err), 9) AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6) + 0 AS mae,
+       round(CAST(sum(CAST(round(err, 9) AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*), 6) + 0 AS bias,
+       round(sqrt(CAST(sum(CAST(round(err * err, 9) AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*)), 6) + 0 AS rmse,
+       round(CAST(sum(CAST(round(ape, 9) AS DECIMAL(30,12))) AS DOUBLE)
+             / count(*) * 100.0, 6) + 0 AS mape_pct
+FROM ev GROUP BY symbol ORDER BY symbol"""
 }

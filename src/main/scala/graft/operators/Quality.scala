@@ -131,4 +131,154 @@ object Quality {
       .select(lit("video").as("source"), col("n_clean"), col("n_quarantined"))
     csvRow.unionAll(jsonlRow).unionAll(videoRow).orderBy("source")
   }
+
+  /** Generic one-pass column profiler (q192) — the Deequ/dbt-style table
+    * summary: per column the row count, null count, EXACT distinct count,
+    * and canonical min/max representations. Works on any DataFrame; the
+    * gate profiles `orders`.
+    *
+    * Representations are made engine-canonical BY TYPE (raw double/
+    * timestamp → string formatting differs between engines): doubles print
+    * through round-at-6 DECIMAL(24,6) (fixed scale both sides), timestamps
+    * through an explicit micro-second pattern, everything else through the
+    * plain string cast that integers/varchars share.
+    *
+    * Scale shape: ONE aggregate over one scan. The multiple exact
+    * count-distincts plan as a single Expand (one extra scan-width per
+    * column) — the exactness trade-off the profiler wants at audit time;
+    * continuous monitoring at 100 TB swaps in approx_count_distinct per
+    * the q53 sketch contract without touching the shape.
+    */
+  def columnProfile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    def repr(c: Column, dt: DataType): Column = dt match {
+      case DoubleType | FloatType =>
+        round(c.cast("double"), 6).cast(DecimalType(24, 6)).cast("string")
+      // parquet micros may read as NTZ (inferTimestampNTZ) — same canonical
+      // pattern either way, and the profile labels both "timestamp"
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      case DateType => date_format(c, "yyyy-MM-dd")
+      case _ => c.cast("string")
+    }
+    def typeLabel(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp"
+      case other => other.simpleString
+    }
+    val aggs = fields.flatMap { f =>
+      Seq(count(col(f.name)).as(s"c_${f.name}"),
+        countDistinct(col(f.name)).as(s"d_${f.name}"),
+        min(col(f.name)).as(s"mn_${f.name}"),
+        max(col(f.name)).as(s"mx_${f.name}"))
+    } :+ count(lit(1)).as("n_rows")
+    val g = df.agg(aggs.head, aggs.tail: _*)
+    g.select(col("n_rows"), explode(array(fields.map(f => struct(
+        lit(f.name).as("column_name"),
+        lit(typeLabel(f.dataType)).as("data_type"),
+        col(s"c_${f.name}").as("n_non_null"),
+        col(s"d_${f.name}").as("n_distinct"),
+        repr(col(s"mn_${f.name}"), f.dataType).as("min_repr"),
+        repr(col(s"mx_${f.name}"), f.dataType).as("max_repr"))): _*)).as("e"))
+      .select(col("e.column_name").as("column_name"),
+        col("e.data_type").as("data_type"), col("n_rows"),
+        (col("n_rows") - col("e.n_non_null")).as("n_nulls"),
+        col("e.n_distinct").as("n_distinct"),
+        col("e.min_repr").as("min_repr"), col("e.max_repr").as("max_repr"))
+      .orderBy("column_name")
+  }
+
+  /** The q192 oracle over `orders`: the same single-pass profile with the
+    * per-type canonical formatting stated literally per column.
+    */
+  def columnProfileOracleSql: String = {
+    case class C(name: String, tpe: String, mn: String => String)
+    val ident = (x: String) => s"CAST($x AS VARCHAR)"
+    val dbl = (x: String) => s"CAST(CAST(round($x, 6) AS DECIMAL(24,6)) AS VARCHAR)"
+    val tsf = (x: String) => s"strftime($x, '%Y-%m-%d %H:%M:%S.%f')"
+    val cols = Seq(
+      C("o_orderkey", "bigint", ident), C("o_custkey", "bigint", ident),
+      C("o_orderstatus", "string", ident), C("o_totalprice", "double", dbl),
+      C("o_orderdate", "timestamp", tsf), C("o_orderpriority", "string", ident))
+    val arms = cols.map { c =>
+      s"""SELECT '${c.name}' AS column_name, '${c.tpe}' AS data_type,
+       n_rows, n_rows - c_${c.name} AS n_nulls,
+       CAST(d_${c.name} AS BIGINT) AS n_distinct,
+       ${c.mn(s"mn_${c.name}")} AS min_repr, ${c.mn(s"mx_${c.name}")} AS max_repr
+FROM g"""
+    }.mkString("\nUNION ALL\n")
+    val aggs = cols.map(c =>
+      s"count(${c.name}) AS c_${c.name}, count(DISTINCT ${c.name}) AS d_${c.name}, " +
+        s"min(${c.name}) AS mn_${c.name}, max(${c.name}) AS mx_${c.name}")
+      .mkString(",\n         ")
+    s"""WITH g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         $aggs
+  FROM orders
+)
+$arms
+ORDER BY column_name"""
+  }
+
+  /** Referential-integrity audit (q193): every FK edge of the star schema
+    * checked in one relation — child cardinality, orphan rows (no parent),
+    * and distinct orphan keys. NULL FKs are not orphans (SQL FK
+    * semantics); parents are broadcast where dimension-sized, and each
+    * edge is one anti-join-shaped aggregate, never a row-level report.
+    */
+  def referentialIntegrity(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import graft.sources.Tables
+    def edge(child: DataFrame, childName: String, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
+        .join(broadcast(parent.select(col(pk))), col(fk) === col(pk), "left_anti")
+      val base = child.agg(count(lit(1)).as("n_child"),
+        count(col(fk)).as("n_fk_non_null"))
+      val o = orphans.agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col(fk)).as("n_orphan_keys"))
+      base.crossJoin(o).select(
+        lit(childName).as("child_table"), lit(fk).as("fk_column"),
+        col("n_child"), col("n_fk_non_null"), col("n_orphans"),
+        col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, dir); val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir); val nat = Tables.nation(spark, dir)
+    Seq(
+      edge(li, "lineitem", "l_orderkey", ord, "o_orderkey"),
+      edge(li, "lineitem", "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge(li, "lineitem", "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      edge(ord, "orders", "o_custkey", cust, "c_custkey"),
+      edge(cust, "customer", "c_nationkey", nat, "n_nationkey"),
+      edge(Tables.supplier(spark, dir), "supplier", "s_nationkey", nat, "n_nationkey"),
+      edge(nat, "nation", "n_regionkey", Tables.region(spark, dir), "r_regionkey"))
+      .reduce(_ unionAll _)
+      .orderBy("child_table", "fk_column")
+  }
+
+  /** The q193 oracle: the same seven anti-join audits. */
+  def referentialIntegrityOracleSql: String = {
+    def arm(child: String, fk: String, parent: String, pk: String): String =
+      s"""SELECT '$child' AS child_table, '$fk' AS fk_column,
+       (SELECT count(*) FROM $child) AS n_child,
+       (SELECT count($fk) FROM $child) AS n_fk_non_null,
+       count(*) FILTER (WHERE c.$fk IS NOT NULL) AS n_orphans,
+       count(DISTINCT c.$fk) AS n_orphan_keys
+FROM (SELECT $fk FROM $child WHERE $fk IS NOT NULL
+      AND $fk NOT IN (SELECT $pk FROM $parent)) c"""
+    val arms = Seq(
+      arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem", "l_partkey", "part", "p_partkey"),
+      arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      arm("orders", "o_custkey", "customer", "c_custkey"),
+      arm("customer", "c_nationkey", "nation", "n_nationkey"),
+      arm("supplier", "s_nationkey", "nation", "n_nationkey"),
+      arm("nation", "n_regionkey", "region", "r_regionkey"))
+    arms.map(a => s"SELECT CAST(n_child AS BIGINT) AS n_child, " +
+      "CAST(n_fk_non_null AS BIGINT) AS n_fk_non_null, " +
+      "CAST(n_orphans AS BIGINT) AS n_orphans, " +
+      "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys, child_table, fk_column " +
+      s"FROM ($a)").mkString("\nUNION ALL\n") +
+      "\nORDER BY child_table, fk_column"
+  }
 }

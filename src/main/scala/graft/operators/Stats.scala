@@ -254,4 +254,118 @@ WITH pu AS (
 SELECT arm, n_users, mean_x, mean_y, theta, mean_x_global,
        round(mean_y - theta * (mean_x - mean_x_global), 6) + 0 AS mean_y_adj
 FROM m ORDER BY arm"""
+
+  /** Mutual information between customer market segment and order priority
+    * (q189) — the categorical-dependence audit (feature redundancy, leakage
+    * screening):
+    *
+    *   MI = sum_ij p_ij * ln(p_ij / (p_i * p_j))
+    *
+    * One broadcast join + one hash aggregate build the joint contingency
+    * relation; margins, N, and the MI fold are windows over that BOUNDED
+    * |segments| × |priorities| relation — never over orders. ln follows
+    * the q82/q146 libm contract: rounded at 6 on the bounded-distinct
+    * level BEFORE any sum, PMI products rounded at 9 and carried as
+    * decimals.
+    */
+  def mutualInformation(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dec = DecimalType(30, 12)
+    val cells = orders
+      .select(col("o_custkey").as("ck"), col("o_orderpriority").as("priority"))
+      .join(broadcast(customer.select(col("c_custkey").as("ck"),
+        col("c_mktsegment").as("segment"))), "ck")
+      .groupBy("segment", "priority").agg(count(lit(1)).as("n_ij"))
+    val wS = Window.partitionBy("segment")
+    val wP = Window.partitionBy("priority")
+    val wAll = Window.partitionBy(lit(1))
+    val withP = cells
+      .withColumn("n_i", sum(col("n_ij")).over(wS))
+      .withColumn("n_j", sum(col("n_ij")).over(wP))
+      .withColumn("n", sum(col("n_ij")).over(wAll))
+      .withColumn("p_ij", col("n_ij").cast("double") / col("n"))
+      .withColumn("pmi", rd(log(col("p_ij") /
+        ((col("n_i").cast("double") / col("n"))
+          * (col("n_j").cast("double") / col("n")))), 6))
+      .withColumn("contrib", round(col("p_ij") * col("pmi"), 9).cast(dec))
+    withP
+      .withColumn("mi_total", rd(sum(col("contrib")).over(wAll).cast("double"), 6))
+      .select(col("segment"), col("priority"), col("n_ij"),
+        rd(col("p_ij"), 6).as("p_ij"), col("pmi"),
+        rd(col("contrib").cast("double"), 6).as("contrib"), col("mi_total"))
+      .orderBy("segment", "priority")
+  }
+
+  /** The q189 oracle: identical contingency windows + the ln contract. */
+  def mutualInformationOracleSql: String = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         count(*) AS n_ij
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT segment, priority, n_ij,
+         sum(n_ij) OVER (PARTITION BY segment) AS n_i,
+         sum(n_ij) OVER (PARTITION BY priority) AS n_j,
+         sum(n_ij) OVER () AS n
+  FROM cells
+), p AS (
+  SELECT segment, priority, n_ij,
+         CAST(n_ij AS DOUBLE) / n AS p_ij,
+         round(ln((CAST(n_ij AS DOUBLE) / n)
+           / ((CAST(n_i AS DOUBLE) / n) * (CAST(n_j AS DOUBLE) / n))), 6) + 0 AS pmi
+  FROM m
+), c2 AS (
+  SELECT segment, priority, n_ij, p_ij, pmi,
+         CAST(round(p_ij * pmi, 9) AS DECIMAL(30,12)) AS contrib
+  FROM p
+)
+SELECT segment, priority, CAST(n_ij AS BIGINT) AS n_ij,
+       round(p_ij, 6) + 0 AS p_ij, pmi,
+       round(CAST(contrib AS DOUBLE), 6) + 0 AS contrib,
+       round(CAST(sum(contrib) OVER () AS DOUBLE), 6) + 0 AS mi_total
+FROM c2 ORDER BY segment, priority"""
+
+  /** Theil–Sen robust trend (q191): the median of all pairwise slopes of
+    * close over the per-symbol bar index — the breakdown-resistant
+    * counterpart of the q162 OLS slope. The pair fan-out is bounded by the
+    * CALENDAR (bars per symbol = trading days, independent of row scale),
+    * so the quadratic step is constant-sized at any SF; the median is the
+    * exact midpoint average over identical pairwise-slope doubles (each
+    * ONE IEEE subtract-divide), matching DuckDB's interpolating median.
+    */
+  def theilSen(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("date")
+    val r = bars.select(col("symbol"), col("date"), col("close"))
+      .withColumn("rn", row_number().over(w))
+    val pairs = r.as("a").join(r.as("b"),
+        col("a.symbol") === col("b.symbol") && col("a.rn") < col("b.rn"))
+      .select(col("a.symbol").as("symbol"),
+        ((col("b.close") - col("a.close"))
+          / (col("b.rn") - col("a.rn")).cast("double")).as("slope"))
+    pairs.groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope"))).as("sl"))
+      .withColumn("m", size(col("sl")))
+      .select(col("symbol"), col("n_pairs"),
+        rd(when(col("m") % 2 === 1,
+          element_at(col("sl"), ((col("m") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("sl"), (col("m") / 2).cast("int"))
+            + element_at(col("sl"), (col("m") / 2 + 1).cast("int"))) / 2.0),
+          6).as("theil_sen_slope"))
+      .orderBy("symbol")
+  }
+
+  /** The q191 oracle: the literal pairwise-slope median in DuckDB. */
+  def theilSenOracleSql(barsPrefix: String): String =
+    barsPrefix + """, r AS (
+  SELECT symbol, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM bars
+), pairs AS (
+  SELECT a.symbol, (b.close - a.close) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+  FROM r a JOIN r b ON a.symbol = b.symbol AND a.rn < b.rn
+)
+SELECT symbol, count(*) AS n_pairs,
+       round(median(slope), 6) + 0 AS theil_sen_slope
+FROM pairs GROUP BY symbol ORDER BY symbol"""
 }
