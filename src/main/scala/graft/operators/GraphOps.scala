@@ -247,7 +247,12 @@ object GraphOps {
       .localCheckpoint(true) // reused by every round
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
-      val next = dist.join(sym, col("node") === col("u"))
+      // broadcast the NODE-SIZED frontier so the edge relation is neither
+      // shuffled nor broadcast (the q98 rank-relation pattern; AQE left to
+      // itself may try to broadcast the far larger edge side). Beyond the
+      // ~5M-node regime the same one-hint flip to a node-keyed shuffle
+      // join applies as documented for PageRank.
+      val next = broadcast(dist).join(sym, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
     }
@@ -287,7 +292,9 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
-      val next = dist.join(sym, col("node") === col("u"))
+      // node-sized frontier broadcast; edge relation streams (see
+      // bfsDistances)
+      val next = broadcast(dist).join(sym, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
     }
