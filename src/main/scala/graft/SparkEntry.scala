@@ -1950,7 +1950,33 @@ ORDER BY r.rank DESC, partkey"""
 
     // REFERENTIAL-INTEGRITY AUDIT: all seven FK edges of the star schema,
     // each one broadcast-anti-join aggregate; NULL FKs are not orphans
-    "q193_referential_integrity" -> ((s, dir) => Quality.referentialIntegrity(s, dir))
+    "q193_referential_integrity" -> ((s, dir) => Quality.referentialIntegrity(s, dir)),
+
+    // FIFO LOT MATCHING as an interval-overlap join: prefix-sum both lot
+    // streams per part, band the unit intervals (q54 discipline), match on
+    // overlap — the sequential ledger walk with no loop and no driver
+    // state; all-integer census incl. unit-weighted stock-age lag
+    "q194_fifo_match" -> ((s, dir) => Ledger.fifoMatch(Tables.lineitem(s, dir))),
+
+    // ITEM-ITEM COLLABORATIVE FILTERING: top-5 neighbors per part under
+    // co-occurrence cosine over the edge MV; ranking via the q113 k-heap
+    // (shuffle bounded at k rows/partition/item), score bit-exact (integer
+    // operands through single sqrt/divide)
+    "q195_item_neighbors" -> ((s, dir) => GraphOps.itemNeighbors(s, dir)),
+
+    // POPULATION STABILITY INDEX per event type: fixed-width densified
+    // bins, Laplace-smoothed shares, round-6 ln terms — the standard
+    // feature-drift monitor next to the q180 KS test
+    "q196_psi_drift" -> ((s, dir) => Stats.psiDrift(Tables.events(s, dir))),
+
+    // ABC / PARETO CLASSIFICATION: global revenue cumsum via the q152
+    // bucketed sweep (in-band window + tiny cross-band prefix broadcast);
+    // class cuts are integer cross-multiplications — never an FP share
+    "q197_abc_parts" -> ((s, dir) => Analytics.abcClassification(Tables.lineitem(s, dir))),
+
+    // LONGEST WIN-STREAK per symbol: gaps-and-islands run census with
+    // earliest-start tie-break — integer counting + calendar dates only
+    "q198_win_streaks" -> ((s, dir) => Indicators.winStreaks(MarketView.fact(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4849,6 +4875,24 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q192_column_profile" -> Quality.columnProfileOracleSql,
 
     // the same seven anti-join audits
-    "q193_referential_integrity" -> Quality.referentialIntegrityOracleSql
+    "q193_referential_integrity" -> Quality.referentialIntegrityOracleSql,
+
+    // identical prefix-sum intervals; overlap stated as the literal
+    // quadratic predicate — banded == definitional by hash equality
+    "q194_fifo_match" -> Ledger.fifoMatchOracleSql,
+
+    // same edge/degree derivation; ranking as the window row_number over
+    // the exact cosine
+    "q195_item_neighbors" -> GraphOps.itemNeighborsOracleSql(),
+
+    // identical grid, smoothing, and ln/fold contracts
+    "q196_psi_drift" -> Stats.psiDriftOracleSql,
+
+    // the definitional single cumulative window — proves the bucketed
+    // sweep classifies identically
+    "q197_abc_parts" -> Analytics.abcClassificationOracleSql,
+
+    // identical run-id window over the shared fact CTE
+    "q198_win_streaks" -> Indicators.winStreaksOracleSql(FACT)
   )
 }

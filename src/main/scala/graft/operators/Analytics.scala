@@ -416,4 +416,77 @@ SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(n_bumped) AS BIGINT) AS n_bumped,
        CAST(sum(checksum) AS BIGINT) AS checksum
 FROM po GROUP BY 1 ORDER BY priority"""
+
+  /** ABC / Pareto contribution classification (q197): parts ranked by
+    * revenue; class A = the head covering ≤80% of cumulative revenue,
+    * B = to 95%, C = the tail — the standard inventory/assortment census.
+    *
+    * The sequential-looking step is the GLOBAL cumulative sum over the
+    * revenue-descending part order. Implemented with the q152 bucketed-
+    * sweep shape instead of a single-partition window: parts bucket by a
+    * fixed revenue band (bucket order agrees with the global order because
+    * every part in a higher band out-ranks every part in a lower one), the
+    * running sum is a window WITHIN each bucket, and the cross-bucket
+    * offsets are a prefix over the tiny per-bucket-total relation,
+    * broadcast back. All money is integer cents and the A/B/C cuts are
+    * integer cross-multiplications (`cum·100 ≤ total·80`), so the
+    * classification is exact — no FP share ever decides a class.
+    *
+    * Scale shape: one fact-scan aggregate keyed by part, then windows
+    * partitioned by band over the catalog-bounded part relation; the only
+    * unpartitioned object is the per-band total list (value-range/band
+    * rows). Nothing is single-partition at any corpus size.
+    */
+  def abcClassification(lineitem: DataFrame, bandCents: Long = 100000L): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey").as("pk"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .groupBy("pk").agg(sum(col("cents")).as("rev"))
+      .withColumn("b", floor(col("rev") / bandCents))
+    val wIn = Window.partitionBy("b").orderBy(col("rev").desc, col("pk"))
+    val inBucket = rev.withColumn("cum_in", sum(col("rev")).over(wIn))
+    val bandTotals = rev.groupBy("b").agg(sum(col("rev")).as("bt"))
+    val wB = Window.orderBy(col("b").desc)
+    val offsets = bandTotals
+      .withColumn("above", sum(col("bt")).over(wB) - col("bt"))
+      .withColumn("total", sum(col("bt")).over(Window.partitionBy(lit(1))))
+    inBucket.join(broadcast(offsets.select("b", "above", "total")), "b")
+      .withColumn("cum", col("above") + col("cum_in"))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("revenue_cents"),
+        sum(col("pk")).as("part_checksum"),
+        rd(sum(col("rev")).cast("double") / max(col("total")) * 100, 6)
+          .as("share_pct"))
+      .orderBy("abc_class")
+  }
+
+  /** The q197 oracle: the DEFINITIONAL single cumulative window — hash
+    * equality proves the bucketed sweep computes the same classification.
+    */
+  def abcClassificationOracleSql: String = """
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT pk, rev,
+         sum(rev) OVER (ORDER BY rev DESC, pk ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS total
+  FROM rev
+)
+SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+       CAST(sum(pk) AS BIGINT) AS part_checksum,
+       round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) * 100, 6) + 0
+         AS share_pct
+FROM c GROUP BY 1 ORDER BY abc_class"""
 }

@@ -312,4 +312,75 @@ object GraphOps {
       .select(col("node"), col("dist").cast("long").as("dist"))
       .orderBy("node")
   }
+
+  /** Item-item collaborative filtering (q195): top-k nearest neighbors per
+    * part under co-occurrence cosine — the classic "customers who bought X
+    * also bought Y" recommender primitive (Sarwar et al., WWW 2001).
+    *
+    *   cosine(i, j) = |orders with both| / sqrt(|orders with i| * |orders with j|)
+    *
+    * Inputs are all integers; sqrt and divide are single correctly-rounded
+    * IEEE ops over identical operands, so the score is bit-identical on any
+    * engine — no rounding contract needed for the RANKING, only for the
+    * published score column.
+    *
+    * Scale shape: the pair relation is the co-purchase edge MV (bounded by
+    * Σ order_size² — order sizes are capped, so linear in orders, never
+    * |parts|²); degrees join on the part key; and the per-item top-k is the
+    * q113 k-heap aggregate, so the ranking shuffle carries at most
+    * k rows/partition/item instead of every scored pair. The symmetrize
+    * union doubles the edge scan, not the shuffle (both halves partial-agg
+    * into the same k-heaps).
+    */
+  def itemNeighbors(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = copurchaseEdgesMV(spark, dir)
+    val sym = edges.select(col("src").as("i"), col("dst").as("j"), col("w"))
+      .union(edges.select(col("dst").as("i"), col("src").as("j"), col("w")))
+    val deg = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val scored = sym
+      .join(deg.select(col("pk").as("i"), col("n").as("n_i")), "i")
+      .join(deg.select(col("pk").as("j"), col("n").as("n_j")), "j")
+      .select(col("i"), col("j"),
+        (col("w").cast("double")
+          / sqrt((col("n_i") * col("n_j")).cast("double"))).as("cosine"))
+    scored.groupBy("i")
+      .agg(graft.functions.TopKByScore.topK(col("cosine"), col("j"), k).as("top"))
+      .select(col("i").as("p_partkey"), explode(col("top")).as("e"))
+      .select(col("p_partkey"), col("e.rk").as("rk"),
+        col("e.id").as("neighbor"), rd(col("e.score"), 6).as("cosine"))
+      .orderBy("p_partkey", "rk")
+  }
+
+  /** The q195 oracle: same edge/degree derivation, ranking stated as the
+    * window row_number over the exact (unrounded) cosine.
+    */
+  def itemNeighborsOracleSql(k: Int = 5): String = s"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS i, dst AS j, w FROM e
+  UNION ALL
+  SELECT dst AS i, src AS j, w FROM e
+), deg AS (
+  SELECT pk, count(*) AS n FROM lp GROUP BY pk
+), scored AS (
+  SELECT s.i, s.j,
+         CAST(s.w AS DOUBLE) / sqrt(CAST(di.n * dj.n AS DOUBLE)) AS cosine
+  FROM sym s
+  JOIN deg di ON di.pk = s.i
+  JOIN deg dj ON dj.pk = s.j
+), ranked AS (
+  SELECT i, j, cosine,
+         row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+  FROM scored
+)
+SELECT i AS p_partkey, CAST(rk AS BIGINT) AS rk, j AS neighbor,
+       round(cosine, 6) + 0 AS cosine
+FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
 }

@@ -314,4 +314,62 @@ SELECT symbol, count(*) AS n_eval,
        round(CAST(sum(CAST(round(ape, 9) AS DECIMAL(30,12))) AS DOUBLE)
              / count(*) * 100.0, 6) + 0 AS mape_pct
 FROM ev GROUP BY symbol ORDER BY symbol"""
+
+  /** Longest win-streak per symbol (q198) — maximal runs of consecutive
+    * positive-return days, the gaps-and-islands pattern in its purest form:
+    * a run id is the prefix count of NON-positive days (it increments
+    * exactly when a run breaks), so runs fall out of one window sum + one
+    * aggregate. The best run ties break on earliest start. Everything is
+    * integer counting and calendar dates — exact on any engine.
+    *
+    * Scale shape: the windows are keyed by symbol (one shuffle); the run
+    * relation is calendar-bounded per symbol, so the ranking window is over
+    * a tiny relation. A NULL first-day return counts as a break, matching
+    * the oracle's CASE.
+    */
+  def winStreaks(fact: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    val w = Window.partitionBy("symbol").orderBy("date")
+    val s = fact.select(col("symbol"), col("date"), col("variacao_diaria"))
+      .withColumn("up", when(col("variacao_diaria") > 0, 1).otherwise(0))
+      .withColumn("sid", sum(lit(1) - col("up")).over(w))
+    val runs = s.filter(col("up") === 1)
+      .groupBy("symbol", "sid")
+      .agg(count(lit(1)).as("len"),
+        min(col("date")).as("st"), max(col("date")).as("en"))
+    val wr = Window.partitionBy("symbol").orderBy(col("len").desc, col("st"))
+    runs.withColumn("rk", row_number().over(wr))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_runs"), sum(col("len")).as("up_days"),
+        max(when(col("rk") === 1, col("len"))).as("best_len"),
+        dateStr(max(when(col("rk") === 1, col("st")))).as("best_start"),
+        dateStr(max(when(col("rk") === 1, col("en")))).as("best_end"))
+      .orderBy("symbol")
+  }
+
+  /** The q198 oracle: identical run-id window over the shared fact CTE. */
+  def winStreaksOracleSql(factPrefix: String): String =
+    factPrefix + """, f AS (
+  SELECT symbol, date,
+         CASE WHEN variacao_diaria > 0 THEN 1 ELSE 0 END AS up
+  FROM fact
+), sgm AS (
+  SELECT symbol, date, up,
+         sum(1 - up) OVER (PARTITION BY symbol ORDER BY date
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), runs AS (
+  SELECT symbol, sid, count(*) AS len, min(date) AS st, max(date) AS en
+  FROM sgm WHERE up = 1 GROUP BY 1, 2
+), rk AS (
+  SELECT symbol, len, st, en,
+         row_number() OVER (PARTITION BY symbol ORDER BY len DESC, st) AS rk
+  FROM runs
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(len) AS BIGINT) AS up_days,
+       CAST(max(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS best_len,
+       strftime(max(CASE WHEN rk = 1 THEN st END), '%Y-%m-%d') AS best_start,
+       strftime(max(CASE WHEN rk = 1 THEN en END), '%Y-%m-%d') AS best_end
+FROM rk GROUP BY symbol ORDER BY symbol"""
 }

@@ -368,4 +368,94 @@ FROM c2 ORDER BY segment, priority"""
 SELECT symbol, count(*) AS n_pairs,
        round(median(slope), 6) + 0 AS theil_sen_slope
 FROM pairs GROUP BY symbol ORDER BY symbol"""
+
+  /** Population Stability Index per event type (q196) — the standard ML
+    * feature-drift monitor (alongside the q180 KS test, which answers
+    * "did the distribution move" with a sup-norm; PSI answers it with the
+    * symmetrized-KL bin fold the model-monitoring literature thresholds at
+    * 0.1/0.25).
+    *
+    *   PSI = Σ_bins (p_b - q_b) · ln(p_b / q_b)
+    *
+    * Bins are FIXED-WIDTH on the value domain (q163 discipline — no
+    * cross-engine quantile semantics in the cut points), densified to the
+    * full grid so empty bins participate, and shares are Laplace-smoothed
+    * (n + 0.5) / (N + bins/2) so the log is total — the standard practical
+    * PSI. Counting is exact; each share is one divide of exact operands;
+    * the ln goes through the q82/q189 round-6 contract and the fold through
+    * round-9 decimal terms, so the published statistic is cross-engine
+    * reproducible.
+    *
+    * Scale shape: one scan → (type, window, bin) hash aggregate (map-side
+    * partial); the densified grid and the fold live on the bounded
+    * types × bins relation. Nothing downstream of the first aggregate
+    * scales with row count.
+    */
+  def psiDrift(events: DataFrame, splitTs: String = "2024-01-16",
+               nBins: Int = 20, binWidth: Double = 25.0): DataFrame = {
+    val dec = DecimalType(30, 12)
+    val binned = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("ts") < lit(splitTs).cast("timestamp")).as("is_ref"),
+        least(floor(col("value") / binWidth), lit(nBins - 1L)).cast("long").as("bin"))
+    val counts = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val grid = binned.select("event_type").distinct()
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+    val dense = grid.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wT = Window.partitionBy("event_type")
+    val half = nBins / 2.0
+    dense
+      .withColumn("t_ref", sum(col("n_ref")).over(wT))
+      .withColumn("t_cur", sum(col("n_cur")).over(wT))
+      .withColumn("p", (col("n_ref") + lit(0.5)) / (col("t_ref") + lit(half)))
+      .withColumn("q", (col("n_cur") + lit(0.5)) / (col("t_cur") + lit(half)))
+      .withColumn("term",
+        round((col("p") - col("q")) * rd(log(col("p") / col("q")), 6), 9).cast(dec))
+      .groupBy("event_type")
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        rd(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** The q196 oracle: identical grid, smoothing, and ln/fold contracts. */
+  def psiDriftOracleSql: String = """
+WITH binned AS (
+  SELECT event_type,
+         ts < TIMESTAMP '2024-01-16' AS is_ref,
+         least(CAST(floor("value" / 25.0) AS BIGINT), 19) AS bin
+  FROM events WHERE "value" IS NOT NULL
+), counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM binned) t
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) b
+), dense AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.bin = g.bin
+), shares AS (
+  SELECT event_type, n_ref, n_cur,
+         sum(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+         sum(n_cur) OVER (PARTITION BY event_type) AS t_cur
+  FROM dense
+), terms AS (
+  SELECT event_type, t_ref, t_cur,
+         (n_ref + 0.5) / (t_ref + 10.0) AS p,
+         (n_cur + 0.5) / (t_cur + 10.0) AS q
+  FROM shares
+)
+SELECT event_type,
+       CAST(max(t_ref) AS BIGINT) AS n_ref,
+       CAST(max(t_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST(round((p - q) * (round(ln(p / q), 6) + 0), 9)
+         AS DECIMAL(30,12))) AS DOUBLE), 6) + 0 AS psi
+FROM terms GROUP BY event_type ORDER BY event_type"""
 }

@@ -152,4 +152,32 @@ class GraphOpsSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d(4L) == 1L && d(5L) == 2L && d(3L) == 2L)
   }
+
+  test("itemNeighbors matches a brute-force co-occurrence cosine ranking") {
+    val lp = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orders = lp.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val byOrder = lp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = orders.keys.map { i =>
+      val cand = byOrder.filter(_._2.contains(i)).values.flatten.toSet - i
+      val top = cand.toSeq.map { j =>
+        val w = orders(i).intersect(orders(j)).size
+        (j, w.toDouble / math.sqrt((orders(i).size.toLong * orders(j).size).toDouble))
+      }.sortBy { case (j, c) => (-c, j) }.take(5)
+      i -> top
+    }.toMap
+    val got = GraphOps.itemNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == expected.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (i, rows) =>
+      val exp = expected(i)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == exp.map(_._1), s"part $i neighbor ids")
+      sorted.map(_._4).zip(exp.map(_._2)).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6, s"part $i cosine")
+      }
+    }
+  }
 }

@@ -139,4 +139,34 @@ class IndicatorsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("winStreaks matches a sequential run scan per symbol") {
+    val fact = graft.operators.MarketView.fact(spark, sf)
+    val rows = fact.selectExpr("symbol", "date",
+        "CASE WHEN variacao_diaria > 0 THEN 1 ELSE 0 END AS up")
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getInt(2)))
+    val got = graft.operators.Indicators.winStreaks(fact).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (sym, rs) =>
+      val seq = rs.sortBy(_._2.toEpochDay)
+      // sequential scan: split into maximal runs of up==1
+      var runs = List.empty[(java.time.LocalDate, java.time.LocalDate, Int)]
+      var cur: Option[(java.time.LocalDate, java.time.LocalDate, Int)] = None
+      seq.foreach { case (_, d, up) =>
+        if (up == 1) cur = cur match {
+          case Some((s0, _, n)) => Some((s0, d, n + 1))
+          case None => Some((d, d, 1))
+        } else { cur.foreach(c => runs ::= c); cur = None }
+      }
+      cur.foreach(c => runs ::= c)
+      val (nRuns, upDays, bestLen, bestStart, bestEnd) = got(sym)
+      assert(nRuns == runs.size, s"$sym runs")
+      assert(upDays == runs.map(_._3).sum, s"$sym up-days")
+      val best = runs.sortBy(r => (-r._3, r._1.toEpochDay)).head
+      assert(bestLen == best._3, s"$sym best len")
+      assert(bestStart == best._1.toString && bestEnd == best._2.toString, sym)
+    }
+  }
 }

@@ -125,4 +125,70 @@ class StatsSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Double]("mean_y_adj") - adj) < 1e-6, r.toString)
     }
   }
+
+  test("PSI: non-negative, zero for an identical split, matches brute force") {
+    val out = Stats.psiDrift(Tables.events(spark, sf)).collect()
+    assert(out.nonEmpty)
+    // every PSI term (p-q)·ln(p/q) is non-negative, so the fold is too
+    out.foreach(r => assert(r.getAs[Double]("psi") >= 0.0, r.toString))
+
+    // brute force from raw rows, same bins/smoothing/rounding
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "ts < TIMESTAMP '2024-01-16' AS is_ref",
+        "least(CAST(floor(value / 25.0) AS BIGINT), 19L) AS bin")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val ref = rows.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val cur = rows.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val tR = ref.values.sum; val tC = cur.values.sum
+      val psi = (0L until 20L).map { b =>
+        val p = (ref.getOrElse(b, 0L) + 0.5) / (tR + 10.0)
+        val q = (cur.getOrElse(b, 0L) + 0.5) / (tC + 10.0)
+        BigDecimal((p - q) * (math.rint(math.log(p / q) * 1e6) / 1e6))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val got = out.find(_.getString(0) == et).get.getAs[Double]("psi")
+      assert(math.abs(got - psi) < 2e-6, s"$et: $got != $psi")
+    }
+
+    // identical windows => PSI == 0 exactly (p == q in every bin)
+    import spark.implicits._
+    val sym = (0 until 200).flatMap { i =>
+      Seq(("a", "2024-01-10 00:00:00", i % 7 * 30.0),
+        ("a", "2024-01-20 00:00:00", i % 7 * 30.0))
+    }.toDF("event_type", "s", "value")
+      .selectExpr("event_type", "CAST(s AS TIMESTAMP) AS ts", "value")
+    val z = Stats.psiDrift(sym).collect()
+    assert(z.length == 1 && z.head.getAs[Double]("psi") == 0.0)
+  }
+
+  test("ABC classification partitions the catalog and respects the cuts") {
+    val li = Tables.lineitem(spark, sf)
+    val out = Analytics.abcClassification(li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force: sequential cumsum over the sorted catalog
+    val rev = li.selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (pk, r) => (-r, pk) }
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classed = rev.map { case (pk, r) =>
+      cum += r
+      val cls = if (cum * 100 <= total * 80) "A"
+                else if (cum * 100 <= total * 95) "B" else "C"
+      (cls, pk, r)
+    }
+    classed.groupBy(_._1).foreach { case (cls, rows) =>
+      val (n, cents, ck) = out(cls)
+      assert(n == rows.size, s"$cls n")
+      assert(cents == rows.map(_._3).sum, s"$cls cents")
+      assert(ck == rows.map(_._2).sum, s"$cls checksum")
+    }
+    assert(out.values.map(_._1).sum == rev.size)
+    assert(out.values.map(_._2).sum == total)
+  }
 }
