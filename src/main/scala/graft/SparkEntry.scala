@@ -1976,7 +1976,23 @@ ORDER BY r.rank DESC, partkey"""
 
     // LONGEST WIN-STREAK per symbol: gaps-and-islands run census with
     // earliest-start tie-break — integer counting + calendar dates only
-    "q198_win_streaks" -> ((s, dir) => Indicators.winStreaks(MarketView.fact(s, dir)))
+    "q198_win_streaks" -> ((s, dir) => Indicators.winStreaks(MarketView.fact(s, dir))),
+
+    // L-DIVERSITY privacy profile: q168's k-anonymity extended to the
+    // sensitive attribute — per-QI-group distinct-source counts + entropy
+    // l-diversity minima (ln contract), rolled up per language
+    "q199_l_diversity" -> ((s, dir) => Quality.lDiversity(Tables.documents(s, dir))),
+
+    // CATEGORICAL NAIVE BAYES: counting-only train on the 80% order split,
+    // broadcast likelihood tables, decimal log-score argmax; gate = the
+    // held-out confusion matrix
+    "q200_naive_bayes" -> ((s, dir) =>
+      Learn.naiveBayes(Tables.orders(s, dir), Tables.customer(s, dir))),
+
+    // VOCABULARY-GROWTH CURVE + HEAPS-LAW FIT: first-occurrence checkpoint
+    // prefix sums (type is new at min(doc_id)); log-log OLS slope via the
+    // q162 decimal sufficient statistics
+    "q201_vocab_growth" -> ((s, dir) => TextOps.vocabGrowth(Tables.documents(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4893,6 +4909,15 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q197_abc_parts" -> Analytics.abcClassificationOracleSql,
 
     // identical run-id window over the shared fact CTE
-    "q198_win_streaks" -> Indicators.winStreaksOracleSql(FACT)
+    "q198_win_streaks" -> Indicators.winStreaksOracleSql(FACT),
+
+    // identical group windows + ln/fold contracts
+    "q199_l_diversity" -> Quality.lDiversityOracleSql,
+
+    // identical split, smoothing, ln contract, argmax
+    "q200_naive_bayes" -> Learn.naiveBayesOracleSql,
+
+    // identical first-occurrence prefix construction + decimal OLS
+    "q201_vocab_growth" -> TextOps.vocabGrowthOracleSql
   )
 }

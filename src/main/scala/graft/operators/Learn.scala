@@ -316,4 +316,129 @@ cum AS (
 SELECT q AS threshold, CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
        gain, CAST(CASE WHEN gain = (SELECT max(gain) FROM sc) THEN 1 ELSE 0 END AS BIGINT) AS is_best
 FROM sc ORDER BY threshold"""
+
+  /** Categorical Naive Bayes (q200): train on a deterministic 80% order
+    * split, score the held-out 20%, publish the confusion matrix — the
+    * counting-only classifier that complements the q134 gradient-descent
+    * GLM. Label = order priority; features = the customer's market segment
+    * and nation.
+    *
+    * Training IS one grouped count per feature (fully distributed,
+    * map-side combinable); Laplace-smoothed likelihoods live on bounded
+    * (class × feature-domain) relations that broadcast to the scoring
+    * join. Each log term goes through the q82 ln round-6 contract and the
+    * three terms add as exact decimals, so argmax (ties → class ASC)
+    * picks the same class on any engine.
+    *
+    * Scale shape: scoring fans each test row out by |classes| (a constant)
+    * against broadcast likelihood tables; the argmax window is keyed by
+    * order key over that constant fan-out. Feature values unseen in
+    * training fall back to the smoothed zero-count likelihood via the
+    * left-join coalesce — no row is dropped.
+    */
+  def naiveBayes(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(20, 6)
+    def ln6(c: org.apache.spark.sql.Column) =
+      graft.functions.Fx.rd(log(c), 6).cast(dec)
+
+    val cust = customer.select(col("c_custkey").as("ck"),
+      col("c_mktsegment").as("seg"), col("c_nationkey").cast("long").as("nat"))
+    val rows = orders.select(col("o_orderkey").as("okey"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("label"))
+      .join(broadcast(cust), "ck")
+      .withColumn("is_test", col("okey") % 5 === 0)
+    val train = rows.filter(!col("is_test"))
+
+    val scalars = train.agg(countDistinct(col("seg")).as("d_seg"),
+      countDistinct(col("nat")).as("d_nat"), count(lit(1)).as("n"))
+    val classes = train.groupBy("label").agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("lp_prior", ln6(col("n_c").cast("double") / col("n")))
+
+    def likelihood(feature: String, domain: String) = {
+      val cnt = train.groupBy("label", feature).agg(count(lit(1)).as("cf"))
+      classes.select(col("label"), col("n_c"), col(domain))
+        .crossJoin(broadcast(train.select(feature).distinct()))
+        .join(cnt, Seq("label", feature), "left")
+        .na.fill(0L, Seq("cf"))
+        .withColumn("lp",
+          ln6((col("cf") + 1).cast("double") / (col("n_c") + col(domain))))
+        .select(col("label").as("cand"), col(feature), col("lp"))
+    }
+    val segLik = likelihood("seg", "d_seg")
+    val natLik = likelihood("nat", "d_nat")
+
+    val cand = classes.select(col("label").as("cand"), col("lp_prior"),
+      col("n_c"), col("d_seg"), col("d_nat"))
+    val scored = rows.filter(col("is_test"))
+      .select(col("okey"), col("label").as("actual"), col("seg"), col("nat"))
+      .crossJoin(broadcast(cand))
+      .join(broadcast(segLik.withColumnRenamed("lp", "lp_seg")), Seq("cand", "seg"), "left")
+      .join(broadcast(natLik.withColumnRenamed("lp", "lp_nat")), Seq("cand", "nat"), "left")
+      .withColumn("score",
+        col("lp_prior")
+          + coalesce(col("lp_seg"), ln6(lit(1.0) / (col("n_c") + col("d_seg"))))
+          + coalesce(col("lp_nat"), ln6(lit(1.0) / (col("n_c") + col("d_nat")))))
+    val w = Window.partitionBy("okey").orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("actual"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n"), sum(col("okey")).as("okey_checksum"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** The q200 oracle: identical split, smoothing, ln contract, argmax. */
+  def naiveBayesOracleSql: String = """
+WITH rws AS (
+  SELECT o.o_orderkey AS okey, o.o_orderpriority AS label,
+         c.c_mktsegment AS seg, CAST(c.c_nationkey AS BIGINT) AS nat,
+         o.o_orderkey % 5 = 0 AS is_test
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), train AS (SELECT * FROM rws WHERE NOT is_test),
+sc AS (
+  SELECT count(DISTINCT seg) AS d_seg, count(DISTINCT nat) AS d_nat,
+         count(*) AS n
+  FROM train
+), pri AS (
+  SELECT label, count(*) AS n_c,
+         (SELECT d_seg FROM sc) AS d_seg, (SELECT d_nat FROM sc) AS d_nat,
+         CAST(round(ln(CAST(count(*) AS DOUBLE) / (SELECT n FROM sc)), 6) + 0
+           AS DECIMAL(20,6)) AS lp_prior
+  FROM train GROUP BY label
+), seg_cnt AS (SELECT label, seg, count(*) AS cf FROM train GROUP BY 1, 2),
+seg_lik AS (
+  SELECT p.label AS cand, s.seg,
+         CAST(round(ln(CAST(coalesce(c.cf, 0) + 1 AS DOUBLE)
+             / (p.n_c + p.d_seg)), 6) + 0 AS DECIMAL(20,6)) AS lp_seg
+  FROM pri p
+  CROSS JOIN (SELECT DISTINCT seg FROM train) s
+  LEFT JOIN seg_cnt c ON c.label = p.label AND c.seg = s.seg
+), nat_cnt AS (SELECT label, nat, count(*) AS cf FROM train GROUP BY 1, 2),
+nat_lik AS (
+  SELECT p.label AS cand, v.nat,
+         CAST(round(ln(CAST(coalesce(c.cf, 0) + 1 AS DOUBLE)
+             / (p.n_c + p.d_nat)), 6) + 0 AS DECIMAL(20,6)) AS lp_nat
+  FROM pri p
+  CROSS JOIN (SELECT DISTINCT nat FROM train) v
+  LEFT JOIN nat_cnt c ON c.label = p.label AND c.nat = v.nat
+), scored AS (
+  SELECT t.okey, t.label AS actual, p.label AS cand,
+         p.lp_prior
+         + coalesce(sl.lp_seg,
+             CAST(round(ln(1.0 / (p.n_c + p.d_seg)), 6) + 0 AS DECIMAL(20,6)))
+         + coalesce(nl.lp_nat,
+             CAST(round(ln(1.0 / (p.n_c + p.d_nat)), 6) + 0 AS DECIMAL(20,6)))
+           AS score
+  FROM (SELECT * FROM rws WHERE is_test) t
+  CROSS JOIN pri p
+  LEFT JOIN seg_lik sl ON sl.cand = p.label AND sl.seg = t.seg
+  LEFT JOIN nat_lik nl ON nl.cand = p.label AND nl.nat = t.nat
+), pred AS (
+  SELECT okey, actual, cand,
+         row_number() OVER (PARTITION BY okey ORDER BY score DESC, cand) AS rk
+  FROM scored
+)
+SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(okey) AS BIGINT) AS okey_checksum
+FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY actual, predicted"""
 }

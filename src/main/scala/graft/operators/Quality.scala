@@ -281,4 +281,78 @@ FROM (SELECT $fk FROM $child WHERE $fk IS NOT NULL
       s"FROM ($a)").mkString("\nUNION ALL\n") +
       "\nORDER BY child_table, fk_column"
   }
+
+  /** l-diversity profile (q199) — the privacy audit one step past q168's
+    * k-anonymity: a quasi-identifier group with many rows (high k) is still
+    * disclosive if its SENSITIVE attribute is uniform (l = 1, everyone in
+    * the group shares the value). Quasi-identifiers here are
+    * (lang, length-bucket); the sensitive attribute is `source`.
+    *
+    * Per group: l = distinct sensitive values, plus the Shannon entropy of
+    * the sensitive distribution (entropy l-diversity, Machanavajjhala et
+    * al., ICDE 2006). Counting is exact; entropy terms ride the q82 ln
+    * round-6 contract folded through round-9 decimals, so the published
+    * minima are cross-engine identical.
+    *
+    * Scale shape: one hash aggregate on (QI, sensitive), windows keyed by
+    * the QI group, then a per-language rollup — every shuffle is keyed,
+    * nothing is corpus-global.
+    */
+  def lDiversity(documents: DataFrame): DataFrame = {
+    import graft.functions.Fx._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val cells = documents
+      .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val wG = Window.partitionBy("lang", "len_bucket")
+    val g = cells
+      .withColumn("k", sum(col("c")).over(wG))
+      .withColumn("l", count(lit(1)).over(wG))
+      .withColumn("term",
+        round((col("c").cast("double") / col("k"))
+          * rd(log(col("c").cast("double") / col("k")), 6), 9).cast(dec))
+    val groups = g.groupBy("lang", "len_bucket")
+      .agg(max(col("k")).as("k"), max(col("l")).as("l"),
+        (-sum(col("term"))).as("ent"))
+    groups.groupBy("lang")
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_below_3"),
+        sum(when(col("l") < 3, col("k")).otherwise(0L)).as("rows_below_3"),
+        sum(col("k")).as("n_rows"),
+        rd(min(col("ent")).cast("double"), 6).as("min_entropy"))
+      .withColumn("pct_at_risk",
+        rd(col("rows_below_3").cast("double") / col("n_rows") * 100, 4))
+      .select(col("lang"), col("n_groups"), col("min_l"), col("groups_below_3"),
+        col("rows_below_3"), col("n_rows"), col("pct_at_risk"), col("min_entropy"))
+      .orderBy("lang")
+  }
+
+  /** The q199 oracle: identical group windows + ln/fold contracts. */
+  def lDiversityOracleSql: String = """
+WITH cells AS (
+  SELECT lang, n_chars // 100 AS len_bucket, source, count(*) AS c
+  FROM documents GROUP BY 1, 2, 3
+), g AS (
+  SELECT lang, len_bucket, c,
+         sum(c) OVER (PARTITION BY lang, len_bucket) AS k,
+         count(*) OVER (PARTITION BY lang, len_bucket) AS l
+  FROM cells
+), t AS (
+  SELECT lang, len_bucket, max(k) AS k, max(l) AS l,
+         -sum(CAST(round((CAST(c AS DOUBLE) / k)
+             * (round(ln(CAST(c AS DOUBLE) / k), 6) + 0), 9)
+           AS DECIMAL(30,12))) AS ent
+  FROM g GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_3,
+       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_below_3,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE)
+           / CAST(sum(k) AS DOUBLE) * 100, 4) + 0 AS pct_at_risk,
+       round(CAST(min(ent) AS DOUBLE), 6) + 0 AS min_entropy
+FROM t GROUP BY lang ORDER BY lang"""
 }

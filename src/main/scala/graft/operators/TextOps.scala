@@ -2009,4 +2009,104 @@ object TextOps {
         col("n_a"), col("n_b"))
       .orderBy("name_a", "name_b")
   }
+
+  /** Vocabulary-growth curve + Heaps-law fit (q201): type/token counts at
+    * corpus checkpoints — the tokenizer-sizing and corpus-diversity
+    * diagnostic (is vocabulary still growing, or is the crawl recycling
+    * itself?). Heaps' law V = K·n^β predicts β in log-log space; the gate
+    * publishes the OLS slope over the checkpoint curve via the q162
+    * quantize-first decimal sufficient statistics.
+    *
+    * The sequential-looking part — "vocabulary seen so far" — distributes
+    * exactly: a type is new at the checkpoint of its FIRST document
+    * (min(doc_id) per token — one hash aggregate), so cumulative vocabulary
+    * is a prefix sum of per-checkpoint new-type counts, and cumulative
+    * tokens a prefix sum of per-checkpoint token counts.
+    *
+    * Scale shape: two corpus-keyed hash aggregates (per-doc counts,
+    * first-occurrence per token); everything after lives on the checkpoint
+    * relation, whose size is corpus/bucketDocs — choose bucketDocs so the
+    * curve has O(100–1000) points at any corpus size (growth curves are
+    * read on log axes; checkpoint granularity scales with the corpus). The
+    * prefix windows run over that bounded relation only.
+    */
+  def vocabGrowth(documents: DataFrame, bucketDocs: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d6 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val tk = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perDoc = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val tokB = perDoc.groupBy(expr(s"doc_id div $bucketDocs").as("ckpt"))
+      .agg(sum(col("n_tok")).as("toks"), count(lit(1)).as("docs"))
+    val vocB = tk.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr(s"fd div $bucketDocs").as("ckpt"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+    val curve = tokB.join(vocB, Seq("ckpt"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("docs_seen", sum(col("docs")).over(w))
+      .withColumn("tokens_seen", sum(col("toks")).over(w))
+      .withColumn("vocab_size", sum(col("new_types")).over(w))
+      .withColumn("x", rd(log(col("tokens_seen").cast("double")), 6).cast(d6))
+      .withColumn("y", rd(log(col("vocab_size").cast("double")), 6).cast(d6))
+    curve
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("sy", sum(col("y")).over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wAll))
+      .select(col("ckpt"), col("docs_seen"), col("tokens_seen"), col("vocab_size"),
+        rd(col("vocab_size").cast("double") / col("tokens_seen"), 6).as("ttr"),
+        rd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("heaps_beta"))
+      .orderBy("ckpt")
+  }
+
+  /** The q201 oracle: identical first-occurrence prefix construction and
+    * decimal OLS over the checkpoint curve.
+    */
+  def vocabGrowthOracleSql: String = """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+pd AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+tb AS (
+  SELECT doc_id // 100 AS ckpt, sum(n_tok) AS toks, count(*) AS docs
+  FROM pd GROUP BY 1
+), fo AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1),
+vb AS (SELECT fd // 100 AS ckpt, count(*) AS new_types FROM fo GROUP BY 1),
+j AS (
+  SELECT tb.ckpt, tb.toks, tb.docs, coalesce(vb.new_types, 0) AS new_types
+  FROM tb LEFT JOIN vb ON vb.ckpt = tb.ckpt
+), c AS (
+  SELECT ckpt,
+         sum(docs) OVER win AS docs_seen,
+         sum(toks) OVER win AS tokens_seen,
+         sum(new_types) OVER win AS vocab_size
+  FROM j WINDOW win AS (ORDER BY ckpt ROWS UNBOUNDED PRECEDING)
+), xy AS (
+  SELECT ckpt, docs_seen, tokens_seen, vocab_size,
+         CAST(round(ln(CAST(tokens_seen AS DOUBLE)), 6) + 0 AS DECIMAL(20,6)) AS x,
+         CAST(round(ln(CAST(vocab_size AS DOUBLE)), 6) + 0 AS DECIMAL(20,6)) AS y
+  FROM c
+), s AS (
+  SELECT ckpt, docs_seen, tokens_seen, vocab_size, x, y,
+         count(*) OVER () AS n, sum(x) OVER () AS sx, sum(y) OVER () AS sy,
+         sum(x * x) OVER () AS sxx, sum(x * y) OVER () AS sxy
+  FROM xy
+)
+SELECT CAST(ckpt AS BIGINT) AS ckpt,
+       CAST(docs_seen AS BIGINT) AS docs_seen,
+       CAST(tokens_seen AS BIGINT) AS tokens_seen,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       round(CAST(vocab_size AS DOUBLE) / CAST(tokens_seen AS DOUBLE), 6) + 0 AS ttr,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS heaps_beta
+FROM s ORDER BY ckpt"""
 }

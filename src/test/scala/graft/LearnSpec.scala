@@ -76,4 +76,40 @@ class LearnSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(4)).distinct.length == 1) // same w on every row
     assert(rows.map(_.getLong(1)).sum == docs.count())
   }
+
+  test("naiveBayes confusion matrix matches a sequential reference") {
+    // Spark round(double, 6) goes through the shortest-repr BigDecimal
+    def ln6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val joined = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("o_orderkey", "o_orderpriority", "c_mktsegment",
+        "CAST(c_nationkey AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val (test, train) = joined.partition(_._1 % 5 == 0)
+    val n = train.length
+    val dSeg = train.map(_._3).distinct.length
+    val dNat = train.map(_._4).distinct.length
+    val nC = train.groupBy(_._2).view.mapValues(_.length).toMap
+    val segC = train.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val natC = train.groupBy(t => (t._2, t._4)).view.mapValues(_.length).toMap
+    val classes = nC.keys.toSeq.sorted
+    val expected = test.map { case (okey, actual, seg, nat) =>
+      val best = classes.map { c =>
+        val score = ln6(math.log(nC(c).toDouble / n)) +
+          ln6(math.log((segC.getOrElse((c, seg), 0) + 1).toDouble / (nC(c) + dSeg))) +
+          ln6(math.log((natC.getOrElse((c, nat), 0) + 1).toDouble / (nC(c) + dNat)))
+        (c, score)
+      }.sortBy { case (c, s) => (-s, c) }.head._1
+      ((actual, best), okey)
+    }.groupBy(_._1).view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val got = Learn.naiveBayes(Tables.orders(spark, sf), Tables.customer(spark, sf))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == test.length)
+  }
 }

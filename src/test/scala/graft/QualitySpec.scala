@@ -62,4 +62,34 @@ class QualitySpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("bad1") && e.getMessage.contains("bad2"))
   }
+
+  test("lDiversity matches a brute-force group census") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("lang", "n_chars div 100 AS lb", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val out = Quality.lDiversity(graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(7)))).toMap
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val groups = rows.groupBy(t => (t._1, t._2)).values.toSeq
+      val ls = groups.map(_.map(_._3).distinct.size)
+      val ks = groups.map(_.size)
+      val ents = groups.map { g =>
+        val k = g.size.toDouble
+        -g.groupBy(_._3).values.map { s =>
+          val p = s.size / k
+          p * (math.rint(math.log(p) * 1e6) / 1e6)
+        }.sum
+      }
+      val (nG, minL, below3, rowsBelow3, nRows, minEnt) = out(lang)
+      assert(nG == groups.size, s"$lang groups")
+      assert(minL == ls.min, s"$lang min_l")
+      assert(below3 == ls.count(_ < 3), s"$lang below3")
+      assert(rowsBelow3 == ks.zip(ls).filter(_._2 < 3).map(_._1).sum, lang)
+      assert(nRows == rows.size, s"$lang rows")
+      assert(math.abs(minEnt - ents.min) < 2e-6, s"$lang entropy")
+      assert(minEnt >= 0.0)
+    }
+  }
 }

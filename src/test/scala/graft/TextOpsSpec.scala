@@ -661,4 +661,67 @@ class TextOpsSpec extends SparkSpecBase {
     val en = out.filter(_._2 == "en")
     assert(en.map(_._4).min == 0.0)
   }
+
+  test("vocabGrowth matches a sequential corpus scan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").toSeq.filter(_.nonEmpty)
+    // sequential scan: running token count + running vocabulary set
+    val seen = scala.collection.mutable.Set.empty[String]
+    var tokensSeen = 0L
+    var docsSeen = 0L
+    val byCkpt = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    docs.foreach { case (id, text) =>
+      val ts = toks(text)
+      if (ts.nonEmpty) { // zero-token docs never reach the token relation
+        tokensSeen += ts.length
+        docsSeen += 1
+        seen ++= ts
+        byCkpt(id / 100) = (docsSeen, tokensSeen, seen.size.toLong)
+      }
+    }
+    val got = TextOps.vocabGrowth(graft.sources.Tables.documents(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == byCkpt.keySet)
+    // brute-force the log-log OLS slope from the sequential curve
+    def fit(curve: Seq[(Long, Long)]): Double = {
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val pts = curve.map { case (t, v) => (r6(math.log(t.toDouble)), r6(math.log(v.toDouble))) }
+      val n = pts.length
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      ((n * sxy - sx * sy) / (n * sxx - sx * sx)).toDouble
+    }
+    val expBeta = fit(byCkpt.toSeq.sortBy(_._1).map { case (_, (_, t, v)) => (t, v) })
+    byCkpt.foreach { case (ck, (d, t, v)) =>
+      val (gd, gt, gv, ttr, beta) = got(ck)
+      assert(gd == d && gt == t && gv == v, s"ckpt $ck")
+      assert(math.abs(ttr - v.toDouble / t) < 1e-6, s"ckpt $ck ttr")
+      assert(math.abs(beta - expBeta) < 1e-5, s"ckpt $ck beta $beta != $expBeta")
+    }
+    // the fitted slope is one shared value across the curve
+    assert(got.values.map(_._5).toSet.size == 1)
+  }
+
+  test("vocabGrowth: Heaps slope is positive on a growing-vocabulary corpus") {
+    import spark.implicits._
+    // doc i introduces i+1 fresh types and repeats a shared stopword —
+    // vocabulary grows every checkpoint (bucket = 1 doc at bucketDocs=1)
+    val docs = (0 until 8).map { i =>
+      val fresh = (0 to i).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"the $fresh", "en", "synthetic", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.vocabGrowth(docs, bucketDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    assert(out.length == 8)
+    // strictly growing vocabulary, strictly positive fitted slope
+    out.sliding(2).foreach { case Array(a, b) => assert(b._3 > a._3); case _ => () }
+    assert(out.head._4 > 0.0 && out.head._4 < 1.5, out.head.toString)
+  }
 }
