@@ -251,4 +251,48 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
       s"normalize->aggregate not inside a codegen stage:\n$plan")
   }
+
+  test("q194 FIFO match: the lot join is banded equi — no cartesian, no NLJ") {
+    val df = graft.operators.Ledger.fifoMatch(Tables.lineitem(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in FIFO join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"NLJ in FIFO join:\n$plan")
+  }
+
+  test("q195 item CF: map-side partial k-heaps, no rank window, no cartesian") {
+    val df = graft.operators.GraphOps.itemNeighbors(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // map-side partial heaps must exist (k-bounds any shuffle the planner
+    // chooses to insert; at tiny SF AQE broadcasts everything and the
+    // partial+final pair runs back-to-back with no exchange at all)
+    assert(plan.contains("partial_topk_by_score"),
+      s"no map-side partial topk in:\n$plan")
+    assert(!plan.contains("Window"), s"ranking fell back to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in CF scoring:\n$plan")
+  }
+
+  test("q197 ABC: band offsets broadcast back; no corpus-global window") {
+    val df = Analytics.abcClassification(Tables.lineitem(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cross-band offsets are not broadcast:\n$plan")
+    // the only SinglePartition exchange allowed is the tiny band-total
+    // prefix (and the final orderBy); the part-level cumsum must be keyed
+    assert(plan.contains("hashpartitioning(b"),
+      s"in-band window is not partitioned by band:\n$plan")
+  }
+
+  test("q200 naive bayes: likelihood tables broadcast into the scoring join") {
+    val df = graft.operators.Learn.naiveBayes(
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"likelihoods are not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"class fan-out became a cartesian:\n$plan")
+  }
 }
