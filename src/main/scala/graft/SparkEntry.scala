@@ -1992,7 +1992,22 @@ ORDER BY r.rank DESC, partkey"""
     // VOCABULARY-GROWTH CURVE + HEAPS-LAW FIT: first-occurrence checkpoint
     // prefix sums (type is new at min(doc_id)); log-log OLS slope via the
     // q162 decimal sufficient statistics
-    "q201_vocab_growth" -> ((s, dir) => TextOps.vocabGrowth(Tables.documents(s, dir)))
+    "q201_vocab_growth" -> ((s, dir) => TextOps.vocabGrowth(Tables.documents(s, dir))),
+
+    // RFM SEGMENTATION: recency/frequency/monetary quintiles via the
+    // DISTRIBUTED banded ntile (cross-band prefix rank + positional tile
+    // rule — no customer-global sort window); 5x5x5 segment census
+    "q202_rfm_segments" -> ((s, dir) => Analytics.rfmSegments(Tables.orders(s, dir))),
+
+    // DAU / trailing-WAU STICKINESS: distinct-over-sliding-window
+    // reformulated as the constant ≤7 window-end fan-out per user-day —
+    // no per-window user sets, every distinct a keyed aggregate
+    "q203_stickiness" -> ((s, dir) => EventOps.stickiness(Tables.events(s, dir))),
+
+    // T+2 SETTLEMENT CALENDAR: weekend-free trading-day index (broadcast),
+    // weekend trades roll forward, settlement = index + 2; end-of-corpus
+    // trades honestly reported UNSETTLED
+    "q204_settlement_t2" -> ((s, dir) => EventOps.settlementT2(Tables.events(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4918,6 +4933,16 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q200_naive_bayes" -> Learn.naiveBayesOracleSql,
 
     // identical first-occurrence prefix construction + decimal OLS
-    "q201_vocab_growth" -> TextOps.vocabGrowthOracleSql
+    "q201_vocab_growth" -> TextOps.vocabGrowthOracleSql,
+
+    // plain ntile windows over the identical strict orders — proves the
+    // banded rank implements SQL ntile exactly
+    "q202_rfm_segments" -> Analytics.rfmSegmentsOracleSql,
+
+    // the same constant fan-out reformulation
+    "q203_stickiness" -> EventOps.stickinessOracleSql,
+
+    // identical calendar index + roll-forward + T+2
+    "q204_settlement_t2" -> EventOps.settlementT2OracleSql
   )
 }

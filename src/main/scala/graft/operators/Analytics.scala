@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Fx._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DecimalType}
@@ -489,4 +489,91 @@ SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
        round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) * 100, 6) + 0
          AS share_pct
 FROM c GROUP BY 1 ORDER BY abc_class"""
+
+  /** Distributed ntile: assign `k` equal-frequency tiles over the strict
+    * (ord, tie) total order WITHOUT a single global sort window. Global
+    * rank = cross-band prefix count (tiny per-band-total relation,
+    * broadcast) + in-band row_number (window keyed by band — bands are
+    * value ranges, so band order agrees with the global order). The tile
+    * then falls out of the positional ntile rule applied to (rank, n):
+    * first n%k tiles hold n/k+1 rows — exactly SQL ntile's contract, which
+    * the oracles state with the plain window function.
+    */
+  private[graft] def ntileTiles(df: DataFrame, ord: Column, tie: Column,
+      k: Int, band: Long, out: String): DataFrame = {
+    val base = df.withColumn("__ord", ord)
+      .withColumn("__b", floor(col("__ord") / band))
+    val wIn = Window.partitionBy("__b").orderBy(col("__ord"), tie)
+    val inb = base.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val wB = Window.orderBy(col("__b"))
+    val off = base.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .withColumn("__off", coalesce(
+        sum(col("__bc")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(Window.partitionBy(lit(1))))
+    // SQL ntile's positional rule on (rank, n): base tile size q = n div k,
+    // the first r = n % k tiles hold q+1. `greatest(q, 1)` only guards the
+    // ANSI division when n < k (every row then sits in the first branch).
+    inb.join(broadcast(off.select("__b", "__off", "__n")), "__b")
+      .withColumn("__i", col("__off") + col("__rn"))
+      .withColumn(out, {
+        val q = expr(s"__n div $k")
+        val r = expr(s"__n % $k")
+        when(col("__i") <= (q + 1) * r,
+          expr(s"(__i - 1) div (__n div $k + 1)") + 1)
+          .otherwise(r + expr(s"(__i - (__n div $k + 1) * (__n % $k) - 1) div greatest(__n div $k, 1)") + 1)
+      })
+      .drop("__ord", "__b", "__rn", "__off", "__n", "__i")
+  }
+
+  /** RFM segmentation (q202): recency / frequency / monetary quintiles per
+    * customer, combined into the 5×5×5 marketing segment census. Scores
+    * follow the "5 = best" convention (most recent, most frequent, highest
+    * spend). Quintiles are SQL ntile over strict total orders (ties broken
+    * by customer key), computed with the distributed banded rank — no
+    * customer-global sort window; all metrics are integer days / counts /
+    * cents.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxD = orders.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    val cust = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency", datediff(col("mxd"), col("last_d")).cast("long"))
+    val scored = Seq(
+      (("r_score", 30L), -col("recency")),
+      (("f_score", 8L), col("freq")),
+      (("m_score", 1000000L), col("cents"))
+    ).foldLeft(cust) { case (d, ((name, band), ord)) =>
+      ntileTiles(d, ord, col("ck"), 5, band, name)
+    }
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
+        sum(col("ck")).as("ck_checksum"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** The q202 oracle: plain ntile windows over the identical strict orders. */
+  def rfmSegmentsOracleSql: String = """
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+c AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT mxd FROM mx)) AS recency,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT ck, cents,
+         ntile(5) OVER (ORDER BY -recency, ck) AS r_score,
+         ntile(5) OVER (ORDER BY freq, ck) AS f_score,
+         ntile(5) OVER (ORDER BY cents, ck) AS m_score
+  FROM c
+)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(sum(ck) AS BIGINT) AS ck_checksum
+FROM t GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
 }

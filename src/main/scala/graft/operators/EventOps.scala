@@ -168,4 +168,116 @@ object EventOps {
         col("n_points"))
       .orderBy("date")
   }
+
+  /** Rolling active-user stickiness (q203): DAU, trailing-7-day WAU, and
+    * the DAU/WAU ratio per day — the product-analytics engagement metric.
+    *
+    * The expensive part at scale is "distinct users over a sliding window":
+    * a distinct-over-RANGE window is unimplementable without holding the
+    * user set. The classic reformulation: collapse to (user, day) once,
+    * then each user-day contributes to the ≤7 window-ends it falls in —
+    * a CONSTANT fan-out explode — and WAU is a plain distinct count per
+    * window end. Both distincts are keyed hash aggregates; nothing holds a
+    * set larger than one group's.
+    *
+    * Window ends clamp to the observed calendar; the leading ≤6 days are
+    * genuine partial windows (documented, matching the oracle).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDays = events.select(col("user_id"), col("date")).distinct()
+    val dau = userDays.groupBy("date").agg(count(lit(1)).as("dau"))
+    val maxDay = userDays.agg(max(col("date")).as("mx"))
+    val wau = userDays
+      .withColumn("wend", explode(sequence(col("date"), date_add(col("date"), 6))))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("mx"))
+      .select(col("user_id"), col("wend")).distinct()
+      .groupBy(col("wend").as("date")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "date")
+      .select(dateStr(col("date")).as("date"), col("dau"), col("wau"),
+        rd(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("date")
+  }
+
+  /** The q203 oracle: the same constant fan-out reformulation. */
+  def stickinessOracleSql: String = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d, count(*) AS dau FROM ud GROUP BY 1
+), mx AS (SELECT max(d) AS mx FROM ud),
+uw AS (
+  SELECT DISTINCT ud.user_id, ud.d + CAST(off.o AS INTEGER) AS wend
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off, mx
+  WHERE ud.d + CAST(off.o AS INTEGER) <= mx.mx
+), wau AS (
+  SELECT wend AS d, count(*) AS wau FROM uw GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS date,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) + 0
+         AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d ORDER BY date"""
+
+  /** T+2 settlement-date assignment (q204): each purchase settles two
+    * TRADING days after its trade date, where the trading calendar is the
+    * observed event calendar minus weekends — real settlement-cycle logic
+    * (weekend trades roll forward to the next trading day first, then
+    * count two more).
+    *
+    * The calendar is calendar-bounded (dates, not rows): broadcast twice —
+    * once as an as-of floor to the next trading day (constant ≤7-day probe
+    * via a banded join on the day), once as an index lookup rn → rn+2.
+    * Trades whose settlement would fall past the observed calendar are
+    * reported unsettled (settle_date NULL) — the honest end-of-corpus cut.
+    * Everything is integer dates and cents.
+    */
+  def settlementT2(events: DataFrame): DataFrame = {
+    val cal = events.select(col("date")).distinct()
+      .filter(weekday(col("date")) < 5)
+    val rn = Window.orderBy("date") // trading-calendar relation: tiny
+    val calIdx = cal.withColumn("rn", row_number().over(rn))
+    val trades = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("date").as("trade_date"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    // next trading day >= trade date: probe the ≤7 following days against
+    // the broadcast calendar, keep the earliest hit; a trade past the
+    // observed calendar's end finds none and stays NULL → UNSETTLED
+    val probed = trades
+      .withColumn("cand", explode(sequence(col("trade_date"), date_add(col("trade_date"), 6))))
+      .join(broadcast(calIdx), col("cand") === col("date"), "left")
+      .groupBy("event_id", "trade_date", "cents")
+      .agg(min(col("rn")).as("t0"))
+    val settled = probed
+      .join(broadcast(calIdx.select(col("rn").as("srn"), col("date").as("settle_date"))),
+        col("t0") + 2 === col("srn"), "left")
+    settled.groupBy(coalesce(dateStr(col("settle_date")), lit("UNSETTLED")).as("settle_date"))
+      .agg(count(lit(1)).as("n_trades"), sum(col("cents")).as("cents"))
+      .orderBy("settle_date")
+  }
+
+  /** The q204 oracle: identical calendar index + roll-forward + T+2. */
+  def settlementT2OracleSql: String = """
+WITH cal AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        WHERE isodow(CAST(ts AS DATE)) <= 5)
+), tr AS (
+  SELECT event_id, CAST(ts AS DATE) AS td,
+         CAST(round("value" * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), nxt AS (
+  SELECT t.event_id, t.td, t.cents, min(c.rn) AS t0
+  FROM tr t
+  CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off
+  LEFT JOIN cal c ON c.d = t.td + CAST(off.o AS INTEGER)
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT n.event_id, n.cents, c2.d AS sd
+  FROM nxt n LEFT JOIN cal c2 ON c2.rn = n.t0 + 2
+)
+SELECT coalesce(strftime(sd, '%Y-%m-%d'), 'UNSETTLED') AS settle_date,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM s GROUP BY 1 ORDER BY settle_date"""
 }

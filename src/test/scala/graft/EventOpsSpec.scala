@@ -102,4 +102,48 @@ class EventOpsSpec extends SparkSpecBase {
     val b = EventOps.peakConcurrencyFrom(base.repartition(13), 30).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("stickiness matches a brute-force per-day distinct window") {
+    val ud = Tables.events(spark, sf).selectExpr("user_id", "date")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val days = byDay.keys.toSeq.sortBy(_.toEpochDay)
+    val got = EventOps.stickiness(Tables.events(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    days.foreach { d =>
+      val dau = byDay(d).size.toLong
+      val wau = (0 to 6).flatMap(off =>
+        byDay.getOrElse(d.minusDays(off.toLong), Set.empty[Long])).toSet.size.toLong
+      val (gDau, gWau, st) = got(d.toString)
+      assert(gDau == dau, s"$d dau")
+      assert(gWau == wau, s"$d wau")
+      assert(math.abs(st - dau.toDouble / wau) < 1e-6, s"$d stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    assert(got.size == days.size)
+  }
+
+  test("settlementT2: weekend trades roll forward; settlement skips weekends") {
+    // calendar fixture: Thu Jan 1 .. Sun Jan 11, 2004 (trading days:
+    // Thu 1, Fri 2, Mon 5, Tue 6, Wed 7, Thu 8, Fri 9)
+    val ev = (1 to 11).map { d =>
+      (d.toLong, f"2004-01-$d%02d 10:00:00", 7000L + d,
+        if (d % 2 == 0) "purchase" else "view", 10.0, "{}")
+    }.toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props")
+    val shaped = graft.sources.Tables.shapeEvents(ev)
+    val out = EventOps.settlementT2(shaped).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // purchases on 2,4,6,8,10: Fri 2 -> +2 trading days = Tue 6;
+    // Sun 4 rolls to Mon 5 -> Wed 7; Tue 6 -> Thu 8; Thu 8 -> +2 would be
+    // Mon 12 (outside the observed calendar) -> UNSETTLED; Sat 10 finds no
+    // next trading day inside the corpus at all -> UNSETTLED too
+    assert(out.get("2004-01-06").contains(1L), out.toString)
+    assert(out.get("2004-01-07").contains(1L), out.toString)
+    assert(out.get("2004-01-08").contains(1L), out.toString)
+    assert(out.get("UNSETTLED").contains(2L), out.toString)
+    assert(out.values.sum == 5L, out.toString)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Analytics, Learn, MarketView, Stats}
 import graft.sources.Tables
+import org.apache.spark.sql.functions.col
 
 /** Statistical-test + allocation operators: brute-force cross-checks of the
   * distributed formulations and the integer invariants the oracles rely on.
@@ -190,5 +191,35 @@ class StatsSpec extends SparkSpecBase {
     }
     assert(out.values.map(_._1).sum == rev.size)
     assert(out.values.map(_._2).sum == total)
+  }
+
+  test("banded ntile equals SQL ntile for every k and ragged n") {
+    import spark.implicits._
+    // 37 rows, ragged against every k in 2..7; duplicate metric values to
+    // exercise the tie-break; negative ordinals to exercise band flooring
+    val rows = (1 to 37).map(i => (i.toLong, ((i * 7) % 12 - 5).toLong))
+      .toDF("id", "m")
+    for (k <- 2 to 7) {
+      val got = Analytics.ntileTiles(rows, col("m"), col("id"), k, 3L, "tile")
+        .select("id", "tile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = rows.selectExpr("id", s"ntile($k) OVER (ORDER BY m, id) AS t")
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(got == exp, s"k=$k")
+    }
+    // n < k: every row lands in its own leading tile
+    val tiny = Seq((1L, 5L), (2L, 3L)).toDF("id", "m")
+    val t = Analytics.ntileTiles(tiny, col("m"), col("id"), 5, 3L, "tile")
+      .select("id", "tile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(2L -> 1L, 1L -> 2L))
+  }
+
+  test("RFM segments: census partitions the customer base; scores bounded") {
+    val out = Analytics.rfmSegments(Tables.orders(spark, sf)).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(3)).sum == nCust)
+    out.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 5, r.toString))
+    }
   }
 }
