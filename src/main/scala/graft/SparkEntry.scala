@@ -276,6 +276,101 @@ FROM scored GROUP BY lang ORDER BY lang"""
 )"""
   }
 
+  /** q205 oracle: per-subspace Lloyd replays (the [[KmeansCellsCtes]]
+    * technique, parameterized over the m vector slices), the code
+    * assignment, the ADC lookup tables, and the left-associated m-term
+    * score — generated so subspace count / codebook size / iterations stay
+    * in one place with the engine call.
+    */
+  private def pqOracleSql(m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                          nQueries: Int = 5, k: Int = 5, rescoreFactor: Int = 20,
+                          dim: Int = 64): String = {
+    val sub = dim / m
+    def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+    val subCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      val iterCtes = (1 to iters).map { i =>
+        s""", s${s}_asg$i AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM s${s}_e e CROSS JOIN s${s}_cents${i - 1} c
+), s${s}_cp$i AS (
+  SELECT cell, pos, round(avg(val), 6) + 0 AS c
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+        FROM s${s}_asg$i WHERE crk = 1)
+  GROUP BY 1, 2
+), s${s}_cents$i AS (
+  SELECT cell, list(c ORDER BY pos) AS cvec FROM s${s}_cp$i GROUP BY cell
+)"""
+      }.mkString
+      s""", s${s}_e AS (
+  SELECT vec_id, v[$lo:$hi] AS v FROM e
+), s${s}_sd AS (
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM s${s}_e ORDER BY h LIMIT $nCodes
+), s${s}_cents0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM s${s}_sd
+)$iterCtes, s${s}_fin AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM s${s}_e e CROSS JOIN s${s}_cents$iters c
+), s${s}_code AS (
+  SELECT vec_id, cell AS code_$s FROM s${s}_fin WHERE crk = 1
+), s${s}_lut AS (
+  SELECT q.vec_id AS q_id, c.cell AS code_$s,
+         ${dot("q.v", "c.cvec")} AS d_$s,
+         ${dot("c.cvec", "c.cvec")} AS sq_$s
+  FROM (SELECT vec_id, v FROM s${s}_e WHERE vec_id < $nQueries) q
+  CROSS JOIN s${s}_cents$iters c
+)"""
+    }.mkString
+    val idxUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, code_$s AS code FROM s${s}_code").mkString("\n  UNION ALL\n  ")
+    val lutUnion = (0 until m).map(s =>
+      s"SELECT q_id, $s AS sub, code_$s AS code, d_$s AS d, sq_$s AS sq FROM s${s}_lut").mkString("\n  UNION ALL\n  ")
+    val dSum = (1 to m).map(i => s"ds[$i]").mkString(" + ")
+    val sqSum = (1 to m).map(i => s"sqs[$i]").mkString(" + ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qn AS (
+  SELECT vec_id AS q_id, sqrt(${dot("v", "v")}) AS qnorm FROM e WHERE vec_id < $nQueries
+)$subCtes, idx AS (
+  $idxUnion
+), lut AS (
+  $lutUnion
+), contrib AS (
+  SELECT l.q_id, i.vec_id, i.sub, l.d, l.sq
+  FROM idx i JOIN lut l ON l.sub = i.sub AND l.code = i.code
+  WHERE i.vec_id <> l.q_id
+), pair AS (
+  SELECT q_id, vec_id,
+         list(d ORDER BY sub) AS ds, list(sq ORDER BY sub) AS sqs
+  FROM contrib GROUP BY 1, 2
+), scored AS (
+  SELECT p.q_id, p.vec_id,
+         ($dSum) / nullif(qn.qnorm * sqrt($sqSum), 0) AS sim
+  FROM pair p JOIN qn ON qn.q_id = p.q_id
+), coarse AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS crk
+  FROM scored
+), resc AS (
+  SELECT c.q_id, c.vec_id, ${cosSql("qe.v", "ce.v")} AS xsim
+  FROM coarse c
+  JOIN e ce ON ce.vec_id = c.vec_id
+  JOIN e qe ON qe.vec_id = c.q_id
+  WHERE c.crk <= ${rescoreFactor * k}
+), r AS (
+  SELECT q_id, vec_id, xsim,
+         row_number() OVER (PARTITION BY q_id ORDER BY xsim DESC, vec_id) AS rk
+  FROM resc
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+       round(xsim, 6) + 0 AS sim
+FROM r WHERE rk <= $k ORDER BY q_id, rk"""
+  }
+
   /** Shared oracle CTE chain computing the composite quality score
     * (q31's formula) per document — ends with
     * `qscore(doc_id, lang, source, text, score)`. Reused by q105 / q113 /
@@ -2007,7 +2102,13 @@ ORDER BY r.rank DESC, partkey"""
     // T+2 SETTLEMENT CALENDAR: weekend-free trading-day index (broadcast),
     // weekend trades roll forward, settlement = index + 2; end-of-corpus
     // trades honestly reported UNSETTLED
-    "q204_settlement_t2" -> ((s, dir) => EventOps.settlementT2(Tables.events(s, dir)))
+    "q204_settlement_t2" -> ((s, dir) => EventOps.settlementT2(Tables.events(s, dir))),
+
+    // PRODUCT-QUANTIZED kNN (Jégou et al. 2011): m=4 md5-seeded subspace
+    // codebooks, 1-byte codes, asymmetric-distance scoring through
+    // broadcast lookup tables; left-associated m-term sums keep every
+    // score bit-identical cross-engine
+    "q205_pq_knn" -> ((s, dir) => Similarity.pqKnn(Tables.embeddings(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -4943,6 +5044,10 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q203_stickiness" -> EventOps.stickinessOracleSql,
 
     // identical calendar index + roll-forward + T+2
-    "q204_settlement_t2" -> EventOps.settlementT2OracleSql
+    "q204_settlement_t2" -> EventOps.settlementT2OracleSql,
+
+    // per-subspace Lloyd replays + ADC lookup joins, generated in lockstep
+    // with the engine's (m, codes, iters) configuration
+    "q205_pq_knn" -> pqOracleSql()
   )
 }

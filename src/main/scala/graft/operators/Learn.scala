@@ -344,9 +344,12 @@ FROM sc ORDER BY threshold"""
 
     val cust = customer.select(col("c_custkey").as("ck"),
       col("c_mktsegment").as("seg"), col("c_nationkey").cast("long").as("nat"))
+    // no broadcast hint: the customer dimension scales with the corpus —
+    // AQE broadcasts while it fits and falls back to a keyed shuffle join
+    // past the threshold (the only 100 TB-correct default)
     val rows = orders.select(col("o_orderkey").as("okey"),
         col("o_custkey").as("ck"), col("o_orderpriority").as("label"))
-      .join(broadcast(cust), "ck")
+      .join(cust, "ck")
       .withColumn("is_test", col("okey") % 5 === 0)
     val train = rows.filter(!col("is_test"))
 

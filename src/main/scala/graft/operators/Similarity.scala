@@ -574,4 +574,103 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     assignCells(emb, kmeansCentroids(embeddings, nCells, iters))
   }
+
+  /** Product-quantized kNN (q205) — Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search" (TPAMI 2011): the vector is
+    * split into `m` subvectors, each quantized against its OWN small
+    * codebook (same md5-seeded, 6-decimal-quantized Lloyd contract as the
+    * q73 coarse quantizer, trained on the sliced relation), so a 64-dim
+    * float vector compresses to `m` one-byte codes. Queries score by
+    * ASYMMETRIC DISTANCE COMPUTATION: per (query, subspace, code) partial
+    * dot products and per (subspace, code) codeword norms are tiny lookup
+    * tables; a candidate's approximate cosine is
+    *
+    *   sim(q, x) ≈ Σ_s dot(q_s, c[s, code_s(x)])
+    *               / (|q| · sqrt(Σ_s |c[s, code_s(x)]|²))
+    *
+    * — m table lookups per candidate, never the full-dimension float math.
+    *
+    * Cross-engine exactness: subspace dots are single [[vecDot]] folds
+    * (== DuckDB's list_dot_product, element order fixed); the cross-subspace
+    * sums are stated as the SAME left-associated m-term expression on both
+    * engines, so every score is bit-identical and the (sim DESC, id) ranking
+    * needs no rounding contract.
+    *
+    * The coarse ADC ranking keeps `rescoreFactor·k` candidates per query,
+    * which are then rescored with EXACT cosine against their full float
+    * vectors (the standard two-stage PQ pipeline — the q125 discipline):
+    * only rescoreFactor·k full vectors per query ever leave the index.
+    *
+    * Scale shape: codebooks are m×k×(d/m) — broadcast; encoding is m
+    * zero-shuffle assignCells passes over the sliced corpus; the PQ index
+    * is m small ints per vector (the 32× memory lever at this config that
+    * lets a billion-vector index fit a cluster); scoring joins the index
+    * against broadcast lookup tables and both ranking stages run through
+    * the k-heap aggregate.
+    */
+  def pqKnn(embeddings: DataFrame, m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+            nQueries: Int = 5, k: Int = 5, rescoreFactor: Int = 20,
+            dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+    // per-subspace codebook + code assignment; the PQ index is the LONG
+    // (vec_id, sub, code) relation — m small ints per vector
+    val parts = (0 until m).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("e"), s * sub + 1, sub).as("embedding"))
+      val book = kmeansCentroids(sliced, nCodes, iters)
+      val codes = assignCells(
+        sliced.select(col("vec_id"), col("embedding").as("e")), book)
+        .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
+      (book, codes)
+    }
+    val index = parts.map(_._2).reduce(_ unionAll _)
+
+    // queries: ONE lookup table (q × m × nCodes rows — broadcast)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .withColumn("qnorm", sqrt(vecDot(col("qe"), col("qe"))))
+    val lut = (0 until m).map { s =>
+      queries.select(col("q_id"),
+          slice(col("qe"), s * sub + 1, sub).as("qs"))
+        .crossJoin(broadcast(parts(s)._1))
+        .select(col("q_id"), lit(s).as("sub"), col("cell").as("code"),
+          vecDot(col("qs"), col("cvec")).as("d"),
+          vecDot(col("cvec"), col("cvec")).as("sq"))
+    }.reduce(_ unionAll _)
+
+    // ADC: one broadcast lookup join over the long index, then a
+    // deterministic LEFT-ASSOCIATED fold over the sub-ordered terms — the
+    // identical m-term expression on both engines, so no rounding contract
+    val scored = index
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("d"), col("sq")))).as("terms"))
+      .join(broadcast(queries.select(col("q_id"), col("qnorm"))), "q_id")
+      .withColumn("sim", {
+        def chain(f: String) = (0 until m)
+          .map(s => element_at(col("terms"), s + 1).getField(f)).reduce(_ + _)
+        chain("d") / nullIfZero(col("qnorm") * sqrt(chain("sq")))
+      })
+    val coarse = scored.groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topK(col("sim"), col("vec_id"),
+        rescoreFactor * k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+    // exact-cosine rescore of the surviving candidates only
+    coarse
+      .join(emb.select(col("vec_id"), col("e").as("ce")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("qe"))), "q_id")
+      .withColumn("xsim", cosineSim(col("qe"), col("ce")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topK(col("xsim"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.rk").as("rk"), col("t.id").as("neighbor_id"),
+        rd(col("t.score"), 6).as("sim"))
+      .orderBy("q_id", "rk")
+  }
 }

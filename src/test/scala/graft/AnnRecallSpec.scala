@@ -96,6 +96,23 @@ class AnnRecallSpec extends SparkSpecBase {
     * EXACTLY (same candidates through the same rankTopK), so recall loss is
     * attributable to probe pruning alone — the knob the user turns.
     */
+  test("q205 PQ at sf0.1: ADC recall@5 vs brute ≥ floor; index is m codes/vector") {
+    val emb = Tables.embeddings(spark, sf01)
+    val brute = knnSet(Similarity.bruteKnnFrom(emb, 5, 5))
+    val pq = Similarity.pqKnn(emb)
+    val pqSet = knnSet(pq.withColumnRenamed("neighbor_id", "neighbor_id"))
+    val recall = brute.intersect(pqSet).size.toDouble / brute.size
+    info(f"PQ recall@5 vs brute at sf0.1: $recall%.3f")
+    // 256 float bytes -> 8 one-byte codes (32x compression); registered
+    // rescoreFactor=20 measured 0.680 on the uniform-regime corpus (PQ's
+    // worst case — real clustered embeddings do better); floor just below
+    assert(recall >= 0.6, f"PQ recall@5 $recall%.3f fell below the pinned floor (measured 0.680)")
+    assert(pq.columns.toSet == Set("q_id", "rk", "neighbor_id", "sim"))
+    // every query returns exactly k ranked neighbors
+    val perQ = pq.groupBy("q_id").count().collect().map(_.getLong(1)).toSet
+    assert(perQ == Set(5L))
+  }
+
   test("q73 registered config at sf0.1: recall@3 ≥ 0.7; exhaustive probe ≡ brute force") {
     val emb = Tables.embeddings(spark, sf01)
     val brute = knnSet(Similarity.bruteKnn(spark, sf01, 5, 3))
