@@ -2104,11 +2104,21 @@ ORDER BY r.rank DESC, partkey"""
     // trades honestly reported UNSETTLED
     "q204_settlement_t2" -> ((s, dir) => EventOps.settlementT2(Tables.events(s, dir))),
 
-    // PRODUCT-QUANTIZED kNN (Jégou et al. 2011): m=4 md5-seeded subspace
-    // codebooks, 1-byte codes, asymmetric-distance scoring through
-    // broadcast lookup tables; left-associated m-term sums keep every
-    // score bit-identical cross-engine
-    "q205_pq_knn" -> ((s, dir) => Similarity.pqKnn(Tables.embeddings(s, dir)))
+    // PRODUCT-QUANTIZED kNN (Jégou et al. 2011): m=8 md5-seeded subspace
+    // codebooks, 1-byte codes, asymmetric-distance scoring through ONE
+    // broadcast lookup join; left-associated m-term sums keep every score
+    // bit-identical cross-engine; float rescore of 20k survivors
+    "q205_pq_knn" -> ((s, dir) => Similarity.pqKnn(Tables.embeddings(s, dir))),
+
+    // LABEL-PROPAGATION COMMUNITIES: synchronous rounds, mode-of-neighbors
+    // with smallest-label ties — fully deterministic, rounds unrolled in
+    // the oracle; per-round cost = one keyed join + one hash argmax
+    "q206_communities" -> ((s, dir) => GraphOps.communityGate(s, dir)),
+
+    // FIFO INVENTORY AGING: the unmatched add-stream tail via the
+    // closed-form remaining = max(0, hi - max(lo, consumed)) identity —
+    // no matching pass; fixed age buckets, all-integer census
+    "q207_fifo_aging" -> ((s, dir) => Ledger.fifoAging(Tables.lineitem(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5048,6 +5058,12 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // per-subspace Lloyd replays + ADC lookup joins, generated in lockstep
     // with the engine's (m, codes, iters) configuration
-    "q205_pq_knn" -> pqOracleSql()
+    "q205_pq_knn" -> pqOracleSql(),
+
+    // the same synchronous rounds unrolled; argmax as a ranked window
+    "q206_communities" -> GraphOps.communityOracleSql(),
+
+    // the same remaining-tail identity
+    "q207_fifo_aging" -> Ledger.fifoAgingOracleSql
   )
 }

@@ -383,4 +383,80 @@ WITH lp AS (
 SELECT i AS p_partkey, CAST(rk AS BIGINT) AS rk, j AS neighbor,
        round(cosine, 6) + 0 AS cosine
 FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
+
+  /** Synchronous label propagation (q206) — Raghavan, Albert & Kumara 2007,
+    * made fully deterministic: every node simultaneously adopts the MODE of
+    * its neighbors' previous-round labels, ties broken by the SMALLEST
+    * label. Synchronous update + total tie order ⇒ round r is a pure
+    * function of round r−1, so the oracle can replay the rounds verbatim.
+    * Bounded rounds (the q144/q184 contract): communities are exact w.r.t.
+    * the r-round recursion the oracle states.
+    *
+    * Scale shape: one round = one equi-join of the label relation against
+    * the symmetrized edges + one (node, label) count + one per-node argmax
+    * — all keyed by node id; labels never exceed |V| rows and lineage cuts
+    * per round. The argmax is a hash aggregate (max of a (count, −label)
+    * struct), not a window.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Registered q206: 3 LPA rounds over the co-purchase edge MV; community
+    * census (size, representative = min node, membership checksum).
+    */
+  def communityGate(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    labelPropagation(copurchaseEdgesMV(spark, dir), rounds)
+      .groupBy("label")
+      .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"),
+        sum(col("node")).as("node_checksum"))
+      .orderBy("label")
+
+  /** The q206 oracle: the same synchronous rounds unrolled, argmax stated
+    * as a row_number window over (count DESC, label ASC).
+    */
+  def communityOracleSql(rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s""", cand$i AS (
+  SELECT s.v, l.label, count(*) AS cnt
+  FROM sym s JOIN l${i - 1} l ON l.node = s.u
+  GROUP BY 1, 2
+), l$i AS (
+  SELECT v AS node, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rk
+    FROM cand$i
+  ) t WHERE rk = 1
+)"""
+    }.mkString
+    s"""WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION ALL
+  SELECT dst AS u, src AS v FROM e
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM sym
+)$roundCtes
+SELECT label, CAST(count(*) AS BIGINT) AS size,
+       min(node) AS min_node, CAST(sum(node) AS BIGINT) AS node_checksum
+FROM l$rounds GROUP BY label ORDER BY label"""
+  }
 }

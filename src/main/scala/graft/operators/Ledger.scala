@@ -68,6 +68,80 @@ object Ledger {
       .orderBy("p_partkey")
   }
 
+  /** FIFO inventory aging (q207): the unmatched tail of the add stream,
+    * bucketed by lot age — "how old is what's still on the shelf". FIFO
+    * consumes the OLDEST units first, so the remaining units of add lot
+    * [lo, hi) are exactly max(0, hi − max(lo, total_removed)): one join of
+    * the lot intervals against per-part removal totals — no matching pass
+    * at all. Age = days from the lot's ship date to the corpus's last ship
+    * date; fixed buckets (≤30, 31–90, 91–365, >365 days). All integer.
+    *
+    * Scale shape: one keyed prefix-sum window (shared with [[fifoMatch]]),
+    * one per-part total aggregate, one broadcast of the single max-date
+    * row; the census is bucket-bounded.
+    */
+  def fifoAging(lineitem: DataFrame): DataFrame = {
+    val adds = lotIntervals(lineitem, "N")
+    val remTot = lotIntervals(lineitem, "R")
+      .groupBy("pk").agg(max(col("hi")).as("consumed"))
+    val maxShip = lineitem.filter(col("l_returnflag").isin("N", "R"))
+      .agg(max(col("l_shipdate").cast("date")).as("as_of"))
+    adds
+      .join(remTot, Seq("pk"), "left")
+      .na.fill(0L, Seq("consumed"))
+      .withColumn("remaining",
+        greatest(lit(0L), col("hi") - greatest(col("lo"), col("consumed"))))
+      .filter(col("remaining") > 0)
+      .crossJoin(broadcast(maxShip))
+      .withColumn("age_days", datediff(col("as_of"), col("ship")).cast("long"))
+      .withColumn("age_bucket",
+        when(col("age_days") <= 30, "a_0_30")
+          .when(col("age_days") <= 90, "b_31_90")
+          .when(col("age_days") <= 365, "c_91_365")
+          .otherwise("d_over_365"))
+      .groupBy("age_bucket")
+      .agg(countDistinct(col("pk")).as("n_parts"), count(lit(1)).as("n_lots"),
+        sum(col("remaining")).as("units"),
+        sum(col("remaining") * col("age_days")).as("unit_age_days"))
+      .orderBy("age_bucket")
+  }
+
+  /** The q207 oracle: the same remaining-tail identity in SQL. */
+  def fifoAgingOracleSql: String = """
+WITH lots AS (
+  SELECT l_returnflag AS f, l_partkey AS pk, CAST(l_shipdate AS DATE) AS ship,
+         CAST(sum(l_quantity) OVER (PARTITION BY l_returnflag, l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), iv AS (
+  SELECT f, pk, ship, hi - q AS lo, hi FROM lots
+), rt AS (
+  SELECT pk, max(hi) AS consumed FROM iv WHERE f = 'R' GROUP BY pk
+), mx AS (
+  SELECT max(CAST(l_shipdate AS DATE)) AS as_of
+  FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), rem AS (
+  SELECT a.pk, a.ship,
+         greatest(0, a.hi - greatest(a.lo, coalesce(rt.consumed, 0))) AS remaining
+  FROM (SELECT * FROM iv WHERE f = 'N') a
+  LEFT JOIN rt ON rt.pk = a.pk
+), aged AS (
+  SELECT pk, remaining,
+         date_diff('day', ship, (SELECT as_of FROM mx)) AS age_days
+  FROM rem WHERE remaining > 0
+)
+SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
+            WHEN age_days <= 90 THEN 'b_31_90'
+            WHEN age_days <= 365 THEN 'c_91_365'
+            ELSE 'd_over_365' END AS age_bucket,
+       CAST(count(DISTINCT pk) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lots,
+       CAST(sum(remaining) AS BIGINT) AS units,
+       CAST(sum(remaining * age_days) AS BIGINT) AS unit_age_days
+FROM aged GROUP BY 1 ORDER BY age_bucket"""
+
   /** One flag's lots with their cumulative unit intervals [lo, hi). */
   private def lotIntervals(lineitem: DataFrame, flag: String): DataFrame = {
     val w = Window.partitionBy("pk").orderBy("ship", "okey", "ln")

@@ -153,6 +153,23 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(d(4L) == 1L && d(5L) == 2L && d(3L) == 2L)
   }
 
+  test("labelPropagation: disjoint cliques get distinct labels; ties pick the smallest") {
+    // two disjoint triangles + an isolated edge pair
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within a triangle every node sees the other two: round 1 gives each
+    // node the smallest OTHER label; by round 2 the min label dominates
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L), out.toString)
+    assert(Set(10L, 11L, 12L).map(out) == Set(10L), out.toString)
+    // a 2-cycle oscillates labels between its endpoints — but stays inside
+    // the pair (never leaks a foreign label)
+    assert(Set(20L, 21L).map(out).subsetOf(Set(20L, 21L)), out.toString)
+    // no label crosses a component boundary
+    assert(out.filterKeys(Set(1L, 2L, 3L)).values.forall(Set(1L, 2L, 3L)), out.toString)
+  }
+
   test("itemNeighbors matches a brute-force co-occurrence cosine ranking") {
     val lp = graft.sources.Tables.lineitem(spark, sf)
       .selectExpr("l_orderkey", "l_partkey").distinct()

@@ -66,6 +66,41 @@ class LedgerSpec extends SparkSpecBase {
     }
   }
 
+  test("fifoAging matches the sequential FIFO remaining-lot computation") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_returnflag", "CAST(l_shipdate AS DATE) AS ship",
+        "l_orderkey", "l_linenumber", "CAST(l_quantity AS BIGINT) AS qty")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate,
+        r.getLong(3), r.getInt(4), r.getLong(5)))
+    val asOf = li.filter(t => t._2 == "N" || t._2 == "R").map(_._3.toEpochDay).max
+    // sequential: walk adds in FIFO order consuming against the removal total
+    val buckets = scala.collection.mutable.Map.empty[String, (Set[Long], Long, Long, Long)]
+      .withDefaultValue((Set.empty, 0L, 0L, 0L))
+    li.filter(_._2 == "N").groupBy(_._1).foreach { case (pk, lots) =>
+      var toConsume = li.filter(t => t._2 == "R" && t._1 == pk).map(_._6).sum
+      lots.sortBy(t => (t._3.toEpochDay, t._4, t._5)).foreach { lot =>
+        val consumed = math.min(toConsume, lot._6)
+        toConsume -= consumed
+        val remaining = lot._6 - consumed
+        if (remaining > 0) {
+          val age = asOf - lot._3.toEpochDay
+          val b = if (age <= 30) "a_0_30" else if (age <= 90) "b_31_90"
+                  else if (age <= 365) "c_91_365" else "d_over_365"
+          val (ps, nl, u, uad) = buckets(b)
+          buckets(b) = (ps + pk, nl + 1, u + remaining, uad + remaining * age)
+        }
+      }
+    }
+    val got = Ledger.fifoAging(Tables.lineitem(spark, sf)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == buckets.keySet)
+    buckets.foreach { case (b, (ps, nl, u, uad)) =>
+      assert(got(b) == ((ps.size.toLong, nl, u, uad)), s"bucket $b")
+    }
+  }
+
   test("fifoMatch is invariant to the banding width") {
     val base = Ledger.fifoMatch(Tables.lineitem(spark, sf), bucketWidth = 128L)
       .collect().toSeq.map(_.toSeq)
