@@ -2118,7 +2118,19 @@ ORDER BY r.rank DESC, partkey"""
     // FIFO INVENTORY AGING: the unmatched add-stream tail via the
     // closed-form remaining = max(0, hi - max(lo, consumed)) identity —
     // no matching pass; fixed age buckets, all-integer census
-    "q207_fifo_aging" -> ((s, dir) => Ledger.fifoAging(Tables.lineitem(s, dir)))
+    "q207_fifo_aging" -> ((s, dir) => Ledger.fifoAging(Tables.lineitem(s, dir))),
+
+    // HOLT LINEAR SMOOTHING + HOLDOUT BACKTEST: the level+trend recursion
+    // as a per-symbol aggregate-HOF fold (q165's quantized contract in
+    // batch), judged against the q190 seasonal-naive baseline on exact
+    // decimal error sums
+    "q208_holt_backtest" -> ((s, dir) =>
+      Indicators.holtBacktest(MarketView.dailyBars(s, dir))),
+
+    // DETERMINISTIC POISSON BOOTSTRAP CI: per-row Binomial(8,1/8)
+    // multiplicities from md5 — both engines draw identical resamples;
+    // positional 5/95 order statistics over the B resample means
+    "q209_bootstrap_ci" -> ((s, dir) => Stats.bootstrapCi(MarketView.fact(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5064,6 +5076,12 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q206_communities" -> GraphOps.communityOracleSql(),
 
     // the same remaining-tail identity
-    "q207_fifo_aging" -> Ledger.fifoAgingOracleSql
+    "q207_fifo_aging" -> Ledger.fifoAgingOracleSql,
+
+    // the identical recursion as a RECURSIVE CTE
+    "q208_holt_backtest" -> Indicators.holtBacktestOracleSql(BARS),
+
+    // identical hash draws, means, and order statistics
+    "q209_bootstrap_ci" -> Stats.bootstrapCiOracleSql(FACT)
   )
 }

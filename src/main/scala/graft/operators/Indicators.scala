@@ -372,4 +372,133 @@ SELECT symbol, CAST(count(*) AS BIGINT) AS n_runs,
        strftime(max(CASE WHEN rk = 1 THEN st END), '%Y-%m-%d') AS best_start,
        strftime(max(CASE WHEN rk = 1 THEN en END), '%Y-%m-%d') AS best_end
 FROM rk GROUP BY symbol ORDER BY symbol"""
+
+  /** Holt's linear (double-exponential) smoothing + holdout backtest
+    * (q208): the level+trend recursion
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * fit on each symbol's bars minus the last `horizon` days, forecasting
+    * l_T + h·b_T against the held-out week — and judged against the q190
+    * seasonal-naive baseline on the same holdout (the comparison every
+    * forecast must win to justify itself).
+    *
+    * The recursion is the q165 contract in BATCH form: the per-symbol
+    * series is calendar-bounded, so the fold runs as an `aggregate` HOF
+    * over the collected (rn, close) structs with state quantized at 6
+    * decimals per step — the DuckDB oracle replays it as a RECURSIVE CTE
+    * with the identical expressions, so the states are cross-engine exact.
+    * The win/lose verdict compares EXACT decimal error sums, never floats.
+    *
+    * Scale shape: one keyed shuffle to per-symbol arrays (bars per symbol
+    * = trading days, bounded at any SF); errors fold through round-9
+    * decimals.
+    */
+  def holtBacktest(bars: DataFrame, horizon: Int = 7): DataFrame = {
+    import graft.functions.Fx._
+    // The ENTIRE recursion runs in exact DECIMAL arithmetic: halving a
+    // 6-decimal state lands exactly on .5 round boundaries, where Spark's
+    // round (shortest-repr) and DuckDB's (binary expansion) disagree by
+    // one final-digit ulp — measured on this very query. Decimal ops have
+    // no binary representation, so round-half-up is unambiguous; doubles
+    // appear only at the published edges.
+    val d6 = DecimalType(20, 6)
+    def dlit(s: String) = lit(new java.math.BigDecimal(s))
+    val half = dlit("0.5"); val quarter = dlit("0.25"); val threeQ = dlit("0.75")
+    val w = Window.partitionBy("symbol").orderBy("date")
+    val withRn = bars.select(col("symbol"), col("date"),
+        round(col("close"), 6).cast(d6).as("close"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("snaive", lag(col("close"), horizon).over(w))
+    val train = withRn.filter(col("rn") <= col("n") - horizon)
+    val fitted = train.groupBy("symbol")
+      .agg(array_sort(collect_list(struct(col("rn"), col("close")))).as("xs"))
+      .withColumn("n_train", size(col("xs")).cast("long"))
+      .withColumn("st", aggregate(
+        expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+        struct(
+          element_at(col("xs"), 1).getField("close").cast(d6).as("l"),
+          dlit("0").cast(d6).as("b")),
+        (acc, x) => {
+          val lNew = round(half * x.getField("close")
+            + half * (acc.getField("l") + acc.getField("b")), 6).cast(d6)
+          struct(lNew.as("l"),
+            round(quarter * (lNew - acc.getField("l"))
+              + threeQ * acc.getField("b"), 6).cast(d6).as("b"))
+        }))
+      .select(col("symbol"), col("n_train"),
+        col("st.l").as("level"), col("st.b").as("trend"))
+    val dec = DecimalType(30, 12)
+    val holdout = withRn.filter(col("rn") > col("n") - horizon)
+      .join(fitted, "symbol")
+      .withColumn("h", col("rn") - col("n_train"))
+      .withColumn("fc_holt", (col("level") + col("h") * col("trend")).cast(dec))
+      .withColumn("e_holt", abs(col("close").cast(dec) - col("fc_holt")).cast(dec))
+      .withColumn("e_snaive", abs(col("close") - col("snaive")).cast(dec))
+    holdout.groupBy("symbol")
+      .agg(max(col("n_train")).as("n_train"),
+        rd(max(col("level")).cast("double"), 6).as("level"),
+        rd(max(col("trend")).cast("double"), 6).as("trend"),
+        count(lit(1)).as("n_eval"),
+        sum(col("e_holt")).as("sae_holt"), sum(col("e_snaive")).as("sae_snaive"))
+      .select(col("symbol"), col("n_train"), col("level"), col("trend"), col("n_eval"),
+        rd(col("sae_holt").cast("double") / col("n_eval"), 6).as("mae_holt"),
+        rd(col("sae_snaive").cast("double") / col("n_eval"), 6).as("mae_snaive"),
+        when(col("sae_holt") < col("sae_snaive"), 1L).otherwise(0L).as("holt_wins"))
+      .orderBy("symbol")
+  }
+
+  /** The q208 oracle: the identical DECIMAL recursion as a RECURSIVE CTE.
+    * The recursive step restates lNew inside the trend update — identical
+    * exact-decimal expressions, so the duplication is value-safe.
+    */
+  def holtBacktestOracleSql(barsPrefix: String, horizon: Int = 7): String = {
+    val lNew = "CAST(round(CAST(0.5 AS DECIMAL(2,1)) * t.c" +
+      " + CAST(0.5 AS DECIMAL(2,1)) * (r.l + r.bt), 6) AS DECIMAL(20,6))"
+    "WITH RECURSIVE " + barsPrefix.stripPrefix("WITH ") + s""", bb AS (
+  SELECT symbol, date, CAST(round(close, 6) AS DECIMAL(20,6)) AS c,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n,
+         CAST(round(lag(close, $horizon) OVER (PARTITION BY symbol ORDER BY date), 6)
+           AS DECIMAL(20,6)) AS snaive
+  FROM bars
+), t AS (
+  SELECT symbol, rn, c FROM bb WHERE rn <= n - $horizon
+), r AS (
+  SELECT symbol, rn, c AS l, CAST(0 AS DECIMAL(20,6)) AS bt
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.symbol, t.rn,
+         $lNew,
+         CAST(round(CAST(0.25 AS DECIMAL(3,2)) * ($lNew - r.l)
+              + CAST(0.75 AS DECIMAL(3,2)) * r.bt, 6) AS DECIMAL(20,6))
+  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1
+), fit AS (
+  SELECT r.symbol, r.rn AS n_train, r.l AS level, r.bt AS trend
+  FROM r JOIN (SELECT symbol, max(rn) AS mx FROM r GROUP BY 1) m
+    ON m.symbol = r.symbol AND m.mx = r.rn
+), ho AS (
+  SELECT bb.symbol, f.n_train, f.level, f.trend, bb.c, bb.snaive,
+         bb.rn - f.n_train AS h
+  FROM bb JOIN fit f ON f.symbol = bb.symbol
+  WHERE bb.rn > bb.n - $horizon
+), errs AS (
+  SELECT symbol, n_train, level, trend,
+         abs(CAST(c AS DECIMAL(30,12))
+             - CAST(level + h * trend AS DECIMAL(30,12))) AS e_holt,
+         CAST(abs(c - snaive) AS DECIMAL(30,12)) AS e_snaive
+  FROM ho
+)
+SELECT symbol, CAST(max(n_train) AS BIGINT) AS n_train,
+       round(CAST(max(level) AS DOUBLE), 6) + 0 AS level,
+       round(CAST(max(trend) AS DOUBLE), 6) + 0 AS trend,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(CAST(sum(e_holt) AS DOUBLE) / count(*), 6) + 0 AS mae_holt,
+       round(CAST(sum(e_snaive) AS DOUBLE) / count(*), 6) + 0 AS mae_snaive,
+       CAST(CASE WHEN sum(e_holt) < sum(e_snaive) THEN 1 ELSE 0 END AS BIGINT)
+         AS holt_wins
+FROM errs GROUP BY symbol ORDER BY symbol"""
+  }
 }

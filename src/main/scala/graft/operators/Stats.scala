@@ -458,4 +458,88 @@ SELECT event_type,
        round(CAST(sum(CAST(round((p - q) * (round(ln(p / q), 6) + 0), 9)
          AS DECIMAL(30,12))) AS DOUBLE), 6) + 0 AS psi
 FROM terms GROUP BY event_type ORDER BY event_type"""
+
+  /** Deterministic Poisson bootstrap CI for per-symbol mean daily return
+    * (q209) — the SCALABLE bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): instead of
+    * resampling n rows with replacement (which needs global coordination),
+    * each row independently receives a ~Poisson(1) multiplicity per
+    * resample. Here the multiplicity is Binomial(8, 1/8) driven by md5 of
+    * (symbol, rn, resample, trial) — a pure function of the data, so both
+    * engines draw the SAME resamples and the whole procedure is
+    * hash-exact; no RNG state anywhere.
+    *
+    * Per resample: multiplicity-weighted decimal mean (exact); per symbol:
+    * the CI is positional over the B sorted resample means (5th/95th
+    * percentile as exact order statistics). B and the trial count are
+    * constants, so the fan-out is rows × B with one hash aggregate —
+    * embarrassingly parallel at any corpus size.
+    */
+  def bootstrapCi(fact: DataFrame, b: Int = 50): DataFrame = {
+    val dec = DecimalType(30, 12)
+    val base = fact.filter(col("variacao_diaria").isNotNull)
+      .select(col("symbol"), rd(col("variacao_diaria"), 6).as("v"),
+        row_number().over(Window.partitionBy("symbol").orderBy("date"))
+          .cast("long").as("rn"))
+    val fan = base.withColumn("bi", explode(sequence(lit(0), lit(b - 1))))
+    val mult = (0 until 8).map { j =>
+      when(substring(md5(concat_ws("|", col("symbol"), col("rn"), col("bi"), lit(j))), 1, 1)
+        .isin("0", "1"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val means = fan.withColumn("m", mult)
+      .groupBy("symbol", "bi")
+      .agg(sum(round(col("v") * col("m"), 9).cast(dec)).as("s"), sum(col("m")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .select(col("symbol"), (col("s").cast("double") / col("cnt")).as("mean_b"))
+    val full = base.groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        rd(sum(round(col("v"), 9).cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_full"))
+    means.groupBy("symbol")
+      .agg(count(lit(1)).as("b_effective"),
+        sort_array(collect_list(col("mean_b"))).as("ms"))
+      .withColumn("lo_i", ceil(col("b_effective") * 0.05).cast("int"))
+      .withColumn("hi_i", (col("b_effective") - ceil(col("b_effective") * 0.05) + 1).cast("int"))
+      .select(col("symbol"), col("b_effective"),
+        rd(element_at(col("ms"), col("lo_i")), 6).as("ci_lo"),
+        rd(element_at(col("ms"), col("hi_i")), 6).as("ci_hi"))
+      .join(full, "symbol")
+      .select(col("symbol"), col("n_days"), col("b_effective"),
+        col("mean_full"), col("ci_lo"), col("ci_hi"))
+      .orderBy("symbol")
+  }
+
+  /** The q209 oracle: identical hash draws, means, and order statistics. */
+  def bootstrapCiOracleSql(factPrefix: String, b: Int = 50): String = {
+    val multSql = (0 until 8).map { j =>
+      "CASE WHEN substr(md5(base.symbol || '|' || CAST(base.rn AS VARCHAR) || '|' || " +
+        s"CAST(r.bi AS VARCHAR) || '|' || '$j'), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    factPrefix + s""", base AS (
+  SELECT symbol, round(variacao_diaria, 6) + 0 AS v,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM fact WHERE variacao_diaria IS NOT NULL
+), x AS (
+  SELECT symbol, bi,
+         sum(CAST(round(v * m, 9) AS DECIMAL(30,12))) AS s, sum(m) AS cnt
+  FROM (SELECT base.symbol, base.v, r.bi, CAST($multSql AS BIGINT) AS m
+        FROM base CROSS JOIN (SELECT unnest(range(0, $b)) AS bi) r) q
+  GROUP BY 1, 2 HAVING sum(m) > 0
+), mb AS (
+  SELECT symbol, CAST(s AS DOUBLE) / cnt AS mean_b FROM x
+), agg AS (
+  SELECT symbol, count(*) AS be, list(mean_b ORDER BY mean_b) AS ms
+  FROM mb GROUP BY 1
+), fullm AS (
+  SELECT symbol, count(*) AS n_days,
+         round(CAST(sum(CAST(round(v, 9) AS DECIMAL(30,12))) AS DOUBLE)
+               / count(*), 6) + 0 AS mean_full
+  FROM base GROUP BY 1
+)
+SELECT a.symbol, CAST(f.n_days AS BIGINT) AS n_days,
+       CAST(a.be AS BIGINT) AS b_effective, f.mean_full,
+       round(ms[CAST(ceil(a.be * 0.05) AS INTEGER)], 6) + 0 AS ci_lo,
+       round(ms[CAST(a.be - ceil(a.be * 0.05) + 1 AS INTEGER)], 6) + 0 AS ci_hi
+FROM agg a JOIN fullm f ON f.symbol = a.symbol ORDER BY a.symbol"""
+  }
 }

@@ -140,6 +140,36 @@ class IndicatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("holtBacktest matches an exact sequential BigDecimal recursion") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val bars = graft.operators.MarketView.dailyBars(spark, sf)
+    val rows = bars.selectExpr("symbol", "date", "close").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val got = graft.operators.Indicators.holtBacktest(bars).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(7)))).toMap
+    def r6(v: JBD) = v.setScale(6, RoundingMode.HALF_UP)
+    val half = new JBD("0.5"); val quarter = new JBD("0.25"); val threeQ = new JBD("0.75")
+    rows.groupBy(_._1).foreach { case (sym, rs) =>
+      val xs = rs.sortBy(_._2.toEpochDay)
+        .map(t => r6(JBD.valueOf(t._3))) // round(close, 6), shortest repr
+      val train = xs.dropRight(7)
+      var l = train.head; var b = new JBD("0.000000")
+      train.tail.foreach { x =>
+        val lNew = r6(half.multiply(x).add(half.multiply(l.add(b))))
+        b = r6(quarter.multiply(lNew.subtract(l)).add(threeQ.multiply(b)))
+        l = lNew
+      }
+      val (nTrain, level, trend, _) = got(sym)
+      assert(nTrain == train.size, sym)
+      assert(math.abs(level - l.doubleValue) < 1e-9, s"$sym level $level != $l")
+      assert(math.abs(trend - b.doubleValue) < 1e-9, s"$sym trend $trend != $b")
+    }
+    // the verdict bit is an exact decimal comparison — both outcomes occur
+    // or not, but it must be 0/1
+    got.values.foreach { case (_, _, _, wins) => assert(wins == 0L || wins == 1L) }
+  }
+
   test("winStreaks matches a sequential run scan per symbol") {
     val fact = graft.operators.MarketView.fact(spark, sf)
     val rows = fact.selectExpr("symbol", "date",

@@ -193,6 +193,44 @@ class StatsSpec extends SparkSpecBase {
     assert(out.values.map(_._2).sum == total)
   }
 
+  test("bootstrap CI matches a sequential replay of the hash draws") {
+    val fact = MarketView.fact(spark, sf)
+    val base = fact.filter("variacao_diaria IS NOT NULL")
+      .selectExpr("symbol", "round(variacao_diaria, 6) + 0 AS v",
+        "row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2).toLong))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Stats.bootstrapCi(fact).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    base.groupBy(_._1).foreach { case (sym, rows) =>
+      val means = (0 until 50).flatMap { bi =>
+        var s = BigDecimal(0); var cnt = 0L
+        rows.foreach { case (_, v, rn) =>
+          val m = (0 until 8).count { j =>
+            val h = md5hex(s"$sym|$rn|$bi|$j")
+            h.head == '0' || h.head == '1'
+          }
+          cnt += m
+          s += BigDecimal(v * m).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        if (cnt > 0) Some(s.toDouble / cnt) else None
+      }.sorted
+      val be = means.length
+      val lo = means(math.ceil(be * 0.05).toInt - 1)
+      val hi = means(be - math.ceil(be * 0.05).toInt)
+      val (nDays, gBe, meanFull, gLo, gHi) = got(sym)
+      assert(nDays == rows.length, sym)
+      assert(gBe == be, sym)
+      assert(math.abs(gLo - lo) < 1e-6, s"$sym lo $gLo != $lo")
+      assert(math.abs(gHi - hi) < 1e-6, s"$sym hi $gHi != $hi")
+      assert(gLo <= gHi && gLo <= meanFull + 1.0)
+    }
+  }
+
   test("banded ntile equals SQL ntile for every k and ragged n") {
     import spark.implicits._
     // 37 rows, ragged against every k in 2..7; duplicate metric values to
