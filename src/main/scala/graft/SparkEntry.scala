@@ -2130,7 +2130,18 @@ ORDER BY r.rank DESC, partkey"""
     // DETERMINISTIC POISSON BOOTSTRAP CI: per-row Binomial(8,1/8)
     // multiplicities from md5 — both engines draw identical resamples;
     // positional 5/95 order statistics over the B resample means
-    "q209_bootstrap_ci" -> ((s, dir) => Stats.bootstrapCi(MarketView.fact(s, dir)))
+    "q209_bootstrap_ci" -> ((s, dir) => Stats.bootstrapCi(MarketView.fact(s, dir))),
+
+    // SCD TYPE-2 BUILD + POINT-IN-TIME JOIN: status versions at every
+    // change (same-ns changes collapse deterministically); facts join the
+    // version current AT THEIR OWN TIMESTAMP via the as-of operator —
+    // the canonical warehouse pattern, 'none' for pre-history facts
+    "q210_scd2_pit" -> ((s, dir) => Stars.scd2Pit(Tables.events(s, dir))),
+
+    // BOUNDED k-CORE PEELING: 4 rounds of degree-<60 deletion over the
+    // co-purchase graph — the "always bought together" backbone census;
+    // each round one degree aggregate + two keyed semi-joins
+    "q211_kcore" -> ((s, dir) => GraphOps.kCoreGate(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5082,6 +5093,13 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q208_holt_backtest" -> Indicators.holtBacktestOracleSql(BARS),
 
     // identical hash draws, means, and order statistics
-    "q209_bootstrap_ci" -> Stats.bootstrapCiOracleSql(FACT)
+    "q209_bootstrap_ci" -> Stats.bootstrapCiOracleSql(FACT),
+
+    // same change detection; the as-of restated as the tagged-union
+    // carry-forward with the inclusive tie rule
+    "q210_scd2_pit" -> Stars.scd2PitOracleSql,
+
+    // the same peeling rounds unrolled
+    "q211_kcore" -> GraphOps.kCoreOracleSql()
   )
 }

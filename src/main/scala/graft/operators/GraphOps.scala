@@ -459,4 +459,77 @@ SELECT label, CAST(count(*) AS BIGINT) AS size,
        min(node) AS min_node, CAST(sum(node) AS BIGINT) AS node_checksum
 FROM l$rounds GROUP BY label ORDER BY label"""
   }
+
+  /** Bounded k-core peeling (q211): repeatedly delete nodes of degree < k
+    * (with their edges) — after `rounds` passes the survivors approximate
+    * the k-core from above, exactly matching the r-round recursion the
+    * oracle unrolls (the q144/q184/q206 bounded-round contract). The
+    * density census of the core is the cohesion diagnostic used to find
+    * the "always bought together" backbone of the co-purchase graph.
+    *
+    * Scale shape: one round = one degree aggregate + two semi-join filters
+    * of the edge relation against the surviving node set — all keyed by
+    * node id; lineage cut per round.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      sym = sym
+        .join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
+      sum(col("u")).as("node_checksum"))
+  }
+
+  /** Registered q211 is served by [[kCore]] over the edge MV (k=60, 4
+    * peeling rounds — measured at both gate SFs: the peel genuinely
+    * removes nodes AND genuinely keeps a core; k at the median degree
+    * cascades to an empty graph here, which verifies nothing).
+    */
+  def kCoreGate(spark: SparkSession, dir: String, k: Int = 60,
+                rounds: Int = 4): DataFrame =
+    kCore(copurchaseEdgesMV(spark, dir), k, rounds)
+
+  /** The q211 oracle: the same peeling rounds unrolled. */
+  def kCoreOracleSql(k: Int = 60, rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s""", k$i AS (
+  SELECT u FROM (SELECT u, count(*) AS c FROM s${i - 1} GROUP BY 1) t
+  WHERE c >= $k
+), s$i AS (
+  SELECT s.u, s.v FROM s${i - 1} s
+  JOIN k$i a ON a.u = s.u
+  JOIN k$i b ON b.u = s.v
+)"""
+    }.mkString
+    s"""WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), s0 AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION ALL
+  SELECT dst AS u, src AS v FROM e
+)$roundCtes, deg AS (
+  SELECT u, count(*) AS d FROM s$rounds GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       CAST(sum(u) AS BIGINT) AS node_checksum
+FROM deg"""
+  }
 }

@@ -146,4 +146,96 @@ object Stars {
         count(lit(1)).as("n_orders"))
       .orderBy("custkey", "seq")
   }
+
+  /** SCD Type-2 dimension build + point-in-time enrichment (q210) — the
+    * canonical warehouse pattern: a user's status dimension is VERSIONED at
+    * every status change (valid-from = the change instant; validity ends
+    * when the next version begins), and each fact row joins to the version
+    * that was CURRENT at its own timestamp — never today's.
+    *
+    * Status versions come from the non-purchase event stream (a new version
+    * whenever the event type changes, per the (ts_ns, event_id) total
+    * order; same-nanosecond changes collapse to the max-event_id one so the
+    * dimension is a pure function of the data). The PIT join is the
+    * engine's as-of operator — one keyed shuffle + a carry-forward window,
+    * NOT a per-fact range scan. Purchases before any version land in the
+    * explicit 'none' bucket.
+    *
+    * Gate: per status — version count, distinct users versioned, purchases
+    * attributed at point-in-time, and their cents.
+    */
+  def scd2Pit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val st = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+    val chg = st.filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val wd = Window.partitionBy("user_id", "ts_ns").orderBy(col("event_id").desc)
+    val dim = chg.withColumn("rk", row_number().over(wd)).filter(col("rk") === 1)
+      .select(col("user_id"), col("ts_ns"), col("event_type").as("status"))
+    val dimCensus = dim.groupBy("status")
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("user_id")).as("n_users"))
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val pit = AsOf.asofJoin(pur, dim, "user_id", "ts_ns", Seq("status"))
+      .withColumn("status", coalesce(col("asof_status"), lit("none")))
+    val purCensus = pit.groupBy("status")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("purchase_cents"))
+    dimCensus.join(purCensus, Seq("status"), "full_outer")
+      .na.fill(0L, Seq("n_versions", "n_users", "n_purchases", "purchase_cents"))
+      .orderBy("status")
+  }
+
+  /** The q210 oracle: the same change detection and the as-of restated as
+    * the tagged-union carry-forward (status rows sort before a purchase at
+    * the same instant — the inclusive as-of convention).
+    */
+  def scd2PitOracleSql: String = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+         CAST(round("value" * 100, 0) AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT user_id, ts_ns, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_ns, event_id) AS prev
+  FROM ev WHERE event_type <> 'purchase'
+), chg AS (
+  SELECT user_id, ts_ns, event_id, event_type
+  FROM st WHERE prev IS NULL OR prev <> event_type
+), ded AS (
+  SELECT user_id, ts_ns, event_type AS status FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_ns
+                                 ORDER BY event_id DESC) AS rk
+    FROM chg) t WHERE rk = 1
+), dimc AS (
+  SELECT status, count(*) AS n_versions,
+         count(DISTINCT user_id) AS n_users
+  FROM ded GROUP BY 1
+), comb AS (
+  SELECT user_id, ts_ns, 1 AS tag, status, CAST(NULL AS BIGINT) AS cents
+  FROM ded
+  UNION ALL
+  SELECT user_id, ts_ns, 2 AS tag, NULL, cents
+  FROM ev WHERE event_type = 'purchase'
+), carried AS (
+  SELECT *, last_value(status IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ns, tag
+                 ROWS UNBOUNDED PRECEDING) AS cur
+  FROM comb
+), pc AS (
+  SELECT coalesce(cur, 'none') AS status,
+         count(*) AS n_purchases, sum(cents) AS purchase_cents
+  FROM carried WHERE tag = 2 GROUP BY 1
+)
+SELECT coalesce(d.status, p.status) AS status,
+       CAST(coalesce(d.n_versions, 0) AS BIGINT) AS n_versions,
+       CAST(coalesce(d.n_users, 0) AS BIGINT) AS n_users,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(p.purchase_cents, 0) AS BIGINT) AS purchase_cents
+FROM dimc d FULL JOIN pc p ON p.status = d.status
+ORDER BY status"""
 }

@@ -153,6 +153,22 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(d(4L) == 1L && d(5L) == 2L && d(3L) == 2L)
   }
 
+  test("kCore: peeling a hand graph — pendant chain falls, K4 survives") {
+    // K4 on 1-4, a chain 4-5-6 hanging off it
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = GraphOps.kCore(edges, 3, 4).collect().head
+    // 3-core: 5 and 6 peel (degree 2 and 1), then 4 keeps degree 3 in K4
+    assert(core3.getLong(0) == 4, core3.toString)   // n_nodes
+    assert(core3.getLong(1) == 6, core3.toString)   // n_edges = K4
+    assert(core3.getLong(2) == 3 && core3.getLong(3) == 3)
+    assert(core3.getLong(4) == 1L + 2 + 3 + 4)
+    // 4-core: nothing has degree 4 -> empty, all-null census
+    val core4 = GraphOps.kCore(edges, 4, 4).collect().head
+    assert(core4.getLong(0) == 0)
+    assert(core4.isNullAt(2) && core4.isNullAt(3))
+  }
+
   test("labelPropagation: disjoint cliques get distinct labels; ties pick the smallest") {
     // two disjoint triangles + an isolated edge pair
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

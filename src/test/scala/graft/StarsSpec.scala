@@ -67,4 +67,26 @@ class StarsSpec extends SparkSpecBase {
     val total = real.agg(org.apache.spark.sql.functions.sum("n_orders")).as[Long].head()
     assert(total == Tables.orders(spark, sf).count())
   }
+
+  test("scd2Pit: hand stream — versioning, PIT attribution, pre-history 'none'") {
+    // user 1: view@10, purchase@15 (-> view), click@20, purchase@25 (-> click),
+    //         view@30 — and a pre-history purchase@5 (-> none)
+    // user 2: two same-type events (no second version), purchase@50 (-> signup)
+    val rows = Seq(
+      (1L, 10L, 1L, "view", 1.0), (1L, 5L, 2L, "purchase", 2.0),
+      (1L, 15L, 3L, "purchase", 3.0), (1L, 20L, 4L, "click", 4.0),
+      (1L, 25L, 5L, "purchase", 5.0), (1L, 30L, 6L, "view", 6.0),
+      (2L, 40L, 7L, "signup", 7.0), (2L, 45L, 8L, "signup", 8.0),
+      (2L, 50L, 9L, "purchase", 9.0)
+    ).toDF("user_id", "ts_ns", "event_id", "event_type", "value")
+    val out = Stars.scd2Pit(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // versions: view(u1@10), click(u1@20), view(u1@30), signup(u2@40)
+    assert(out("view") == ((2L, 1L, 1L, 300L)), out.toString)
+    assert(out("click") == ((1L, 1L, 1L, 500L)), out.toString)
+    assert(out("signup") == ((1L, 1L, 1L, 900L)), out.toString)
+    assert(out("none") == ((0L, 0L, 1L, 200L)), out.toString)
+    assert(out.values.map(_._3).sum == 4L) // every purchase attributed once
+  }
 }
