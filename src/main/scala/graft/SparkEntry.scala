@@ -2141,7 +2141,14 @@ ORDER BY r.rank DESC, partkey"""
     // BOUNDED k-CORE PEELING: 4 rounds of degree-<60 deletion over the
     // co-purchase graph — the "always bought together" backbone census;
     // each round one degree aggregate + two keyed semi-joins
-    "q211_kcore" -> ((s, dir) => GraphOps.kCoreGate(s, dir))
+    "q211_kcore" -> ((s, dir) => GraphOps.kCoreGate(s, dir)),
+
+    // PREFIX-FILTERED SET-SIMILARITY JOIN (SSJoin/PPJoin): candidates only
+    // from rarest-first token prefixes; exact array-intersect verify;
+    // τ cut by integer cross-multiplication — the oracle is the
+    // definitional every-shared-token join, proving losslessness
+    "q212_prefix_join" -> ((s, dir) =>
+      TextOps.prefixSimilarityJoin(Tables.documents(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5100,6 +5107,9 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q210_scd2_pit" -> Stars.scd2PitOracleSql,
 
     // the same peeling rounds unrolled
-    "q211_kcore" -> GraphOps.kCoreOracleSql()
+    "q211_kcore" -> GraphOps.kCoreOracleSql(),
+
+    // the definitional every-shared-token join + the same integer τ cut
+    "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql()
   )
 }

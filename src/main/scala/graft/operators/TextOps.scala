@@ -2065,6 +2065,97 @@ object TextOps {
       .orderBy("ckpt")
   }
 
+  /** Prefix-filtered set-similarity self-join (q212) — the SSJoin/PPJoin
+    * family (Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008): all
+    * document pairs with token-set Jaccard ≥ τ, WITHOUT joining on every
+    * shared token. If J(A,B) ≥ τ then |A∩B| ≥ ceil(τ·|A|), so B must hit
+    * one of A's first |A| − ceil(τ·|A|) + 1 tokens under a GLOBAL token
+    * order — rarest-first (ascending document frequency), which makes the
+    * prefixes the rarest tokens and collapses the candidate space.
+    *
+    * Candidates come from an equi-join on prefix tokens only; each
+    * candidate pair is verified with the EXACT intersection of the two
+    * sorted token arrays. The τ cut is the integer cross-multiplication
+    * 5·|A∩B| ≥ 3·|A∪B| (τ = 3/5) — no FP ever decides membership.
+    *
+    * Scale shape: the prefix index is Σ prefix-length rows (≈ (1−τ)·token
+    * volume); the join key is a token whose prefix posting list is short
+    * BY CONSTRUCTION (common tokens appear in prefixes only for docs with
+    * nothing rarer); verification joins carry two bounded arrays per
+    * candidate. The definitional every-shared-token join this replaces
+    * fans out on the most common token in the corpus.
+    */
+  def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 3,
+                           tauDen: Int = 5): DataFrame = {
+    val tk = docTokens(documents)
+    val cand = prefixCandidates(tk, tauNum, tauDen)
+    val sets = tk.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("ts").as("tb"), col("sz").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("un", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("un") * tauNum)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("inter"), col("un"),
+        rd(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct normalized tokens per document (the q212 set universe). */
+  private[graft] def docTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+
+  /** q212's candidate stage alone: pairs sharing a RAREST-FIRST prefix
+    * token — exposed so the pruning property (candidates strictly fewer
+    * than the every-shared-token join's pairs) is spec-pinnable.
+    */
+  private[graft] def prefixCandidates(tk: DataFrame, tauNum: Int,
+                                      tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tk.join(df, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))).cast("long"))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length p = s - ceil(tau*s) + 1, all-integer
+    val prefix = ranked
+      .filter(col("rn") <= col("s") - expr(s"($tauNum * s + $tauDen - 1) div $tauDen") + 1)
+      .select(col("doc_id"), col("tok"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** The q212 oracle: the DEFINITIONAL every-shared-token join + the same
+    * integer τ cut — hash equality proves the prefix filter is lossless.
+    */
+  def prefixSimilarityJoinOracleSql(tauNum: Int = 3, tauDen: Int = 5): String = s"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (SELECT DISTINCT doc_id, tok FROM t WHERE length(tok) > 0),
+sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY 1),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT pr.da, pr.db, pr.inter,
+         za.s + zb.s - pr.inter AS un
+  FROM pr JOIN sz za ON za.doc_id = pr.da JOIN sz zb ON zb.doc_id = pr.db
+)
+SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(un AS BIGINT) AS un,
+       round(CAST(inter AS DOUBLE) / un, 6) + 0 AS jaccard
+FROM j WHERE inter * $tauDen >= un * $tauNum
+ORDER BY doc_a, doc_b"""
+
   /** The q201 oracle: identical first-occurrence prefix construction and
     * decimal OLS over the checkpoint curve.
     */

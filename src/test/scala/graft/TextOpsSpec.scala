@@ -709,6 +709,44 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.values.map(_._5).toSet.size == 1)
   }
 
+  test("prefixSimilarityJoin: lossless vs brute force; prefixes actually prune") {
+    // Zipf-ish corpus: every doc carries the super-common token 'the';
+    // near-dup pairs share rare tokens; dissimilar docs share ONLY 'the'
+    val docs = Seq(
+      (1L, "the alpha beta gamma delta"),
+      (2L, "the alpha beta gamma delta"),           // exact dup of 1
+      (3L, "the alpha beta gamma epsilon"),          // J=4/6 with 1
+      (4L, "the zeta eta theta iota"),
+      (5L, "the zeta eta theta kappa"),              // J=4/6 with 4
+      (6L, "the lambda mu nu xi"),
+      (7L, "the omicron pi rho sigma")
+    ).map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.prefixSimilarityJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // brute force over token sets
+    def toks(t: String) = t.split(" ").toSet
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1)))
+    val exp = (for {
+      (a, ta) <- raw; (b, tb) <- raw if a < b
+      inter = ta.intersect(tb).size; un = ta.union(tb).size
+      if inter * 5 >= un * 3
+    } yield (a, b) -> inter.toDouble / un).toMap
+    assert(got.keySet == exp.keySet, s"got ${got.keySet} exp ${exp.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6, k.toString) }
+    // pruning: the candidate stage must be strictly smaller than the
+    // every-shared-token pair space ('the' alone links all 21 pairs)
+    val tk = TextOps.docTokens(docs)
+    val nCand = TextOps.prefixCandidates(tk, 3, 5).count()
+    val nAll = tk.as("a").join(tk.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    assert(nAll == 21, s"common token should link every pair, got $nAll")
+    assert(nCand < nAll, s"prefix filter pruned nothing: $nCand vs $nAll")
+    assert(nCand >= exp.size, "candidates must cover every qualifying pair")
+  }
+
   test("vocabGrowth: Heaps slope is positive on a growing-vocabulary corpus") {
     import spark.implicits._
     // doc i introduces i+1 fresh types and repeats a shared stopword —
