@@ -2076,7 +2076,12 @@ object TextOps {
     * Candidates come from an equi-join on prefix tokens only; each
     * candidate pair is verified with the EXACT intersection of the two
     * sorted token arrays. The τ cut is the integer cross-multiplication
-    * 5·|A∩B| ≥ 3·|A∪B| (τ = 3/5) — no FP ever decides membership.
+    * den·|A∩B| ≥ num·|A∪B| — no FP ever decides membership. The registered
+    * τ is 9/10: this synthetic corpus draws every document from a tiny
+    * (31-token) vocabulary, so at textbook thresholds like 0.6 MOST doc
+    * pairs qualify (the corpus, not the algorithm, is degenerate there —
+    * prefix filtering discriminates on real Zipfian vocabularies, as the
+    * spec's fixture shows).
     *
     * Scale shape: the prefix index is Σ prefix-length rows (≈ (1−τ)·token
     * volume); the join key is a token whose prefix posting list is short
@@ -2085,8 +2090,8 @@ object TextOps {
     * candidate. The definitional every-shared-token join this replaces
     * fans out on the most common token in the corpus.
     */
-  def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 3,
-                           tauDen: Int = 5): DataFrame = {
+  def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 9,
+                           tauDen: Int = 10): DataFrame = {
     val tk = docTokens(documents)
     val cand = prefixCandidates(tk, tauNum, tauDen)
     val sets = tk.groupBy("doc_id")
@@ -2133,7 +2138,7 @@ object TextOps {
   /** The q212 oracle: the DEFINITIONAL every-shared-token join + the same
     * integer τ cut — hash equality proves the prefix filter is lossless.
     */
-  def prefixSimilarityJoinOracleSql(tauNum: Int = 3, tauDen: Int = 5): String = s"""
+  def prefixSimilarityJoinOracleSql(tauNum: Int = 9, tauDen: Int = 10): String = s"""
 WITH d AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
   FROM documents

@@ -722,7 +722,7 @@ class TextOpsSpec extends SparkSpecBase {
       (7L, "the omicron pi rho sigma")
     ).map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = TextOps.prefixSimilarityJoin(docs).collect()
+    val got = TextOps.prefixSimilarityJoin(docs, 3, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
     // brute force over token sets
     def toks(t: String) = t.split(" ").toSet

@@ -5,11 +5,11 @@
 //   --jars target/scala-2.13/airflowetlfinancemarketspark_2.13-0.1.0.jar \
 //   -I tools/scale_sweep_r10b.scala
 val dir = "/tmp/scale100"
-val names = Seq(
+val names = sys.env.get("SWEEP_NAMES").map(_.split(",").toSeq).getOrElse(Seq(
   "q194_fifo_match", "q195_item_neighbors", "q196_psi_drift",
   "q197_abc_parts", "q198_win_streaks", "q199_l_diversity",
   "q200_naive_bayes", "q201_vocab_growth", "q202_rfm_segments",
-  "q203_stickiness", "q204_settlement_t2")
+  "q203_stickiness", "q204_settlement_t2"))
 for (n <- names) {
   val fn = graft.SparkEntry.queries(n)
   // warm nothing: fresh plan per query, min of 2 passes
