@@ -399,11 +399,16 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     * struct), not a window.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+    // NO block-storage pin of the edge relation: the callers feed a
+    // materialized parquet MV, and re-scanning it per round is cheaper and
+    // safer than caching a quarter-billion symmetrized rows (measured OOM
+    // at 100x with an eager localCheckpoint here). Only the node-sized
+    // label relation checkpoints per round.
+    def sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       labels = sym.join(labels, col("u") === col("node"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -472,19 +477,29 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     * node id; lineage cut per round.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var sym = edges.select(col("src").as("u"), col("dst").as("v"))
+    import org.apache.spark.storage.StorageLevel
+    // each round references the current edge set three times (degree agg +
+    // two semi-joins), so it must be materialized — but DISK_ONLY and
+    // serialized: a deserialized in-memory pin of the full symmetrized
+    // relation OOMs at 100x (measured on the LPA sibling). Rounds shrink
+    // the relation, and each round unpersists its predecessor.
+    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint(true)
+      .persist(StorageLevel.DISK_ONLY)
+    cur.count()
     for (_ <- 1 to rounds) {
-      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val keep = cur.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
-      sym = sym
+      val next = cur
         .join(keep, "u")
         .join(keep.withColumnRenamed("u", "v"), "v")
         .select("u", "v")
-        .localCheckpoint(true)
+        .persist(StorageLevel.DISK_ONLY)
+      next.count()
+      cur.unpersist()
+      cur = next
     }
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val deg = cur.groupBy("u").agg(count(lit(1)).as("d"))
     deg.agg(count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("long").as("n_edges"),
       min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
