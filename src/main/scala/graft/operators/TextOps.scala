@@ -2128,9 +2128,14 @@ object TextOps {
     // prefix length p = s - ceil(tau*s) + 1, all-integer
     val prefix = ranked
       .filter(col("rn") <= col("s") - expr(s"($tauNum * s + $tauDen - 1) div $tauDen") + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("s"))
+    // PPJoin's LENGTH filter rides the candidate join: J >= tau forces
+    // tau <= |A|/|B| <= 1/tau, so size-mismatched pairs drop before the
+    // expensive verify - lossless by the same inequality the tau cut uses
     prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+          && col("a.s") * tauDen >= col("b.s") * tauNum
+          && col("b.s") * tauDen >= col("a.s") * tauNum)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
   }

@@ -10,6 +10,7 @@ val names = sys.env.get("SWEEP_NAMES").map(_.split(",").toSeq).getOrElse(Seq(
   "q197_abc_parts", "q198_win_streaks", "q199_l_diversity",
   "q200_naive_bayes", "q201_vocab_growth", "q202_rfm_segments",
   "q203_stickiness", "q204_settlement_t2"))
+println("ZSCALE names=" + names.mkString("+"))
 for (n <- names) {
   val fn = graft.SparkEntry.queries(n)
   // warm nothing: fresh plan per query, min of 2 passes
