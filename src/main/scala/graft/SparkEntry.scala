@@ -2108,7 +2108,12 @@ ORDER BY r.rank DESC, partkey"""
     // codebooks, 1-byte codes, asymmetric-distance scoring through ONE
     // broadcast lookup join; left-associated m-term sums keep every score
     // bit-identical cross-engine; float rescore of 20k survivors
-    "q205_pq_knn" -> ((s, dir) => Similarity.pqKnn(Tables.embeddings(s, dir))),
+    // train-once/probe-many: codebooks come from the fingerprinted MV
+    // (first call trains + persists; every later call pays only encode +
+    // ADC + rescore) — parquet round-trips the quantized Lloyd coordinates
+    // bit-exactly, so rows are identical to the train-in-query path
+    "q205_pq_knn" -> ((s, dir) => Similarity.pqKnnWithCodebooks(
+      Tables.embeddings(s, dir), Similarity.pqCodebooksMV(s, dir))),
 
     // LABEL-PROPAGATION COMMUNITIES: synchronous rounds, mode-of-neighbors
     // with smallest-label ties — fully deterministic, rounds unrolled in
@@ -2144,11 +2149,12 @@ ORDER BY r.rank DESC, partkey"""
     "q211_kcore" -> ((s, dir) => GraphOps.kCoreGate(s, dir)),
 
     // PREFIX-FILTERED SET-SIMILARITY JOIN (SSJoin/PPJoin): candidates only
-    // from rarest-first token prefixes; exact array-intersect verify;
-    // τ cut by integer cross-multiplication — the oracle is the
-    // definitional every-shared-token join, proving losslessness
+    // from rarest-first prefixes over the 3-word SHINGLE universe, cut by
+    // the length AND positional filters; exact array-intersect verify;
+    // τ = 7/10 by integer cross-multiplication — the oracle is the
+    // definitional every-shared-shingle join, proving losslessness
     "q212_prefix_join" -> ((s, dir) =>
-      TextOps.prefixSimilarityJoin(Tables.documents(s, dir)))
+      TextOps.prefixSimilarityJoin(Tables.documents(s, dir), 7, 10, shingled = true))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5110,6 +5116,6 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q211_kcore" -> GraphOps.kCoreOracleSql(),
 
     // the definitional every-shared-token join + the same integer τ cut
-    "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql()
+    "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql(7, 10, shingled = true)
   )
 }

@@ -142,26 +142,10 @@ object GraphOps {
     * partial/aborted write (no marker) is overwritten on next access.
     */
   def copurchaseEdgesMV(spark: SparkSession, dir: String,
-                        refresh: Boolean = false): DataFrame = synchronized {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "lineitem.parquet")
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(src.toString.getBytes("UTF-8"))
-    val walk = Files.walk(src)
-    try walk.filter(p => Files.isRegularFile(p))
-      .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
-      .forEach { p =>
-        md.update(s"${p.getFileName}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}\n"
-          .getBytes("UTF-8"))
-      }
-    finally walk.close()
-    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
-    val mv = Paths.get(System.getProperty("java.io.tmpdir"), "graft_mv",
-      s"copurchase_edges_$fp")
-    if (refresh || !Files.exists(mv.resolve("_SUCCESS")))
-      copurchaseEdges(spark, dir).write.mode("overwrite").parquet(mv.toString)
-    spark.read.parquet(mv.toString)
-  }
+                        refresh: Boolean = false): DataFrame =
+    graft.sources.Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "copurchase_edges", refresh)(copurchaseEdges(spark, dir))
 
   /** Registered query: 5-iteration PageRank over the co-purchase graph,
     * full node relation ordered by (rank desc, node). Reads the edge MV —
@@ -344,7 +328,7 @@ object GraphOps {
       .join(deg.select(col("pk").as("j"), col("n").as("n_j")), "j")
       .select(col("i"), col("j"),
         (col("w").cast("double")
-          / sqrt((col("n_i") * col("n_j")).cast("double"))).as("cosine"))
+          / sqrt(col("n_i").cast("double") * col("n_j").cast("double"))).as("cosine"))
     scored.groupBy("i")
       .agg(graft.functions.TopKByScore.topK(col("cosine"), col("j"), k).as("top"))
       .select(col("i").as("p_partkey"), explode(col("top")).as("e"))
@@ -501,7 +485,7 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     }
     val deg = cur.groupBy("u").agg(count(lit(1)).as("d"))
     deg.agg(count(lit(1)).as("n_nodes"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      expr("sum(d) div 2").as("n_edges"),
       min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
       sum(col("u")).as("node_checksum"))
   }

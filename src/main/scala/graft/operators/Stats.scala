@@ -397,7 +397,8 @@ FROM pairs GROUP BY symbol ORDER BY symbol"""
     val binned = events.filter(col("value").isNotNull)
       .select(col("event_type"),
         (col("ts") < lit(splitTs).cast("timestamp")).as("is_ref"),
-        least(floor(col("value") / binWidth), lit(nBins - 1L)).cast("long").as("bin"))
+        greatest(least(floor(col("value") / binWidth), lit(nBins - 1L)), lit(0L))
+          .cast("long").as("bin"))
     val counts = binned.groupBy("event_type", "bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
@@ -425,7 +426,7 @@ FROM pairs GROUP BY symbol ORDER BY symbol"""
 WITH binned AS (
   SELECT event_type,
          ts < TIMESTAMP '2024-01-16' AS is_ref,
-         least(CAST(floor("value" / 25.0) AS BIGINT), 19) AS bin
+         greatest(least(CAST(floor("value" / 25.0) AS BIGINT), 19), 0) AS bin
   FROM events WHERE "value" IS NOT NULL
 ), counts AS (
   SELECT event_type, bin,

@@ -2060,7 +2060,7 @@ object TextOps {
       .select(col("ckpt"), col("docs_seen"), col("tokens_seen"), col("vocab_size"),
         rd(col("vocab_size").cast("double") / col("tokens_seen"), 6).as("ttr"),
         rd((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          / nullIfZero((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
           .as("heaps_beta"))
       .orderBy("ckpt")
   }
@@ -2073,26 +2073,38 @@ object TextOps {
     * order — rarest-first (ascending document frequency), which makes the
     * prefixes the rarest tokens and collapses the candidate space.
     *
-    * Candidates come from an equi-join on prefix tokens only; each
-    * candidate pair is verified with the EXACT intersection of the two
-    * sorted token arrays. The τ cut is the integer cross-multiplication
-    * den·|A∩B| ≥ num·|A∪B| — no FP ever decides membership. The registered
-    * τ is 9/10: this synthetic corpus draws every document from a tiny
-    * (31-token) vocabulary, so at textbook thresholds like 0.6 MOST doc
-    * pairs qualify (the corpus, not the algorithm, is degenerate there —
-    * prefix filtering discriminates on real Zipfian vocabularies, as the
-    * spec's fixture shows).
+    * Candidates come from an equi-join on prefix tokens only, double-pruned
+    * in the join condition by PPJoin's LENGTH filter (τ ≤ |A|/|B| ≤ 1/τ) and
+    * POSITIONAL filter (Xiao et al. WWW 2008 §3.2: a matching prefix token at
+    * positions pA, pB bounds the overlap by 1 + min(|A|−pA, |B|−pB), which
+    * must still reach the Jaccard minoverlap ⌈τ/(1+τ)·(|A|+|B|)⌉ — computed
+    * all-integer as (num·(|A|+|B|) + num+den−1) div (num+den)). Lossless:
+    * a qualifying pair's FIRST common token in the global order sits inside
+    * both prefixes (else fewer than minoverlap tokens would remain), and at
+    * that token the positional bound ≥ the true overlap ≥ minoverlap. Each
+    * surviving candidate is verified with the EXACT intersection of the two
+    * sorted element arrays; the τ cut is the integer cross-multiplication
+    * den·|A∩B| ≥ num·|A∪B| — no FP ever decides membership.
     *
-    * Scale shape: the prefix index is Σ prefix-length rows (≈ (1−τ)·token
-    * volume); the join key is a token whose prefix posting list is short
-    * BY CONSTRUCTION (common tokens appear in prefixes only for docs with
-    * nothing rarer); verification joins carry two bounded arrays per
-    * candidate. The definitional every-shared-token join this replaces
-    * fans out on the most common token in the corpus.
+    * The registered universe is the 3-word SHINGLE set (`shingled = true`,
+    * τ = 7/10): shingles are Zipfian-many even on this corpus's 31-word
+    * vocabulary, so the threshold discriminates (near-dup pairs ≥ 0.9, all
+    * others < 0.3 at sf0.01) and the prefix index discards most of each set.
+    * The word-token universe (`shingled = false`) remains for corpora where
+    * whole-set token overlap is the right granularity.
+    *
+    * Scale shape: the prefix index is Σ prefix-length rows (≈ (1−τ)·element
+    * volume); the join key is an element whose prefix posting list is short
+    * BY CONSTRUCTION (common elements appear in prefixes only for docs with
+    * nothing rarer); the positional filter then cuts candidates that merely
+    * share a rare element without compatible set geometry; verification
+    * joins carry two bounded arrays per candidate. The definitional
+    * every-shared-element join this replaces fans out on the most common
+    * element in the corpus.
     */
-  def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 9,
-                           tauDen: Int = 10): DataFrame = {
-    val tk = docTokens(documents)
+  def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 7,
+                           tauDen: Int = 10, shingled: Boolean = true): DataFrame = {
+    val tk = if (shingled) docShingles(documents) else docTokens(documents)
     val cand = prefixCandidates(tk, tauNum, tauDen)
     val sets = tk.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("sz"))
@@ -2107,18 +2119,30 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Distinct normalized tokens per document (the q212 set universe). */
+  /** Distinct normalized tokens per document (the word-level q212 universe). */
   private[graft] def docTokens(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0).distinct()
 
+  /** Distinct 3-word shingles per document (the registered q212 universe) —
+    * the same element space q27's Jaccard pairs and the MinHash family
+    * band over, as a (doc_id, tok) relation.
+    */
+  private[graft] def docShingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("tok"))
+      .distinct()
+
   /** q212's candidate stage alone: pairs sharing a RAREST-FIRST prefix
-    * token — exposed so the pruning property (candidates strictly fewer
-    * than the every-shared-token join's pairs) is spec-pinnable.
+    * token, cut by the length and (optionally) positional filters — exposed
+    * with a `positional` switch so the spec can pin that the positional
+    * filter prunes candidates the other two filters keep.
     */
   private[graft] def prefixCandidates(tk: DataFrame, tauNum: Int,
-                                      tauDen: Int): DataFrame = {
+                                      tauDen: Int,
+                                      positional: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = tk.join(df, "tok")
@@ -2128,28 +2152,52 @@ object TextOps {
     // prefix length p = s - ceil(tau*s) + 1, all-integer
     val prefix = ranked
       .filter(col("rn") <= col("s") - expr(s"($tauNum * s + $tauDen - 1) div $tauDen") + 1)
-      .select(col("doc_id"), col("tok"), col("s"))
+      .select(col("doc_id"), col("tok"), col("s"), col("rn"))
     // PPJoin's LENGTH filter rides the candidate join: J >= tau forces
     // tau <= |A|/|B| <= 1/tau, so size-mismatched pairs drop before the
     // expensive verify - lossless by the same inequality the tau cut uses
-    prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
-          && col("a.s") * tauDen >= col("b.s") * tauNum
-          && col("b.s") * tauDen >= col("a.s") * tauNum)
+    val lengthOk =
+      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.s") * tauDen >= col("b.s") * tauNum &&
+        col("b.s") * tauDen >= col("a.s") * tauNum
+    // POSITIONAL filter: overlap via this token is at most the token itself
+    // plus whatever follows it on the shorter remaining side; that bound
+    // must still reach the integer Jaccard minoverlap
+    val joinCond =
+      if (positional)
+        lengthOk && expr(
+          s"1 + least(a.s - a.rn, b.s - b.rn) >= " +
+            s"(CAST($tauNum AS BIGINT) * (a.s + b.s) + ${tauNum + tauDen - 1}) " +
+            s"div ${tauNum + tauDen}")
+      else lengthOk
+    prefix.as("a").join(prefix.as("b"), joinCond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
   }
 
-  /** The q212 oracle: the DEFINITIONAL every-shared-token join + the same
-    * integer τ cut — hash equality proves the prefix filter is lossless.
+  /** The q212 oracle: the DEFINITIONAL every-shared-element join + the same
+    * integer τ cut — hash equality proves the prefix + length + positional
+    * filter stack is lossless.
     */
-  def prefixSimilarityJoinOracleSql(tauNum: Int = 9, tauDen: Int = 10): String = s"""
+  def prefixSimilarityJoinOracleSql(tauNum: Int = 7, tauDen: Int = 10,
+                                    shingled: Boolean = true): String = {
+    val universe =
+      if (shingled) """t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), tk AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tok
+  FROM t
+),"""
+      else """t AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+), tk AS (SELECT DISTINCT doc_id, tok FROM t WHERE length(tok) > 0),"""
+    s"""
 WITH d AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
   FROM documents
-), t AS (
-  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
-), tk AS (SELECT DISTINCT doc_id, tok FROM t WHERE length(tok) > 0),
+), $universe
 sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY 1),
 pr AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -2165,6 +2213,7 @@ SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / un, 6) + 0 AS jaccard
 FROM j WHERE inter * $tauDen >= un * $tauNum
 ORDER BY doc_a, doc_b"""
+  }
 
   /** The q201 oracle: identical first-occurrence prefix construction and
     * decimal OLS over the checkpoint curve.
@@ -2208,6 +2257,6 @@ SELECT CAST(ckpt AS BIGINT) AS ckpt,
        CAST(vocab_size AS BIGINT) AS vocab_size,
        round(CAST(vocab_size AS DOUBLE) / CAST(tokens_seen AS DOUBLE), 6) + 0 AS ttr,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS heaps_beta
+           / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) + 0 AS heaps_beta
 FROM s ORDER BY ckpt"""
 }

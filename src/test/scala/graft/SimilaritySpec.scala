@@ -171,6 +171,23 @@ class SimilaritySpec extends SparkSpecBase {
       s"persisted-centroid probe diverges: $persisted vs $inSession")
   }
 
+  test("persisted PQ codebooks: write -> read -> probe is row-identical to training in session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqbooks").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Similarity.writePqCodebooks(Similarity.pqTrainCodebooks(emb), dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val persisted = rows(Similarity.pqKnnWithCodebooks(
+      emb, Similarity.readPqCodebooks(spark, dir)))
+    val inSession = rows(Similarity.pqKnn(emb))
+    assert(persisted == inSession,
+      s"persisted-codebook probe diverges: $persisted vs $inSession")
+    // the registered q205 path (fingerprinted MV) agrees too
+    val viaMv = rows(Similarity.pqKnnWithCodebooks(
+      emb, Similarity.pqCodebooksMV(spark, sf)))
+    assert(viaMv == inSession, "MV-codebook probe diverges from in-session")
+  }
+
   test("topSimilarPairs: k pairs, ordered by sim desc, each pair unordered-unique") {
     val out = Similarity.topSimilarPairs(spark, sf, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -722,7 +722,7 @@ class TextOpsSpec extends SparkSpecBase {
       (7L, "the omicron pi rho sigma")
     ).map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = TextOps.prefixSimilarityJoin(docs, 3, 5).collect()
+    val got = TextOps.prefixSimilarityJoin(docs, 3, 5, shingled = false).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
     // brute force over token sets
     def toks(t: String) = t.split(" ").toSet
@@ -745,6 +745,41 @@ class TextOpsSpec extends SparkSpecBase {
     assert(nAll == 21, s"common token should link every pair, got $nAll")
     assert(nCand < nAll, s"prefix filter pruned nothing: $nCand vs $nAll")
     assert(nCand >= exp.size, "candidates must cover every qualifying pair")
+  }
+
+  test("prefixCandidates: positional filter prunes pairs the prefix+length filters keep") {
+    // Docs 1 and 2 (10 tokens each) share exactly ONE token, 'shared'
+    // (df=2), sitting at rarest-first rank 3 in BOTH — behind two unique
+    // df=1 tokens and ahead of seven df=3 fillers. At tau=4/5 the prefix
+    // length is 10 - 8 + 1 = 3, so 'shared' IS in both prefixes and the
+    // sizes are equal (length filter passes), but the positional bound
+    // 1 + min(10-3, 10-3) = 8 < minoverlap ceil(4*(10+10)/9) = 9 — only
+    // the positional filter can drop the pair. Padding docs p1..p4 raise
+    // the filler dfs to 3 without creating any qualifying pair.
+    val docs = Seq(
+      (1L, "u1a u1b shared a1 a2 a3 a4 a5 a6 a7"),
+      (2L, "u2a u2b shared b1 b2 b3 b4 b5 b6 b7"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7"),                 // p1: J(1,p1)=0.7
+      (4L, "a1 a2 a3 a4 a5 a6 a7 c1 c2 c3"),        // p2: J(p1,p2)=0.7
+      (5L, "b1 b2 b3 b4 b5 b6 b7"),
+      (6L, "b1 b2 b3 b4 b5 b6 b7 c4 c5 c6")
+    ).map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tk = TextOps.docTokens(docs)
+    val loose = TextOps.prefixCandidates(tk, 4, 5, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = TextOps.prefixCandidates(tk, 4, 5, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)),
+      s"fixture broken: prefix+length filters should keep (1,2), got $loose")
+    assert(!tight.contains((1L, 2L)),
+      s"positional filter should drop (1,2), got $tight")
+    assert(tight.subsetOf(loose), "positional filter must only remove candidates")
+    // losslessness at the operator level: brute force says NO pair reaches
+    // J >= 4/5, and the full operator (positional filter on) agrees
+    val got = TextOps.prefixSimilarityJoin(docs, 4, 5, shingled = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.isEmpty, s"no pair reaches J>=0.8, got $got")
   }
 
   test("vocabGrowth: Heaps slope is positive on a growing-vocabulary corpus") {
