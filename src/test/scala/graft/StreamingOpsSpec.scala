@@ -171,6 +171,23 @@ class StreamingOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("shared-lifecycle stream-join gates equal their standalone lifecycles (inner/left/full)") {
+    // the three registered gates derive from ONE drained full-outer
+    // lifecycle (fullJoinEmissionMV); each must be row-identical to a
+    // freshly-run dedicated lifecycle of its own join type
+    def seqOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(seqOf(StreamingOps.streamJoinParity(spark, sf)) ==
+      seqOf(StreamingOps.streamJoinParityStandalone(spark, sf)),
+      "derived inner gate != standalone ns-window inner lifecycle")
+    assert(seqOf(StreamingOps.streamLeftJoinParity(spark, sf)) ==
+      seqOf(StreamingOps.streamLeftJoinParityStandalone(spark, sf)),
+      "derived left gate != standalone left-outer lifecycle")
+    assert(seqOf(StreamingOps.streamFullJoinParity(spark, sf)) ==
+      seqOf(StreamingOps.streamFullJoinParityStandalone(spark, sf)),
+      "derived full gate != standalone full-outer lifecycle")
+  }
+
   test("streamFullJoinParityToParquet: distributed-sink census equals the memory gate's emitted set") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_fulljoin_pq").toString + "/out"
     val census = StreamingOps.streamFullJoinParityToParquet(spark, sf, outDir)
@@ -218,6 +235,12 @@ class StreamingOpsSpec extends SparkSpecBase {
     val left = StreamingOps.streamLeftJoinParity(spark, tmp)
     assert(left.filter(col("p_id").isNull).select("click_id").as[Long].collect().toSeq == Seq(2L),
       "left-outer: only the strictly-expired click (not the boundary one) may null-emit")
+    // the REAL left-outer lifecycle (not the shared-MV derivation) must make
+    // the same strict-boundary eviction decisions
+    val leftStandalone = StreamingOps.streamLeftJoinParityStandalone(spark, tmp)
+    assert(leftStandalone.filter(col("p_id").isNull).select("click_id").as[Long]
+      .collect().toSeq == Seq(2L),
+      "standalone left-outer lifecycle: strict-boundary eviction diverges")
 
     val full = StreamingOps.streamFullJoinParity(spark, tmp)
     val nullClicks = full.filter(col("p_id").isNull && col("click_id").isNotNull)
