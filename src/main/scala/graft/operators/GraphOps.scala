@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Node-relation broadcast ceiling for the iterative-join family. Below
+    * this node count, every round broadcasts the node-sized relation
+    * (ranks / frontier / labels) so the big edge relation is neither
+    * shuffled nor broadcast; above it, rounds switch to a shuffled
+    * equi-join with the edge relation PRE-PARTITIONED on the join key, so
+    * each round shuffles only the node relation.
+    *
+    * Rationale (recorded for a 10⁹-node graph in SCALING.md): a
+    * (node, long, double) broadcast hash relation costs ~50–80 B/row, so
+    * 2M nodes ≈ 100–160 MB — about the largest payload worth shipping to
+    * every executor per round on a 1000-executor cluster (aggregate network
+    * = size × executors × rounds). Beyond that, hash-partitioning the node
+    * relation (one keyed shuffle of |V| rows per round against a
+    * co-partitioned edge list) is strictly cheaper and has no single-JVM
+    * memory ceiling; at 10⁹ nodes a broadcast would be ~60 GB and is simply
+    * impossible, while the shuffled round is the standard Pregel shape.
+    */
+  val BroadcastNodeLimit: Long = 2000000L
+
+  private def maybeBroadcast(nodes: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(nodes) else nodes
+
   /** Undirected co-purchase edges over `lineitem`: parts appearing in the
     * same order, weight = number of distinct orders sharing them. The
     * self-join is keyed by l_orderkey, so the pair fan-out is bounded by
@@ -81,7 +103,8 @@ object GraphOps {
     * deg ≥ 1 everywhere — no dangling mass term. Returns
     * (node, degree, rank) with rank quantized per iteration (see object doc).
     */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               broadcastNodes: Option[Boolean] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // materialize the symmetrized edge list ONCE: und is referenced by both
     // deg and adj, and is itself a union scanning the edge build twice — an
@@ -96,14 +119,20 @@ object GraphOps {
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
       .localCheckpoint(true)
-    val adj = und.join(broadcast(deg), und("u") === deg("node"))
+    // ADAPTIVE round strategy (see BroadcastNodeLimit): node-sized
+    // broadcast below the ceiling; above it, a shuffled equi-join with the
+    // adjacency pre-partitioned on u, so each round exchanges only ranks
+    val bcast = broadcastNodes.getOrElse(deg.count() <= BroadcastNodeLimit)
+    val adjRaw = und.join(maybeBroadcast(deg, bcast), und("u") === deg("node"))
       .select(col("u"), col("v"), col("deg").as("deg_u"))
+    val adj = (if (bcast) adjRaw else adjRaw.repartition(col("u")))
       .localCheckpoint(true)
     var ranks = deg.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      // ranks is node-cardinality (tiny next to the edge list) — broadcast
-      // it so the big adjacency relation never re-shuffles per iteration;
-      // the only exchange left is the partial-aggregate combine on v.
+      // ranks is node-cardinality (tiny next to the edge list) — in
+      // broadcast mode it ships to every task so the big adjacency relation
+      // never re-shuffles per iteration; the only exchange left is the
+      // partial-aggregate combine on v.
       // NO per-iteration checkpoint: each rank relation is referenced
       // exactly once by the next iteration, so the DAG is linear (adj is
       // scanned once per iteration from ITS checkpoint) — materializing
@@ -111,7 +140,7 @@ object GraphOps {
       // loop keeps per-round checkpoints because it iterates to an
       // UNBOUNDED fixpoint with a count() action per round; a fixed
       // 5-iteration chain is one job.)
-      val contrib = adj.join(broadcast(ranks), adj("u") === ranks("node"))
+      val contrib = adj.join(maybeBroadcast(ranks, bcast), adj("u") === ranks("node"))
         .select(col("v"), (col("rank") / col("deg_u")).as("c"))
         .groupBy("v").agg(sum("c").as("inflow"))
       ranks = deg
@@ -120,7 +149,7 @@ object GraphOps {
           rd(lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
             .as("rank"))
     }
-    deg.join(broadcast(ranks), "node")
+    deg.join(maybeBroadcast(ranks, bcast), "node")
       .select(col("node"), col("deg").as("degree"), col("rank"))
   }
 
@@ -225,18 +254,25 @@ object GraphOps {
     * join is the same keyed shuffle as any groupBy — no driver-side
     * traversal anywhere.
     */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int,
+                   broadcastFrontier: Option[Boolean] = None): DataFrame = {
+    val symFlat = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true) // reused by every round
+    // frontier rows never exceed node count <= symmetrized edge rows, so
+    // the (cheap, checkpointed) edge row count is a conservative stand-in
+    // for the node count the adaptive branch keys on
+    val bcast = broadcastFrontier.getOrElse(symFlat.count() <= BroadcastNodeLimit)
+    val sym = if (bcast) symFlat
+      else symFlat.repartition(col("u")).localCheckpoint(true)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
-      // broadcast the NODE-SIZED frontier so the edge relation is neither
-      // shuffled nor broadcast (the q98 rank-relation pattern; AQE left to
-      // itself may try to broadcast the far larger edge side). Beyond the
-      // ~5M-node regime the same one-hint flip to a node-keyed shuffle
-      // join applies as documented for PageRank.
-      val next = broadcast(dist).join(sym, col("node") === col("u"))
+      // broadcast mode ships the NODE-SIZED frontier so the edge relation
+      // is neither shuffled nor broadcast (the q98 rank-relation pattern;
+      // AQE left to itself may try to broadcast the far larger edge side).
+      // Shuffled mode exchanges only the frontier against the
+      // pre-partitioned edge relation (see BroadcastNodeLimit).
+      val next = maybeBroadcast(dist, bcast).join(sym, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
     }
@@ -270,15 +306,18 @@ object GraphOps {
     * once and each round is one equi-join keyed by node + a min
     * aggregate; the distances relation never exceeds |V| rows.
     */
-  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                        broadcastFrontier: Option[Boolean] = None): DataFrame = {
+    val symFlat = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
       .localCheckpoint(true)
+    val bcast = broadcastFrontier.getOrElse(symFlat.count() <= BroadcastNodeLimit)
+    val sym = if (bcast) symFlat
+      else symFlat.repartition(col("u")).localCheckpoint(true)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
-      // node-sized frontier broadcast; edge relation streams (see
-      // bfsDistances)
-      val next = broadcast(dist).join(sym, col("node") === col("u"))
+      // adaptive frontier strategy — see bfsDistances / BroadcastNodeLimit
+      val next = maybeBroadcast(dist, bcast).join(sym, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
     }
@@ -382,7 +421,8 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     * per round. The argmax is a hash aggregate (max of a (count, −label)
     * struct), not a window.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastLabels: Option[Boolean] = None): DataFrame = {
     // NO block-storage pin of the edge relation: the callers feed a
     // materialized parquet MV, and re-scanning it per round is cheaper and
     // safer than caching a quarter-billion symmetrized rows (measured OOM
@@ -393,8 +433,14 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // adaptive round strategy (see BroadcastNodeLimit): label relation is
+    // exactly node-sized and checkpointed, so its count is free; above the
+    // ceiling the join stays a shuffled equi-join (the edge side re-scans
+    // from the MV each round by design, so there is no partitioning to
+    // carry across rounds — the label shuffle is the bounded cost)
+    val bcast = broadcastLabels.getOrElse(labels.count() <= BroadcastNodeLimit)
     for (_ <- 1 to rounds) {
-      labels = sym.join(labels, col("u") === col("node"))
+      labels = sym.join(maybeBroadcast(labels, bcast), col("u") === col("node"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v").as("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))

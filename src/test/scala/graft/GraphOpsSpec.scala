@@ -186,6 +186,29 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(out.filterKeys(Set(1L, 2L, 3L)).values.forall(Set(1L, 2L, 3L)), out.toString)
   }
 
+  test("adaptive graph rounds: forced-shuffle mode is row-identical to broadcast mode (q98/q144/q184/q206 shapes)") {
+    // the same gate relations computed with broadcastNodes/broadcastFrontier
+    // forced OFF (the >BroadcastNodeLimit path: pre-partitioned edge side,
+    // per-round node-relation shuffle) must hash-equal the broadcast path
+    val edges = GraphOps.copurchaseEdgesMV(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val prB = rows(GraphOps.pageRank(edges, 3, broadcastNodes = Some(true))
+      .orderBy(col("rank").desc, col("node")))
+    val prS = rows(GraphOps.pageRank(edges, 3, broadcastNodes = Some(false))
+      .orderBy(col("rank").desc, col("node")))
+    assert(prB == prS, "pageRank shuffled mode diverges from broadcast mode")
+    val seed = edges.agg(min(col("src")).as("node"))
+    val bfsB = rows(GraphOps.bfsDistances(edges, seed, 3, Some(true)).orderBy("node"))
+    val bfsS = rows(GraphOps.bfsDistances(edges, seed, 3, Some(false)).orderBy("node"))
+    assert(bfsB == bfsS, "bfs shuffled mode diverges from broadcast mode")
+    val wB = rows(GraphOps.weightedDistances(edges, seed, 3, Some(true)).orderBy("node"))
+    val wS = rows(GraphOps.weightedDistances(edges, seed, 3, Some(false)).orderBy("node"))
+    assert(wB == wS, "bellman-ford shuffled mode diverges from broadcast mode")
+    val lpB = rows(GraphOps.labelPropagation(edges, 2, Some(true)).orderBy("node"))
+    val lpS = rows(GraphOps.labelPropagation(edges, 2, Some(false)).orderBy("node"))
+    assert(lpB == lpS, "LPA shuffled mode diverges from broadcast mode")
+  }
+
   test("itemNeighbors matches a brute-force co-occurrence cosine ranking") {
     val lp = graft.sources.Tables.lineitem(spark, sf)
       .selectExpr("l_orderkey", "l_partkey").distinct()
