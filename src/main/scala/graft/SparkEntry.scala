@@ -2154,7 +2154,14 @@ ORDER BY r.rank DESC, partkey"""
     // τ = 7/10 by integer cross-multiplication — the oracle is the
     // definitional every-shared-shingle join, proving losslessness
     "q212_prefix_join" -> ((s, dir) =>
-      TextOps.prefixSimilarityJoin(Tables.documents(s, dir), 7, 10, shingled = true))
+      TextOps.prefixSimilarityJoin(Tables.documents(s, dir), 7, 10, shingled = true)),
+
+    // PER-DOMAIN QUOTA (frontier-style corpus cap): md5-deterministic cap
+    // of documents per source domain through the bounded k-heap aggregate —
+    // the CommonCrawl-prep step that stops one crawl-heavy host from
+    // dominating a training mixture
+    "q213_domain_quota" -> ((s, dir) =>
+      TextOps.domainQuota(Tables.documents(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5116,6 +5123,7 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q211_kcore" -> GraphOps.kCoreOracleSql(),
 
     // the definitional every-shared-token join + the same integer τ cut
-    "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql(7, 10, shingled = true)
+    "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql(7, 10, shingled = true),
+    "q213_domain_quota" -> TextOps.domainQuotaOracleSql()
   )
 }

@@ -1853,6 +1853,54 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** Frontier-style per-domain quota (q213) — the CommonCrawl-prep staple:
+    * cap how many documents any one domain (the `source` column) may
+    * contribute to a training corpus, so a single crawl-heavy host can't
+    * dominate the mixture (the same per-host politeness/cap discipline a
+    * crawl frontier applies, moved to corpus construction; CCNet and
+    * Gopher/MassiveText both apply per-domain limits before training).
+    *
+    * Selection is md5-DETERMINISTIC (the house sampling contract): each
+    * document draws the 52-bit integer prefix of md5(doc_id) — exact as a
+    * double, so no FP ambiguity — and the `cap` smallest hashes per domain
+    * survive, ties broken by doc_id. A hash order (not first-N by id)
+    * makes the kept set a uniform sample of the domain, stable under
+    * corpus append: adding documents can only displace, never reshuffle,
+    * the survivors.
+    *
+    * Scale shape: ONE hash aggregate per domain through the bounded
+    * [[graft.functions.TopKByScore]] k-heap — partial heaps of ≤ cap rows
+    * combine map-side, so the shuffle carries ≤ cap × partitions rows per
+    * domain regardless of how many billions of pages the domain crawled
+    * (the reason this is the k-heap and not q71's row_number window, which
+    * would shuffle and sort EVERY row of the hot domain to one partition).
+    */
+  def domainQuota(documents: DataFrame, cap: Int = 10): DataFrame =
+    documents
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("source")
+      .agg(graft.functions.TopKByScore.topK(
+        (-col("hv")).cast("double"), col("doc_id"), cap).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.rk").as("rk"), col("e.id").as("doc_id"))
+      .orderBy("source", "rk")
+
+  /** The q213 oracle: the same 52-bit md5 key ranked by a window. */
+  def domainQuotaOracleSql(cap: Int = 10): String = s"""
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+FROM r WHERE rk <= $cap ORDER BY source, rk"""
+
   /** Fixed-size overlapping RAG chunks: documents sliced into `size`-token
     * windows every `stride` tokens (stride < size ⇒ overlap, the standard
     * retrieval-chunking scheme), each chunk materialized as

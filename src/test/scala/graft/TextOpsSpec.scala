@@ -782,6 +782,37 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.isEmpty, s"no pair reaches J>=0.8, got $got")
   }
 
+  test("domainQuota: per-domain cap binds, selection is smallest-md5, append only displaces") {
+    import spark.implicits._
+    // domain A: 6 docs (cap 3 binds); domain B: 2 docs (keeps all)
+    def doc(id: Long, src: String) = (id, s"text $id", "en", src, 10L)
+    val docs = ((1L to 6L).map(doc(_, "A")) ++ Seq(doc(10L, "B"), doc(11L, "B")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.domainQuota(docs, cap = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute force: 52-bit md5 prefix ascending, doc_id tiebreak
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expA = (1L to 6L).sortBy(id => (hv(id), id)).take(3)
+    val expB = Seq(10L, 11L).sortBy(id => (hv(id), id))
+    val exp = expA.zipWithIndex.map { case (id, i) => ("A", (i + 1).toLong, id) } ++
+      expB.zipWithIndex.map { case (id, i) => ("B", (i + 1).toLong, id) }
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq} exp ${exp.toSeq}")
+    // append stability: adding docs only DISPLACES survivors (the kept set
+    // of the grown corpus is a subset-or-resample of hash order, never a
+    // reshuffle): every kept doc of the grown domain has hash <= the old cut
+    val grown = docs.union(Seq(doc(7L, "A"), doc(8L, "A")).toDF(docs.columns: _*))
+    val keptGrown = TextOps.domainQuota(grown, cap = 3).collect()
+      .filter(_.getString(0) == "A").map(_.getLong(2)).toSet
+    val oldCut = expA.map(hv).max
+    assert(keptGrown.forall(id => hv(id) <= oldCut),
+      "append let a larger-hash doc displace a smaller-hash survivor")
+  }
+
   test("vocabGrowth: Heaps slope is positive on a growing-vocabulary corpus") {
     import spark.implicits._
     // doc i introduces i+1 fresh types and repeats a shared stopword —
