@@ -114,7 +114,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional comma-separated subset for DIAGNOSTIC sessions (e.g. session-
+    // pressure bisects: does a query family time differently in a small
+    // session than inside the full 200+-query surface?). The driver never
+    // sets it; bench2 merge eligibility is unaffected because the merge
+    // already requires identical query SETS between passes.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) }).toSeq.sortBy(_._1)
     require(ordered.nonEmpty, "no queries registered in SparkEntry.queries — refusing to emit an empty bench")
 
     // warmup: one full pass at the TARGET SF so the timed pass measures
@@ -132,6 +140,11 @@ object Bench {
     // Three timed passes, per-query MINIMUM: the shared host shows load
     // spikes that inflate single runs up to 3×; the min over passes is a
     // far more stable steady-state signal than one sample.
+    // (Round-11 drift experiment, recorded in SCALING.md: forcing
+    // System.gc() between timed queries — the runMemoryGate hygiene applied
+    // session-wide — was tried against the r9→r10 slice drift and made the
+    // numbers WORSE (44.1 s vs 40.9 s single-JVM on the q50–q99 slice), so
+    // per-query collections stay out of the timed loop.)
     def timedPass(): Seq[(String, Double, Option[String])] =
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
