@@ -506,7 +506,8 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     * of the edge relation against the surviving node set — all keyed by
     * node id; lineage cut per round.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            broadcastKeep: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // each round references the current edge set three times (degree agg +
     // two semi-joins), so it must be materialized — but DISK_ONLY and
@@ -516,13 +517,19 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     var cur = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .persist(StorageLevel.DISK_ONLY)
-    cur.count()
+    val nEdges = cur.count()
+    // the keep set is NODE-sized: broadcast it below BroadcastNodeLimit so
+    // the peel's two semi-joins stream the persisted edge relation with
+    // ZERO edge shuffle per round (nodes <= symmetrized edge rows, the
+    // conservative bfsDistances proxy); above the limit both joins stay
+    // shuffled equi-joins as before
+    val bcast = broadcastKeep.getOrElse(nEdges <= BroadcastNodeLimit)
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       val next = cur
-        .join(keep, "u")
-        .join(keep.withColumnRenamed("u", "v"), "v")
+        .join(maybeBroadcast(keep, bcast), "u")
+        .join(maybeBroadcast(keep.withColumnRenamed("u", "v"), bcast), "v")
         .select("u", "v")
         .persist(StorageLevel.DISK_ONLY)
       next.count()

@@ -2151,20 +2151,81 @@ FROM r WHERE rk <= $cap ORDER BY source, rk"""
     * element in the corpus.
     */
   def prefixSimilarityJoin(documents: DataFrame, tauNum: Int = 7,
-                           tauDen: Int = 10, shingled: Boolean = true): DataFrame = {
+                           tauDen: Int = 10, shingled: Boolean = true,
+                           collapseSets: Option[Boolean] = None): DataFrame = {
+    require(tauNum <= tauDen, "tau must be <= 1")
     val tk = if (shingled) docShingles(documents) else docTokens(documents)
-    val cand = prefixCandidates(tk, tauNum, tauDen)
     val sets = tk.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("sz"))
-    cand
-      .join(sets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("ts").as("tb"), col("sz").as("sb")), "db")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("un", col("sa") + col("sb") - col("inter"))
-      .filter(col("inter") * tauDen >= col("un") * tauNum)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("inter"), col("un"),
-        rd(col("inter").cast("double") / col("un"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .withColumn("sig", md5(concat_ws("|", col("ts"))))
+      .cache() // consumed by the path probe, verify, and both expansions
+    // ADAPTIVE EXACT-SET COLLAPSE (the q27 dedupBase discipline): documents
+    // with IDENTICAL element sets join identically with every other set, so
+    // only one representative per distinct set needs to enter the pair
+    // machinery, with members expanded afterwards. On an exact-dup-heavy
+    // corpus (the 100× replica shape: 100-member clusters) the direct join
+    // pays candidates + array-intersect verify 100×100 times per cluster
+    // pair — measured 464 s warm at 100×, vs 9.2 s collapsed (the output's
+    // 27.3M pairs are inherent; only the expansion touches them). On a
+    // dup-free corpus the collapse machinery is pure overhead (~4 s at
+    // sf0.1), so the path is chosen by a distinct-signature probe on the
+    // cached set relation — two cheap counts, the pageRank deg.count()
+    // pattern. The md5-over-sorted-array signature ('|' never occurs in
+    // normalized tokens) is internal — never output.
+    // collapse pays only when duplication is SUBSTANTIAL: the rep/member/
+    // intra machinery costs a few extra small joins, worth it when the
+    // candidate+verify work shrinks materially (cluster-size² per pair),
+    // pure overhead for a handful of stray dups (sf0.1 carries 8/5000)
+    val collapse = collapseSets.getOrElse {
+      val nDocs = sets.count()
+      val nSigs = sets.select(col("sig")).distinct().count()
+      nSigs * 10L < nDocs * 9L // >10% duplicate sets
+    }
+    if (!collapse) {
+      val cand = prefixCandidates(tk, tauNum, tauDen)
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("ts").as("tb"), col("sz").as("sb")), "db")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("un", col("sa") + col("sb") - col("inter"))
+        .filter(col("inter") * tauDen >= col("un") * tauNum)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("inter"), col("un"),
+          rd(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    } else {
+      val reps = sets.groupBy("sig").agg(min(col("doc_id")).as("rep"))
+      val repSets = sets.join(reps, sets("doc_id") === reps("rep"))
+        .select(col("doc_id"), col("ts"), col("sz"))
+      val tkRep = repSets.select(col("doc_id"), explode(col("ts")).as("tok"))
+      val cand = prefixCandidates(tkRep, tauNum, tauDen)
+      val repPairs = cand
+        .join(repSets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
+        .join(repSets.select(col("doc_id").as("db"), col("ts").as("tb"), col("sz").as("sb")), "db")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("un", col("sa") + col("sb") - col("inter"))
+        .filter(col("inter") * tauDen >= col("un") * tauNum)
+        .select(col("da"), col("db"), col("inter"), col("un"),
+          rd(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+      // member expansion: every member pair across two qualifying distinct
+      // sets inherits the rep pair's statistics verbatim
+      val mem = sets.select(col("sig"), col("doc_id"))
+        .join(reps, "sig").select(col("rep"), col("doc_id"))
+      val cross = repPairs
+        .join(mem.select(col("rep").as("da"), col("doc_id").as("ma")), "da")
+        .join(mem.select(col("rep").as("db"), col("doc_id").as("mb")), "db")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"),
+          col("inter"), col("un"), col("jaccard"))
+      // intra-set pairs: identical non-empty sets have J = 1 ≥ τ by
+      // construction (inter = un = sz), exactly what the definitional join
+      // emits for them
+      val intra = sets.select(col("sig"), col("doc_id"), col("sz")).as("x")
+        .join(sets.select(col("sig"), col("doc_id")).as("y"),
+          col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sz").as("inter"), col("x.sz").as("un"), lit(1.0).as("jaccard"))
+      cross.union(intra).orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Distinct normalized tokens per document (the word-level q212 universe). */

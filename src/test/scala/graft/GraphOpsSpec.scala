@@ -207,6 +207,9 @@ class GraphOpsSpec extends SparkSpecBase {
     val lpB = rows(GraphOps.labelPropagation(edges, 2, Some(true)).orderBy("node"))
     val lpS = rows(GraphOps.labelPropagation(edges, 2, Some(false)).orderBy("node"))
     assert(lpB == lpS, "LPA shuffled mode diverges from broadcast mode")
+    val kcB = rows(GraphOps.kCore(edges, 3, 2, Some(true)))
+    val kcS = rows(GraphOps.kCore(edges, 3, 2, Some(false)))
+    assert(kcB == kcS, "kCore shuffled mode diverges from broadcast mode")
   }
 
   test("itemNeighbors matches a brute-force co-occurrence cosine ranking") {

@@ -735,6 +735,13 @@ class TextOpsSpec extends SparkSpecBase {
     } yield (a, b) -> inter.toDouble / un).toMap
     assert(got.keySet == exp.keySet, s"got ${got.keySet} exp ${exp.keySet}")
     got.foreach { case (k, j) => assert(math.abs(j - exp(k)) < 1e-6, k.toString) }
+    // both adaptive paths produce identical rows on this dup-bearing corpus
+    // (docs 1,2 are exact dups, so the probe picks collapsed by default)
+    def allRows(collapse: Boolean) =
+      TextOps.prefixSimilarityJoin(docs, 3, 5, shingled = false,
+        collapseSets = Some(collapse)).collect().map(_.toSeq).toSeq
+    assert(allRows(true) == allRows(false),
+      "collapsed path diverges from the direct path on a dup-bearing corpus")
     // pruning: the candidate stage must be strictly smaller than the
     // every-shared-token pair space ('the' alone links all 21 pairs)
     val tk = TextOps.docTokens(docs)
