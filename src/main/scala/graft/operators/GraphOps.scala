@@ -508,35 +508,37 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             broadcastKeep: Option[Boolean] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // each round references the current edge set three times (degree agg +
-    // two semi-joins), so it must be materialized — but DISK_ONLY and
-    // serialized: a deserialized in-memory pin of the full symmetrized
-    // relation OOMs at 100x (measured on the LPA sibling). Rounds shrink
-    // the relation, and each round unpersists its predecessor.
-    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
+    require(k >= 1, "k-core needs k >= 1")
+    // NODE-SET peeling (round 11; replaces per-round DISK_ONLY edge
+    // materialization): because keep_i ⊆ keep_{i-1} (a node outside the
+    // previous keep set has zero induced edges, hence degree < k), the
+    // round-i induced edge relation equals sym ∩ (keep_i × keep_i) — only
+    // the LATEST node-sized keep set is needed to re-derive it from the
+    // edge MV, the labelPropagation re-scan discipline. Per-round state is
+    // one node-sized relation (eagerly checkpointed, tiny); the 240M-row
+    // symmetrized relation is never persisted anywhere. Previously each
+    // round wrote the shrinking edge set DISK_ONLY: 119 s warm at 100×,
+    // dominated by those writes.
+    def sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .persist(StorageLevel.DISK_ONLY)
-    val nEdges = cur.count()
-    // the keep set is NODE-sized: broadcast it below BroadcastNodeLimit so
-    // the peel's two semi-joins stream the persisted edge relation with
-    // ZERO edge shuffle per round (nodes <= symmetrized edge rows, the
-    // conservative bfsDistances proxy); above the limit both joins stay
-    // shuffled equi-joins as before
-    val bcast = broadcastKeep.getOrElse(nEdges <= BroadcastNodeLimit)
+    val nodes = sym.select(col("u")).distinct().localCheckpoint(true)
+    // keep is node-sized: broadcast below BroadcastNodeLimit so each
+    // round's two semi-joins stream the edge scan with zero edge shuffle;
+    // above it, shuffled equi-joins (the q98 adaptive branch)
+    val bcast = broadcastKeep.getOrElse(nodes.count() <= BroadcastNodeLimit)
+    var keep = nodes
     for (_ <- 1 to rounds) {
-      val keep = cur.groupBy("u").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("u")
-      val next = cur
+      keep = sym
         .join(maybeBroadcast(keep, bcast), "u")
         .join(maybeBroadcast(keep.withColumnRenamed("u", "v"), bcast), "v")
-        .select("u", "v")
-        .persist(StorageLevel.DISK_ONLY)
-      next.count()
-      cur.unpersist()
-      cur = next
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+        .localCheckpoint(true)
     }
-    val deg = cur.groupBy("u").agg(count(lit(1)).as("d"))
+    val deg = sym
+      .join(maybeBroadcast(keep, bcast), "u")
+      .join(maybeBroadcast(keep.withColumnRenamed("u", "v"), bcast), "v")
+      .groupBy("u").agg(count(lit(1)).as("d"))
     deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d) div 2").as("n_edges"),
       min(col("d")).as("min_degree"), max(col("d")).as("max_degree"),
