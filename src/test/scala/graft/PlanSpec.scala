@@ -295,4 +295,39 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"),
       s"class fan-out became a cartesian:\n$plan")
   }
+
+  test("q213 domain quota: map-side partial k-heaps below the exchange, no window sort") {
+    // the scale contract vs q71's row_number window: the shuffle carries at
+    // most cap×partitions rows per domain, never the full hot domain
+    val df = SparkEntry.queries("q213_domain_quota")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_topk_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no map-side partial topk in:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial topk is not below the exchange — the shuffle would carry " +
+        s"every row of the hottest domain in:\n$plan")
+    assert(!plan.contains("Window"), s"quota fell back to a rank window:\n$plan")
+  }
+
+  test("q212 direct path: no cartesian; verify joins are keyed equi-joins on the candidate pair") {
+    val df = SparkEntry.queries("q212_prefix_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix join degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to a nested loop:\n$plan")
+  }
+
+  test("q205 PQ probe: codebooks/LUT broadcast into the ADC join; index side never nested-loops") {
+    val df = SparkEntry.queries("q205_pq_knn")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ADC lookup table is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"PQ scoring shuffles or cross-joins the index relation:\n$plan")
+  }
 }
