@@ -742,6 +742,15 @@ class TextOpsSpec extends SparkSpecBase {
         collapseSets = Some(collapse)).collect().map(_.toSeq).toSeq
     assert(allRows(true) == allRows(false),
       "collapsed path diverges from the direct path on a dup-bearing corpus")
+    // the probe itself: >10% duplicate sets -> collapsed plan (its
+    // cross+intra Union is observable); all-distinct -> direct plan
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.toString
+    assert(planOf(TextOps.prefixSimilarityJoin(docs, 3, 5, shingled = false))
+      .contains("Union"), "1-in-7 dup corpus (>10%) should take the collapsed path")
+    val distinctDocs = docs.filter(col("doc_id") =!= 2L)
+    assert(!planOf(TextOps.prefixSimilarityJoin(distinctDocs, 3, 5, shingled = false))
+      .contains("Union"), "all-distinct corpus should take the direct path")
     // pruning: the candidate stage must be strictly smaller than the
     // every-shared-token pair space ('the' alone links all 21 pairs)
     val tk = TextOps.docTokens(docs)
