@@ -105,7 +105,6 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                broadcastNodes: Option[Boolean] = None): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // materialize the symmetrized edge list ONCE: und is referenced by both
     // deg and adj, and is itself a union scanning the edge build twice — an
     // un-checkpointed und recomputes the whole edge derivation ~4×
@@ -119,14 +118,37 @@ object GraphOps {
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
       .localCheckpoint(true)
-    // ADAPTIVE round strategy (see BroadcastNodeLimit): node-sized
-    // broadcast below the ceiling; above it, a shuffled equi-join with the
-    // adjacency pre-partitioned on u, so each round exchanges only ranks
     val bcast = broadcastNodes.getOrElse(deg.count() <= BroadcastNodeLimit)
     val adjRaw = und.join(maybeBroadcast(deg, bcast), und("u") === deg("node"))
       .select(col("u"), col("v"), col("deg").as("deg_u"))
-    val adj = (if (bcast) adjRaw else adjRaw.repartition(col("u")))
-      .localCheckpoint(true)
+    // broadcast mode pins the DERIVED adjacency once (re-deriving the join
+    // per iteration would rescan und ×5); shuffle mode pins inside
+    // pageRankOn, where the repartition is fused with the materialization
+    val adj = if (bcast) adjRaw.localCheckpoint(true) else adjRaw
+    pageRankOn(adj, deg, iterations, damping, Some(bcast))
+  }
+
+  /** PageRank over an ALREADY-SYMMETRIZED adjacency relation (u, v, deg_u) —
+    * typically the materialized [[symAdjMV]], so the symmetrize + degree
+    * derivation that [[pageRank]] repeats per call is a one-time MV build.
+    * `adjIn` is by-name: in broadcast mode each iteration references it
+    * fresh (for an MV that is a columnar parquet re-scan — the
+    * labelPropagation re-scan discipline, nothing corpus-sized pinned in
+    * the block manager); in shuffle mode it is repartitioned on the join
+    * key ONCE and materialized so every round reuses the partitioning.
+    *
+    * ADAPTIVE round strategy (see BroadcastNodeLimit): node-sized
+    * broadcast below the ceiling; above it, a shuffled equi-join with the
+    * adjacency pre-partitioned on u, so each round exchanges only ranks.
+    */
+  def pageRankOn(adjIn: => DataFrame, degIn: DataFrame, iterations: Int,
+                 damping: Double = 0.85,
+                 broadcastNodes: Option[Boolean] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val deg = degIn.localCheckpoint(true)
+    val bcast = broadcastNodes.getOrElse(deg.count() <= BroadcastNodeLimit)
+    lazy val adjPart = adjIn.repartition(col("u")).localCheckpoint(true)
+    def adj = if (bcast) adjIn else adjPart
     var ranks = deg.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       // ranks is node-cardinality (tiny next to the edge list) — in
@@ -135,12 +157,13 @@ object GraphOps {
       // partial-aggregate combine on v.
       // NO per-iteration checkpoint: each rank relation is referenced
       // exactly once by the next iteration, so the DAG is linear (adj is
-      // scanned once per iteration from ITS checkpoint) — materializing
+      // scanned once per iteration from its checkpoint/MV) — materializing
       // 5 intermediate 20k-row relations only adds job barriers. (The CC
       // loop keeps per-round checkpoints because it iterates to an
       // UNBOUNDED fixpoint with a count() action per round; a fixed
       // 5-iteration chain is one job.)
-      val contrib = adj.join(maybeBroadcast(ranks, bcast), adj("u") === ranks("node"))
+      val a = adj
+      val contrib = a.join(maybeBroadcast(ranks, bcast), a("u") === ranks("node"))
         .select(col("v"), (col("rank") / col("deg_u")).as("c"))
         .groupBy("v").agg(sum("c").as("inflow"))
       ranks = deg
@@ -176,13 +199,54 @@ object GraphOps {
       java.nio.file.Paths.get(dir, "lineitem.parquet"),
       "copurchase_edges", refresh)(copurchaseEdges(spark, dir))
 
+  /** MATERIALIZED symmetrized adjacency (u, v, w, deg_u) — round-12: every
+    * iterative operator (PageRank, BFS, Bellman–Ford, LPA, k-core, CF) was
+    * re-deriving the symmetrize union + degree join from the edge MV per
+    * CALL (and the union per ROUND); this persists that shared relation
+    * once, fingerprinted against the same lineitem source as the edge MV,
+    * so the per-round "re-scan the MV" discipline reads the final shape
+    * directly. deg_u rides every row so adjacency consumers (PageRank's
+    * contribution division) need no extra join; w rides for the weighted
+    * operators. At 100 TB this is exactly the adjacency relation a cluster
+    * deployment would keep next to the edge list in object storage.
+    */
+  def symAdjMV(spark: SparkSession, dir: String,
+               refresh: Boolean = false): DataFrame =
+    graft.sources.Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "copurchase_sym", refresh) {
+      val e = copurchaseEdgesMV(spark, dir, refresh)
+      val sym = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .union(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg_u"))
+      sym.join(deg, "u").select(col("u"), col("v"), col("w"), col("deg_u"))
+    }
+
+  /** MATERIALIZED node-degree relation (node, deg) of the co-purchase graph
+    * — the node-sized companion of [[symAdjMV]]: seeds, adaptive-branch
+    * counts (metadata-fast on parquet), label/keep-set initialization, and
+    * PageRank's dangling-safe join all read it without touching the edge
+    * relation.
+    */
+  def nodeDegMV(spark: SparkSession, dir: String,
+                refresh: Boolean = false): DataFrame =
+    graft.sources.Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "copurchase_deg", refresh) {
+      symAdjMV(spark, dir, refresh)
+        .select(col("u").as("node"), col("deg_u").as("deg")).distinct()
+    }
+
   /** Registered query: 5-iteration PageRank over the co-purchase graph,
-    * full node relation ordered by (rank desc, node). Reads the edge MV —
-    * shared with q120's census, so the expensive derivation runs once.
+    * full node relation ordered by (rank desc, node). Reads the symmetrized
+    * adjacency + degree MVs — the symmetrize/degree derivation that
+    * dominated per-call setup is a one-time MV build shared with
+    * q144/q184/q195/q206/q211.
     */
   def copurchasePageRank(spark: SparkSession, dir: String,
                          iterations: Int = 5): DataFrame =
-    pageRank(copurchaseEdgesMV(spark, dir), iterations)
+    pageRankOn(symAdjMV(spark, dir).select(col("u"), col("v"), col("deg_u")),
+      nodeDegMV(spark, dir), iterations)
       .select(col("node").as("partkey"), col("degree"), col("rank"))
       .orderBy(col("rank").desc, col("partkey").asc)
 
@@ -259,12 +323,26 @@ object GraphOps {
     val symFlat = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true) // reused by every round
-    // frontier rows never exceed node count <= symmetrized edge rows, so
-    // the (cheap, checkpointed) edge row count is a conservative stand-in
-    // for the node count the adaptive branch keys on
-    val bcast = broadcastFrontier.getOrElse(symFlat.count() <= BroadcastNodeLimit)
-    val sym = if (bcast) symFlat
-      else symFlat.repartition(col("u")).localCheckpoint(true)
+    bfsDistancesOn(symFlat, seeds, hops,
+      symFlat.select(col("u")).distinct().count(), broadcastFrontier)
+  }
+
+  /** BFS over an ALREADY-SYMMETRIZED (u, v, …) relation — typically the
+    * materialized [[symAdjMV]]. `nNodes` is the DISTINCT NODE count the
+    * adaptive branch keys on (by-name: never evaluated under a forced
+    * mode) — the broadcast payload per round is the node-sized frontier,
+    * so the ceiling compares node counts, not edge rows (ADVICE r11: the
+    * old edge-row stand-in switched broadcast off on any ≥1M-edge graph
+    * even with 500k nodes). Broadcast mode re-references `symIn` per round
+    * (a columnar MV re-scan, nothing pinned); shuffle mode repartitions on
+    * the join key once and materializes.
+    */
+  def bfsDistancesOn(symIn: => DataFrame, seeds: DataFrame, hops: Int,
+                     nNodes: => Long,
+                     broadcastFrontier: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastFrontier.getOrElse(nNodes <= BroadcastNodeLimit)
+    lazy val symPart = symIn.repartition(col("u")).localCheckpoint(true)
+    def sym = if (bcast) symIn else symPart
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
       // broadcast mode ships the NODE-SIZED frontier so the edge relation
@@ -281,12 +359,14 @@ object GraphOps {
 
   /** Registered query (q144): 4-hop BFS from the minimum canonical-src
     * node of the co-purchase graph, profiled per distance ring; oracle =
-    * the same rounds unrolled in SQL over the same edge derivation.
+    * the same rounds unrolled in SQL over the same edge derivation. Seed =
+    * min node of the degree MV — identical to min canonical src (the
+    * globally minimum node id heads every one of its canonical edges).
     */
   def bfsGate(spark: SparkSession, dir: String, hops: Int = 4): DataFrame = {
-    val edges = copurchaseEdgesMV(spark, dir)
-    val seed = edges.agg(min(col("src")).as("node"))
-    bfsDistances(edges, seed, hops)
+    val seed = nodeDegMV(spark, dir).agg(min(col("node")).as("node"))
+    bfsDistancesOn(symAdjMV(spark, dir).select(col("u"), col("v")), seed, hops,
+      nodeDegMV(spark, dir).count())
       .groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -311,12 +391,24 @@ object GraphOps {
     val symFlat = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
       .localCheckpoint(true)
-    val bcast = broadcastFrontier.getOrElse(symFlat.count() <= BroadcastNodeLimit)
-    val sym = if (bcast) symFlat
-      else symFlat.repartition(col("u")).localCheckpoint(true)
+    weightedDistancesOn(symFlat, seeds, rounds,
+      symFlat.select(col("u")).distinct().count(), broadcastFrontier)
+  }
+
+  /** Bellman–Ford over an already-symmetrized weighted (u, v, w, …)
+    * relation — [[bfsDistancesOn]]'s contract lifted to the min-plus
+    * semiring; same adaptive node-count branch and per-round re-scan
+    * discipline.
+    */
+  def weightedDistancesOn(symIn: => DataFrame, seeds: DataFrame, rounds: Int,
+                          nNodes: => Long,
+                          broadcastFrontier: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastFrontier.getOrElse(nNodes <= BroadcastNodeLimit)
+    lazy val symPart = symIn.repartition(col("u")).localCheckpoint(true)
+    def sym = if (bcast) symIn else symPart
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
-      // adaptive frontier strategy — see bfsDistances / BroadcastNodeLimit
+      // adaptive frontier strategy — see bfsDistancesOn / BroadcastNodeLimit
       val next = maybeBroadcast(dist, bcast).join(sym, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(next).groupBy("node").agg(min("dist").as("dist"))
@@ -326,12 +418,13 @@ object GraphOps {
 
   /** Registered query (q184): 4-round Bellman–Ford from the minimum
     * canonical-src node, edge cost = co-purchase weight; per-node exact
-    * integer distances.
+    * integer distances. Reads the symmetrized-adjacency MV (see [[bfsGate]]
+    * for the seed-equivalence argument).
     */
   def weightedPathsGate(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
-    val edges = copurchaseEdgesMV(spark, dir)
-    val seed = edges.agg(min(col("src")).as("node"))
-    weightedDistances(edges, seed, rounds)
+    val seed = nodeDegMV(spark, dir).agg(min(col("node")).as("node"))
+    weightedDistancesOn(symAdjMV(spark, dir).select(col("u"), col("v"), col("w")),
+      seed, rounds, nodeDegMV(spark, dir).count())
       .select(col("node"), col("dist").cast("long").as("dist"))
       .orderBy("node")
   }
@@ -356,9 +449,8 @@ object GraphOps {
     * into the same k-heaps).
     */
   def itemNeighbors(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val edges = copurchaseEdgesMV(spark, dir)
-    val sym = edges.select(col("src").as("i"), col("dst").as("j"), col("w"))
-      .union(edges.select(col("dst").as("i"), col("src").as("j"), col("w")))
+    val sym = symAdjMV(spark, dir)
+      .select(col("u").as("i"), col("v").as("j"), col("w"))
     val deg = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       .groupBy("pk").agg(count(lit(1)).as("n"))
@@ -422,15 +514,45 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     * struct), not a window.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       broadcastLabels: Option[Boolean] = None): DataFrame = {
-    // NO block-storage pin of the edge relation: the callers feed a
-    // materialized parquet MV, and re-scanning it per round is cheaper and
-    // safer than caching a quarter-billion symmetrized rows (measured OOM
-    // at 100x with an eager localCheckpoint here). Only the node-sized
-    // label relation checkpoints per round.
+                       broadcastLabels: Option[Boolean] = None,
+                       delta: Boolean = true): DataFrame = {
     def sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-    var labels = sym.select(col("u").as("node")).distinct()
+    labelPropagationOn(sym, sym.select(col("u").as("node")).distinct(),
+      rounds, broadcastLabels, delta)
+  }
+
+  /** LPA over an already-symmetrized (u, v, …) relation + node relation.
+    *
+    * NO block-storage pin of the edge relation: the callers feed a
+    * materialized parquet MV (or a cheap derivation), and re-referencing it
+    * per round is cheaper and safer than caching a quarter-billion
+    * symmetrized rows (measured OOM at 100× with an eager localCheckpoint
+    * here). Only node-sized relations checkpoint per round.
+    *
+    * DELTA-FRONTIER rounds (round 12, default on): synchronous LPA makes
+    * round r a pure function of round r−1's labels, so if NO neighbor of v
+    * changed label between rounds r−2 and r−1, v's neighbor-label multiset
+    * is unchanged and its round-r argmax equals its round-(r−1) label —
+    * v need not be recomputed. Each round therefore (a) derives the
+    * AFFECTED set = nodes with ≥1 changed-label neighbor (one semi-join of
+    * the edge relation against the node-sized changed set), (b) recomputes
+    * the mode argmax only for edges INTO affected nodes (a second semi-join
+    * cutting the aggregate's input), and (c) carries every other label
+    * forward via a node-sized left join. Round 1 is always full (labels
+    * just initialized — there is no previous multiset to compare), and an
+    * empty frontier short-circuits the remaining rounds (fixpoint). Late
+    * rounds on a converging graph touch a shrinking frontier's
+    * neighborhood instead of all edges — the k-core keep-set discipline
+    * applied to LPA's one asymptote. `delta = false` replays the full
+    * recomputation every round; both paths are spec-pinned row-identical
+    * (they compute the same recursion by the argument above).
+    */
+  def labelPropagationOn(symIn: => DataFrame, nodes: DataFrame, rounds: Int,
+                         broadcastLabels: Option[Boolean] = None,
+                         delta: Boolean = true): DataFrame = {
+    def sym = symIn
+    var labels = nodes.select(col("node"))
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     // adaptive round strategy (see BroadcastNodeLimit): label relation is
@@ -439,22 +561,53 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     // from the MV each round by design, so there is no partitioning to
     // carry across rounds — the label shuffle is the bounded cost)
     val bcast = broadcastLabels.getOrElse(labels.count() <= BroadcastNodeLimit)
-    for (_ <- 1 to rounds) {
-      labels = sym.join(maybeBroadcast(labels, bcast), col("u") === col("node"))
+    var changed = labels.select(col("node")) // round-0 frontier: everyone
+    var converged = false
+    var r = 1
+    while (r <= rounds && !converged) {
+      val full = !delta || r == 1
+      // (a) nodes whose neighbor-label multiset may have changed
+      val affected =
+        if (full) None
+        else Some(sym
+          .join(maybeBroadcast(changed.withColumnRenamed("node", "u"), bcast), "u")
+          .select(col("v")).distinct().localCheckpoint(true))
+      // (b) recompute the argmax only where needed
+      val symScan = affected match {
+        case Some(aff) => sym.join(maybeBroadcast(aff, bcast), "v")
+        case None => sym
+      }
+      val newLabs = symScan
+        .join(maybeBroadcast(labels, bcast), col("u") === col("node"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v").as("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .select(col("node"), (-col("m.nl")).as("nl"))
+      // (c) carry unaffected labels forward; track the new frontier
+      val merged = labels.join(newLabs, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nl"), col("label")).as("label"),
+          (col("nl").isNotNull && col("nl") =!= col("label")).as("ch"))
         .localCheckpoint(true)
+      labels = merged.select(col("node"), col("label"))
+      if (delta) {
+        changed = merged.filter(col("ch")).select(col("node"))
+        // fixpoint: an empty frontier makes every later round the identity
+        if (r < rounds && changed.isEmpty) converged = true
+      }
+      r += 1
     }
     labels
   }
 
-  /** Registered q206: 3 LPA rounds over the co-purchase edge MV; community
-    * census (size, representative = min node, membership checksum).
+  /** Registered q206: 3 LPA rounds over the symmetrized-adjacency MV;
+    * community census (size, representative = min node, membership
+    * checksum). Delta-frontier rounds — identical labels to the full
+    * recomputation by labelPropagationOn's invariance argument.
     */
   def communityGate(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
-    labelPropagation(copurchaseEdgesMV(spark, dir), rounds)
+    labelPropagationOn(symAdjMV(spark, dir).select(col("u"), col("v")),
+      nodeDegMV(spark, dir).select(col("node")), rounds)
       .groupBy("label")
       .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"),
         sum(col("node")).as("node_checksum"))
@@ -508,20 +661,30 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             broadcastKeep: Option[Boolean] = None): DataFrame = {
-    require(k >= 1, "k-core needs k >= 1")
-    // NODE-SET peeling (round 11; replaces per-round DISK_ONLY edge
-    // materialization): because keep_i ⊆ keep_{i-1} (a node outside the
-    // previous keep set has zero induced edges, hence degree < k), the
-    // round-i induced edge relation equals sym ∩ (keep_i × keep_i) — only
-    // the LATEST node-sized keep set is needed to re-derive it from the
-    // edge MV, the labelPropagation re-scan discipline. Per-round state is
-    // one node-sized relation (eagerly checkpointed, tiny); the 240M-row
-    // symmetrized relation is never persisted anywhere. Previously each
-    // round wrote the shrinking edge set DISK_ONLY: 119 s warm at 100×,
-    // dominated by those writes.
     def sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-    val nodes = sym.select(col("u")).distinct().localCheckpoint(true)
+    kCoreOn(sym, sym.select(col("u")).distinct(), k, rounds, broadcastKeep)
+  }
+
+  /** k-core over an already-symmetrized (u, v, …) relation + node relation
+    * (columns beyond u/v are ignored).
+    *
+    * NODE-SET peeling (round 11; replaces per-round DISK_ONLY edge
+    * materialization): because keep_i ⊆ keep_{i-1} (a node outside the
+    * previous keep set has zero induced edges, hence degree < k), the
+    * round-i induced edge relation equals sym ∩ (keep_i × keep_i) — only
+    * the LATEST node-sized keep set is needed to re-derive it from the
+    * edge MV, the labelPropagation re-scan discipline. Per-round state is
+    * one node-sized relation (eagerly checkpointed, tiny); the 240M-row
+    * symmetrized relation is never persisted anywhere. Previously each
+    * round wrote the shrinking edge set DISK_ONLY: 119 s warm at 100×,
+    * dominated by those writes.
+    */
+  def kCoreOn(symIn: => DataFrame, nodesIn: DataFrame, k: Int, rounds: Int,
+              broadcastKeep: Option[Boolean] = None): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    def sym = symIn.select(col("u"), col("v"))
+    val nodes = nodesIn.select(col("u")).localCheckpoint(true)
     // keep is node-sized: broadcast below BroadcastNodeLimit so each
     // round's two semi-joins stream the edge scan with zero edge shuffle;
     // above it, shuffled equi-joins (the q98 adaptive branch)
@@ -545,14 +708,15 @@ FROM l$rounds GROUP BY label ORDER BY label"""
       sum(col("u")).as("node_checksum"))
   }
 
-  /** Registered q211 is served by [[kCore]] over the edge MV (k=60, 4
-    * peeling rounds — measured at both gate SFs: the peel genuinely
-    * removes nodes AND genuinely keeps a core; k at the median degree
-    * cascades to an empty graph here, which verifies nothing).
+  /** Registered q211 is served by [[kCoreOn]] over the symmetrized-adjacency
+    * MV (k=60, 4 peeling rounds — measured at both gate SFs: the peel
+    * genuinely removes nodes AND genuinely keeps a core; k at the median
+    * degree cascades to an empty graph here, which verifies nothing).
     */
   def kCoreGate(spark: SparkSession, dir: String, k: Int = 60,
                 rounds: Int = 4): DataFrame =
-    kCore(copurchaseEdgesMV(spark, dir), k, rounds)
+    kCoreOn(symAdjMV(spark, dir),
+      nodeDegMV(spark, dir).select(col("node").as("u")), k, rounds)
 
   /** The q211 oracle: the same peeling rounds unrolled. */
   def kCoreOracleSql(k: Int = 60, rounds: Int = 4): String = {

@@ -2155,10 +2155,16 @@ FROM r WHERE rk <= $cap ORDER BY source, rk"""
                            collapseSets: Option[Boolean] = None): DataFrame = {
     require(tauNum <= tauDen, "tau must be <= 1")
     val tk = if (shingled) docShingles(documents) else docTokens(documents)
+    // eager localCheckpoint, NOT cache (ADVICE r11): the relation is
+    // consumed by the path probe, verify, and both expansions, but a
+    // .cache() here would stay registered in the CacheManager for the whole
+    // session across repeated invocations; checkpoint blocks are released
+    // by the ContextCleaner as soon as the plan is unreachable, and the
+    // probe's two counts run against the materialization either way
     val sets = tk.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("sz"))
       .withColumn("sig", md5(concat_ws("|", col("ts"))))
-      .cache() // consumed by the path probe, verify, and both expansions
+      .localCheckpoint(true)
     // ADAPTIVE EXACT-SET COLLAPSE (the q27 dedupBase discipline): documents
     // with IDENTICAL element sets join identically with every other set, so
     // only one representative per distinct set needs to enter the pair

@@ -238,34 +238,80 @@ object Tables {
       .partitionBy(partitionByCols: _*)
       .parquet(path)
 
+  /** Root directory the fingerprinted MVs land under: the `SPARK_GRAFT_MV_DIR`
+    * environment variable when set (the cluster deployment points this at the
+    * shared object-storage prefix the derived relations live in, next to the
+    * tables), falling back to tmpdir/graft_mv for the single-host case. The
+    * env accessor is injectable so the resolution rule itself is unit-pinned.
+    */
+  def mvRoot(env: String => Option[String] = sys.env.get): java.nio.file.Path =
+    java.nio.file.Paths.get(env("SPARK_GRAFT_MV_DIR").getOrElse(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_mv").toString))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** Source-fingerprinted materialized view: `build` runs once per distinct
-    * (source file set, name) and lands under tmpdir/graft_mv; later calls —
+    * (source file set, name) and lands under [[mvRoot]]; later calls —
     * including across JVMs — read the parquet back. The fingerprint hashes
-    * every file's (name, size, mtime) under `srcPath`, so a regenerated
-    * dataset invalidates the MV automatically. This is the train-once /
-    * probe-many lever for any expensive derived relation (edge lists,
-    * k-means codebooks): the cost disappears from every query after the
-    * first, and the derived relation itself is what a cluster deployment
+    * every file's (srcPath-RELATIVE path, size, mtime) under `srcPath` —
+    * relative, not just the file name, so two structurally different source
+    * trees whose leaf names coincide can never alias one fingerprint. A
+    * regenerated dataset invalidates the MV automatically. This is the
+    * train-once / probe-many lever for any expensive derived relation (edge
+    * lists, k-means codebooks): the cost disappears from every query after
+    * the first, and the derived relation itself is what a cluster deployment
     * would keep in object storage next to the table.
+    *
+    * Cross-JVM safety: the build lands in a private temp directory and is
+    * PUBLISHED by a single atomic rename, so a concurrent reader never sees
+    * a half-written MV and two concurrent builders race to one winner (the
+    * loser discards its copy and reads the published one — both built the
+    * same deterministic relation from the same fingerprinted source). The
+    * `_SUCCESS` marker is re-checked after publish; a pre-atomic-era partial
+    * directory (no marker) is swept before publishing.
     */
   def fingerprintedMv(spark: SparkSession, srcPath: java.nio.file.Path,
                       name: String, refresh: Boolean = false)
                      (build: => DataFrame): DataFrame = synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, StandardCopyOption}
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(srcPath.toString.getBytes("UTF-8"))
+    // relativize against the directory containing the source set (srcPath
+    // itself when a directory, its parent when a single file)
+    val base = if (Files.isDirectory(srcPath)) srcPath else srcPath.getParent
     val walk = Files.walk(srcPath)
     try walk.filter(p => Files.isRegularFile(p))
       .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
       .forEach { p =>
-        md.update(s"${p.getFileName}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}\n"
+        md.update(s"${base.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}\n"
           .getBytes("UTF-8"))
       }
     finally walk.close()
     val fp = md.digest().map("%02x".format(_)).mkString.take(16)
-    val mv = Paths.get(System.getProperty("java.io.tmpdir"), "graft_mv", s"${name}_$fp")
-    if (refresh || !Files.exists(mv.resolve("_SUCCESS")))
-      build.write.mode("overwrite").parquet(mv.toString)
+    val root = mvRoot()
+    val mv = root.resolve(s"${name}_$fp")
+    if (refresh || !Files.exists(mv.resolve("_SUCCESS"))) {
+      val tmp = root.resolve(s".${name}_$fp.tmp-${java.util.UUID.randomUUID()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // refresh replaces the published MV; a markerless partial (pre-atomic
+      // era or crashed cleanup) is swept rather than blocking the publish
+      if (Files.exists(mv) && (refresh || !Files.exists(mv.resolve("_SUCCESS"))))
+        deleteRecursively(mv)
+      try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another JVM published between our check and move: theirs wins
+        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      }
+      require(Files.exists(mv.resolve("_SUCCESS")), s"MV publish failed: $mv")
+    }
     spark.read.parquet(mv.toString)
   }
 }

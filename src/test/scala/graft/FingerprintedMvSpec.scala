@@ -39,4 +39,41 @@ class FingerprintedMvSpec extends SparkSpecBase {
     mv().count()
     assert(builds == 3, s"post-refresh access must reuse (builds=$builds)")
   }
+
+  test("mvRoot: SPARK_GRAFT_MV_DIR overrides; tmpdir/graft_mv is the fallback") {
+    import java.nio.file.Paths
+    assert(Tables.mvRoot(_ => None) ==
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_mv"),
+      "default root must be tmpdir/graft_mv")
+    assert(Tables.mvRoot(k => if (k == "SPARK_GRAFT_MV_DIR") Some("/mnt/shared/mv") else None) ==
+      Paths.get("/mnt/shared/mv"),
+      "SPARK_GRAFT_MV_DIR must override the root")
+    // the live helper resolves through the real environment by default —
+    // same rule, so a deployment exporting the env var redirects every MV
+    assert(Tables.mvRoot() == sys.env.get("SPARK_GRAFT_MV_DIR").map(Paths.get(_))
+      .getOrElse(Paths.get(System.getProperty("java.io.tmpdir"), "graft_mv")))
+  }
+
+  test("atomic publish: a markerless partial directory is swept and rebuilt; no temp dirs linger") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft_fpmv_atomic")
+    val src = work.resolve("src.txt")
+    Files.write(src, "v1".getBytes("UTF-8"))
+    var builds = 0
+    def mv() = Tables.fingerprintedMv(spark, src, "fpmv_spec_atomic") {
+      builds += 1
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    val mvDir = Paths.get(mv().inputFiles.head.stripPrefix("file:")).getParent
+    assert(builds == 1 && Files.exists(mvDir.resolve("_SUCCESS")))
+    // simulate a crashed pre-publish state: published dir without its marker
+    Files.delete(mvDir.resolve("_SUCCESS"))
+    mv().count()
+    assert(builds == 2, "a markerless partial MV must be swept and rebuilt, never served")
+    assert(Files.exists(mvDir.resolve("_SUCCESS")), "rebuild must republish the marker")
+    // the build staged through a temp dir and renamed — nothing left behind
+    val leftovers = Files.list(mvDir.getParent).toArray.map(_.toString)
+      .filter(p => p.contains("fpmv_spec_atomic") && p.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"temp staging dirs must not linger: ${leftovers.mkString(",")}")
+  }
 }

@@ -212,6 +212,50 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(kcB == kcS, "kCore shuffled mode diverges from broadcast mode")
   }
 
+  test("labelPropagation: delta-frontier rounds equal the full recomputation (hand graph and co-purchase MV)") {
+    // hand graph: two triangles bridged by a path — labels keep moving for
+    // several rounds, so the frontier genuinely shrinks rather than being
+    // all-or-nothing; pin every round count 1..4
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(_.toSeq).toSeq
+    for (r <- 1 to 4) {
+      val d = rows(GraphOps.labelPropagation(hand, r, delta = true))
+      val f = rows(GraphOps.labelPropagation(hand, r, delta = false))
+      assert(d == f && d.nonEmpty, s"hand graph: delta != full at rounds=$r")
+    }
+    // and at the registered gate's shape over the real edge MV
+    val edges = GraphOps.copurchaseEdgesMV(spark, sf)
+    val d = rows(GraphOps.labelPropagation(edges, 3, delta = true))
+    val f = rows(GraphOps.labelPropagation(edges, 3, delta = false))
+    assert(d == f && d.nonEmpty, "co-purchase MV: delta != full at rounds=3")
+  }
+
+  test("symAdjMV/nodeDegMV equal the direct derivation; the MV-fed pageRank gate equals the edge-fed operator") {
+    val edges = GraphOps.copurchaseEdgesMV(spark, sf)
+    val symDirect = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+    val degDirect = symDirect.groupBy("u").agg(count(lit(1)).as("deg_u"))
+    val adjDirect = symDirect.join(degDirect, "u")
+      .select("u", "v", "w", "deg_u").as[(Long, Long, Long, Long)].collect().toSet
+    val adjMv = GraphOps.symAdjMV(spark, sf)
+      .select("u", "v", "w", "deg_u").as[(Long, Long, Long, Long)].collect().toSet
+    assert(adjMv == adjDirect && adjDirect.nonEmpty, "symAdjMV diverges from the direct derivation")
+    val degMv = GraphOps.nodeDegMV(spark, sf)
+      .select("node", "deg").as[(Long, Long)].collect().toSet
+    val degExp = degDirect.select(col("u"), col("deg_u")).as[(Long, Long)].collect().toSet
+    assert(degMv == degExp, "nodeDegMV diverges from the direct degree relation")
+    // gate parity: the MV-fed pageRankOn path is row-identical to pageRank
+    // over the edge relation (same recursion, different setup plumbing)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val viaMv = rows(GraphOps.copurchasePageRank(spark, sf, 3))
+    val viaEdges = rows(GraphOps.pageRank(edges, 3)
+      .select(col("node").as("partkey"), col("degree"), col("rank"))
+      .orderBy(col("rank").desc, col("partkey").asc))
+    assert(viaMv == viaEdges && viaMv.nonEmpty, "MV-fed pageRank gate diverges from the edge-fed operator")
+  }
+
   test("itemNeighbors matches a brute-force co-occurrence cosine ranking") {
     val lp = graft.sources.Tables.lineitem(spark, sf)
       .selectExpr("l_orderkey", "l_partkey").distinct()
