@@ -133,6 +133,27 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    // HOST-SPEED CANARY (round-12, VERDICT r11 item 5): a fixed,
+    // data-independent micro-benchmark timed in this same warm JVM — a
+    // seeded 10M-row in-memory hash+agg+sort whose cost depends only on
+    // host speed, never on the SF dir, the query surface, or session
+    // residue from a subset run. The round-11 drift bisect proved identical
+    // code runs 1.4–1.8× slower on a slow host day; recording the canary
+    // lets future rounds NORMALIZE (divide per-query times by
+    // host_canary_sec ratio) before paying for a worktree replay —
+    // SCALING.md documents the rule.
+    def canaryPass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1L, 32)
+        .selectExpr("(id * 2654435761) % 1000003 AS k", "id % 97 AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .orderBy(org.apache.spark.sql.functions.col("s").desc).limit(10)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryPass() // warm the canary's own codegen before timing it
+    val hostCanary = Seq(canaryPass(), canaryPass(), canaryPass()).min
+
     // NOTE: warmup caches are intentionally NOT cleared — the CacheManager
     // plan-matches the timed queries' internal .cache() calls onto the
     // already-materialized warmup relations, which is exactly the warm
@@ -199,7 +220,12 @@ object Bench {
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = finalQueries.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha"}"""
+    // the BENCH_ONLY filter (or its absence) is recorded so a partial
+    // diagnostic artifact is mechanically distinguishable from a full run
+    // (ADVICE r11) — a lingering export can no longer masquerade as the
+    // full surface
+    val filterField = only.fold("none")(f => f.toSeq.sorted.mkString(","))
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha","host_canary_sec":$hostCanary,"filter":"$filterField"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -2161,7 +2161,23 @@ ORDER BY r.rank DESC, partkey"""
     // the CommonCrawl-prep step that stops one crawl-heavy host from
     // dominating a training mixture
     "q213_domain_quota" -> ((s, dir) =>
-      TextOps.domainQuota(Tables.documents(s, dir)))
+      TextOps.domainQuota(Tables.documents(s, dir))),
+
+    // EXACT-SUBSTRING SPAN-CUT CLEANER (Lee et al. 2022): REMOVE every
+    // token position covered by a corpus-duplicated 3-gram instead of
+    // dropping whole documents — kept text digested, removal census per
+    // doc; the cut set equals q97's covered positions by construction
+    // (spec-pinned), same vocabulary-sized df aggregate, no pair space
+    "q214_span_cut" -> ((s, dir) => TextOps.spanCutClean(s, dir)),
+
+    // MULTI-PROBE SemDeDup: each vector probes its 2 NEAREST k-means
+    // cells, rescuing the boundary-straddling near-dup pairs the
+    // single-cell rule provably misses (q90's quantified 0.454 cross-cell
+    // miss at τ=0.35); drop rule unchanged, census keys on the primary
+    // cell, pairwise work still cell-bounded (nProbe² × single-probe)
+    "q215_semdedup_multiprobe" -> ((s, dir) =>
+      Similarity.semanticDedupMultiProbe(Tables.embeddings(s, dir),
+        nCells = 8, iters = 3, tau = 0.35, nProbe = 2))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5124,6 +5140,31 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the definitional every-shared-token join + the same integer τ cut
     "q212_prefix_join" -> TextOps.prefixSimilarityJoinOracleSql(7, 10, shingled = true),
-    "q213_domain_quota" -> TextOps.domainQuotaOracleSql()
+    "q213_domain_quota" -> TextOps.domainQuotaOracleSql(),
+
+    // q97's covered-position derivation; kept tokens re-aggregated in
+    // position order and digested
+    "q214_span_cut" -> TextOps.spanCutCleanOracleSql,
+
+    // the shared Lloyd replay, assignment widened to crk <= 2; drop rule
+    // over any shared probed cell, census keyed on the crk = 1 cell
+    "q215_semdedup_multiprobe" -> {
+      s"""
+$KmeansCellsCtes, asgn AS (
+  SELECT vec_id, cell, v FROM fin WHERE crk <= 2
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(${cosSql("a.v", "b.v")}, 6) + 0 >= 0.35
+), prim AS (
+  SELECT vec_id, cell FROM fin WHERE crk = 1
+)
+SELECT CAST(g.cell AS BIGINT) AS cell,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM prim g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+GROUP BY 1 ORDER BY cell"""
+    }
   )
 }

@@ -575,6 +575,79 @@ object Similarity {
     assignCells(emb, kmeansCentroids(embeddings, nCells, iters))
   }
 
+  /** MULTI-PROBE SemDeDup (q215) — the round-12 cross-cell rescue for
+    * [[semanticDedup]]'s one quantified quality gap: pairs whose members
+    * fall in different k-means cells are invisible to the single-cell rule
+    * (measured 0.454 recall miss at τ = 0.35, `SemDeDupMissSpec`). Here
+    * every vector joins its `nProbe` NEAREST cells (the IVF nProbe
+    * discipline applied to the index side instead of the query side), so a
+    * near-duplicate pair straddling a cell boundary is still compared
+    * whenever either vector's second-nearest cell is the other's — which is
+    * exactly the geometry of a boundary-straddling pair. The drop rule is
+    * unchanged (lower id wins at rounded cosine ≥ τ, now over ANY shared
+    * probed cell); the census keys on the PRIMARY (nearest) cell, so the
+    * output shape is q90's.
+    *
+    * Scale shape: the paper's cell-bounded pairwise argument survives — the
+    * pair space is Σ|probed cell|², i.e. nProbe²× the single-probe volume
+    * with the same k-scaling lever, never a corpus cross join; the probed
+    * assignment is one zero-shuffle broadcast pass (the assignCells shape
+    * with a bounded slice-explode), checkpointed once and read by both join
+    * sides and the census.
+    */
+  def semanticDedupMultiProbe(embeddings: DataFrame, nCells: Int = 8,
+                              iters: Int = 3, tau: Double = 0.35,
+                              nProbe: Int = 2): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+    val multi = emb.crossJoin(broadcast(centsArray(cents)))
+      .select(col("vec_id"), col("e"),
+        posexplode(slice(cellRank(col("e"), col("cents")), 1, nProbe))
+          .as(Seq("prk", "cc")))
+      .select(col("vec_id"), col("e"), col("prk"), col("cc.cell").as("cell"))
+      .localCheckpoint(true) // both pair sides + the census read ONE pass
+    val a = multi.select(col("cell"), col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = multi.select(col("cell"), col("vec_id").as("b_id"), col("e").as("be"))
+    // 6-decimal rounded sim at the τ boundary — the q90/q56 convention
+    val dropped = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    multi.filter(col("prk") === 0).select(col("cell"), col("vec_id"))
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        coalesce(sum("is_dropped"), lit(0L)).as("n_dropped"),
+        (count(lit(1)) - coalesce(sum("is_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
+
+  /** The multi-probe DROP set alone (vec_id rows) over a probed assignment
+    * — factored for the recall measurement in SemDeDupMissSpec. */
+  private[graft] def multiProbeDropped(multi: DataFrame, tau: Double): DataFrame = {
+    val a = multi.select(col("cell"), col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = multi.select(col("cell"), col("vec_id").as("b_id"), col("e").as("be"))
+    a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+  }
+
+  /** Probed (cell, vec_id, e, prk) assignment at a given nProbe — exposed
+    * for the recall measurement. */
+  private[graft] def semanticAssignmentMulti(embeddings: DataFrame, nCells: Int,
+                                             iters: Int, nProbe: Int): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    emb.crossJoin(broadcast(centsArray(kmeansCentroids(embeddings, nCells, iters))))
+      .select(col("vec_id"), col("e"),
+        posexplode(slice(cellRank(col("e"), col("cents")), 1, nProbe))
+          .as(Seq("prk", "cc")))
+      .select(col("vec_id"), col("e"), col("prk"), col("cc.cell").as("cell"))
+  }
+
   /** Product-quantized kNN (q205) — Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search" (TPAMI 2011): the vector is
     * split into `m` subvectors, each quantized against its OWN small

@@ -1757,6 +1757,98 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring span-cut cleaner (q214) — the step Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") run after
+    * measuring duplication: REMOVE the duplicated passages instead of
+    * dropping whole documents. The cut set is exactly
+    * [[dupPassageCoverageFrom]]'s covered positions — every token position
+    * inside at least one corpus-duplicated 3-gram — and the kept text is
+    * the remaining tokens in document order, emitted as an md5 digest plus
+    * the removal census (n_tokens, n_removed, n_kept, cut_ratio). The
+    * n_removed column equals q97's covered_tokens per document by
+    * construction (spec-pinned), so the measurement and the cleaner can
+    * never drift apart.
+    *
+    * Scale shape: the duplicated-shingle set comes off the same
+    * vocabulary-sized df aggregate as q97 (never a pair space); the kept
+    * text is rebuilt by a token-position LEFT ANTI join against the covered
+    * positions and one per-doc re-collect — linear in the token stream, one
+    * shuffle keyed by doc_id, deliberately NOT a per-row
+    * `array_contains(covered, i)` membership filter (per-row arrays would
+    * be O(doc_len × covered) on a pathological 10k-token document).
+    */
+  def spanCutClean(spark: SparkSession, dir: String): DataFrame =
+    spanCutCleanFrom(Tables.documents(spark, dir))
+
+  def spanCutCleanFrom(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val pos = tok
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
+    val df = pos.select(col("doc_id"), col("sg")).distinct()
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+    val coveredPos = pos
+      .join(df.filter(col("df") > 1).select("sg"), Seq("sg"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("p"))
+      .distinct()
+    val kept = tok
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
+      .join(coveredPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("p"), col("tk")))).as("pt"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("pt"), x => x.getField("tk"))).as("kept_text"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_digest"),
+        rd((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
+          / col("n_tokens"), 6).as("cut_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The q214 oracle: q97's covered-position derivation, then the kept
+    * token stream re-aggregated in position order and digested. */
+  def spanCutCleanOracleSql: String = """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+), sh AS (
+  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), dup AS (
+  SELECT sg FROM (SELECT sg, count(DISTINCT doc_id) AS df FROM sh GROUP BY sg)
+  WHERE df > 1
+), cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 3)) AS cp
+        FROM sh s JOIN dup USING (sg))
+), tp AS (
+  SELECT doc_id, i, toks[i] AS tk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+), kept AS (
+  SELECT tp.doc_id, count(*) AS n_kept,
+         string_agg(tp.tk, ' ' ORDER BY tp.i) AS kept_text
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.i
+  WHERE cov.cp IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.kept_text, '')) AS kept_digest,
+       round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio
+FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
+ORDER BY n.doc_id"""
+
   /** BM25 retrieval scoring (Robertson/Sparck Jones, the Okapi form with
     * k1 = 1.2, b = 0.75) of the corpus against a fixed query-term set — the
     * ranking step of a retrieval-augmented pipeline over the training corpus.

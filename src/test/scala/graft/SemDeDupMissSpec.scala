@@ -55,6 +55,31 @@ class SemDeDupMissSpec extends SparkSpecBase {
       f"cross-cell miss $miss%.4f left the measured 0.4537 band — clustering or rule changed")
   }
 
+  test("q215 multi-probe: drop set is sandwiched (single-probe ⊆ multi-probe ⊆ all-pairs); cross-cell miss improves materially") {
+    val emb = Tables.embeddings(spark, sf01)
+    val truth = droppedSet(emb, 1, 0.35)
+    val single = droppedSet(emb, 8, 0.35)
+    val multi = {
+      val asg = Similarity.semanticAssignmentMulti(emb, 8, 3, nProbe = 2)
+        .localCheckpoint(true)
+      Similarity.multiProbeDropped(asg, 0.35).as[Long].collect().toSet
+    }
+    // structural sandwich: probing MORE cells can only add comparisons, and
+    // every probed-cell pair is a genuine pair — so single ⊆ multi ⊆ truth
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe drops: ${(single -- multi).take(5)}")
+    assert(multi.subsetOf(truth),
+      s"multi-probe dropped vectors the all-pairs rule keeps: ${(multi -- truth).take(5)}")
+    val missSingle = (truth -- single).size.toDouble / truth.size
+    val missMulti = (truth -- multi).size.toDouble / truth.size
+    info(f"cross-cell miss: single-probe $missSingle%.4f -> multi-probe(2) $missMulti%.4f " +
+      f"(all-pairs dropped=${truth.size}, single=${single.size}, multi=${multi.size})")
+    // measured 2026-08-14 at sf0.1: single 0.4537, multi-probe(2) must
+    // recover a material share of the boundary-straddling pairs
+    assert(missMulti < missSingle - 0.10,
+      f"multi-probe miss $missMulti%.4f did not materially improve on $missSingle%.4f")
+  }
+
   test("q90 SemDeDup: planted near-dup pairs (the paper's operating regime) are recalled through k=8 cells at the measured floors") {
     val corpus = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
     val rng = new scala.util.Random(47)

@@ -566,6 +566,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(3L)._3 == 0.0)
   }
 
+  test("spanCutClean: cut tokens equal q97's coverage; kept digest is the uncovered tokens in order") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.spanCutCleanFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // the cleaner's cut set IS q97's covered positions: n_removed must
+    // equal covered_tokens on every document (the measurement/cleaner
+    // no-drift contract)
+    val cov = TextOps.dupPassageCoverageFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, (_, nRemoved, _, _)) =>
+      assert(nRemoved == cov(id), s"doc $id: n_removed $nRemoved != q97 covered ${cov(id)}")
+    }
+    // docs 1 and 4 are exact duplicates: every position covered, nothing kept
+    assert(out(1L) == ((9L, 9L, 0L, md5hex(""))))
+    assert(out(4L) == ((9L, 9L, 0L, md5hex(""))))
+    // doc 2 keeps only its final token ("cat" — positions 0..7 are covered
+    // by the trigrams shared with doc 1)
+    assert(out(2L) == ((9L, 8L, 1L, md5hex("cat"))))
+    // unique docs keep everything verbatim
+    assert(out(3L) == ((7L, 0L, 7L, md5hex("completely different words entirely here now friends"))))
+    assert(out(5L)._2 == 0L && out(5L)._3 == 9L)
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
