@@ -2177,7 +2177,15 @@ ORDER BY r.rank DESC, partkey"""
     // cell, pairwise work still cell-bounded (nProbe² × single-probe)
     "q215_semdedup_multiprobe" -> ((s, dir) =>
       Similarity.semanticDedupMultiProbe(Tables.embeddings(s, dir),
-        nCells = 8, iters = 3, tau = 0.35, nProbe = 2))
+        nCells = 8, iters = 3, tau = 0.35, nProbe = 2)),
+
+    // PER-REGISTRABLE-DOMAIN QUOTA: q213's cap keyed on the eTLD+1 of a
+    // full URL (deterministically synthesized — the corpus has no URL
+    // column; the oracle replays the synthesis), so one hot site across
+    // www./news./cdn. subdomains is still ONE domain budget; same bounded
+    // k-heap shuffle contract
+    "q216_url_domain_quota" -> ((s, dir) =>
+      TextOps.urlDomainQuota(Tables.documents(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5165,6 +5173,10 @@ SELECT CAST(g.cell AS BIGINT) AS cell,
        CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
 FROM prim g LEFT JOIN dropped d ON g.vec_id = d.vec_id
 GROUP BY 1 ORDER BY cell"""
-    }
+    },
+
+    // identical URL synthesis + eTLD+1 rule (shared suffix list) + ranked
+    // window over the same 52-bit md5 key
+    "q216_url_domain_quota" -> TextOps.urlDomainQuotaOracleSql()
   )
 }

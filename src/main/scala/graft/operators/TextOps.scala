@@ -1993,6 +1993,113 @@ WITH h AS (
 SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
 FROM r WHERE rk <= $cap ORDER BY source, rk"""
 
+  /** Multi-part public suffixes the [[registrableDomain]] extraction
+    * recognizes — a representative embedded subset of the Mozilla Public
+    * Suffix List's two-label entries (the full PSL is a data file a
+    * deployment ships alongside the job; the extraction RULE is what's
+    * implemented here). Shared verbatim with the oracle SQL so the two
+    * sides can never drift.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.in",
+    "com.au", "net.au", "com.br", "com.cn")
+
+  /** Registrable-domain (eTLD+1) extraction from a full URL — the
+    * production CommonCrawl quota key: `news.bbc.co.uk/...` and
+    * `www.bbc.co.uk/...` must count against ONE domain budget (`bbc.co.uk`),
+    * which neither the raw URL nor the bare host gives. Pure codegen'd
+    * string expressions: strip the scheme, take the host up to any
+    * port/path/query, split on dots, and keep the last 2 labels — or 3 when
+    * the trailing 2 form a known multi-part public suffix (a `.co.uk` site's
+    * registrable domain is 3 labels deep). Hosts with fewer labels pass
+    * through whole.
+    */
+  def registrableDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val suffix2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val keep = when(n >= 3 && suffix2.isInCollection(MultiPartSuffixes), lit(3))
+      .otherwise(least(n, lit(2)))
+    concat_ws(".", slice(labels, keep * -1, keep))
+  }
+
+  /** Per-REGISTRABLE-DOMAIN quota (q216) — q213's frontier cap moved from
+    * the raw `source` string to the eTLD+1 of a full URL, the discipline a
+    * real crawl corpus needs (one hot site spread across `www.` / `news.` /
+    * `cdn.` subdomains is still ONE domain budget). The corpus carries no
+    * URL column, so the gate SYNTHESIZES a deterministic URL per document —
+    * subdomain drawn from md5(doc_id), public suffix fixed per source site
+    * by md5(source) (a site keeps one suffix; its documents spread across
+    * subdomains) — and the oracle replays the identical synthesis, so what
+    * is verified end-to-end is the extraction + quota machinery on
+    * realistic URL shapes. Selection and scale shape are exactly q213's:
+    * the smallest `cap` 52-bit md5(doc_id) keys per domain through ONE
+    * bounded k-heap aggregate (≤ cap × partitions shuffle rows per domain
+    * however hot it is).
+    */
+  def urlDomainQuota(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val subs = array(lit("www"), lit("news"), lit("blog"), lit("cdn"))
+    val sufs = array(lit("com"), lit("org"), lit("co.uk"), lit("com.au"))
+    val url = concat(lit("https://"),
+      element_at(subs,
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") % 4) + 1),
+      lit("."), col("source"), lit("."),
+      element_at(sufs,
+        (conv(substring(md5(col("source")), 1, 2), 16, 10).cast("int") % 4) + 1),
+      lit("/doc/"), col("doc_id").cast("string"))
+    documents
+      .select(col("doc_id"), registrableDomain(url).as("domain"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("domain")
+      .agg(graft.functions.TopKByScore.topK(
+        (-col("hv")).cast("double"), col("doc_id"), cap).as("top"))
+      .select(col("domain"), explode(col("top")).as("e"))
+      .select(col("domain"), col("e.rk").as("rk"), col("e.id").as("doc_id"))
+      .orderBy("domain", "rk")
+  }
+
+  /** The q216 oracle: identical URL synthesis, eTLD+1 rule (same embedded
+    * suffix list, interpolated from [[MultiPartSuffixes]]), and ranked
+    * window over the 52-bit md5 key. */
+  def urlDomainQuotaOracleSql(cap: Int = 10): String = {
+    val sufList = MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         (['www', 'news', 'blog', 'cdn'])[(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4) + 1] ||
+         '.' || source || '.' ||
+         (['com', 'org', 'co.uk', 'com.au'])[(CAST(('0x' || substr(md5(source), 1, 2)) AS INT) % 4) + 1] ||
+         '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         string_split(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '.') AS l
+  FROM u
+), dom AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+                   AND (l[len(l) - 1] || '.' || l[len(l)]) IN ($sufList)
+              THEN array_to_string(l[len(l) - 2 : len(l)], '.')
+              ELSE array_to_string(l[greatest(len(l) - 1, 1) : len(l)], '.')
+         END AS domain
+  FROM lab
+), k AS (
+  SELECT domain, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+  FROM dom
+), r AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rk
+  FROM k
+)
+SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id
+FROM r WHERE rk <= $cap ORDER BY domain, rk"""
+  }
+
   /** Fixed-size overlapping RAG chunks: documents sliced into `size`-token
     * windows every `stride` tokens (stride < size ⇒ overlap, the standard
     * retrieval-chunking scheme), each chunk materialized as

@@ -591,6 +591,37 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(5L)._2 == 0L && out(5L)._3 == 9L)
   }
 
+  test("registrableDomain: eTLD+1 across subdomains, multi-part suffixes, ports and paths; q216 quota groups subdomains") {
+    val cases = Seq(
+      ("https://www.bbc.co.uk/news/uk-12345", "bbc.co.uk"),
+      ("https://news.bbc.co.uk:8080/x?y=1", "bbc.co.uk"),
+      ("https://a.b.example.com/path", "example.com"),
+      ("https://example.com", "example.com"),
+      ("https://cdn.shop.com.au/img.png", "shop.com.au"),
+      ("https://localhost/x", "localhost"), // single label passes through
+      ("ftp://deep.sub.tree.site.org/f", "site.org"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.registrableDomain(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // q216 end-to-end: every domain respects the cap, and at least one
+    // domain's kept set spans MULTIPLE synthesized subdomains (the whole
+    // point of keying on eTLD+1 instead of the host)
+    val out = TextOps.urlDomainQuota(graft.sources.Tables.documents(spark, sf), cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.length <= 5, s"domain $d exceeded the cap")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"ranks not dense for $d")
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val subs = Array("www", "news", "blog", "cdn")
+    val subsUsed = out.map { case (_, _, id) =>
+      subs(Integer.parseInt(md5hex(id.toString).substring(0, 2), 16) % 4)
+    }.toSet
+    assert(subsUsed.size > 1, "kept docs all came from one subdomain — grouping untested")
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
