@@ -534,19 +534,28 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     * round r a pure function of round r−1's labels, so if NO neighbor of v
     * changed label between rounds r−2 and r−1, v's neighbor-label multiset
     * is unchanged and its round-r argmax equals its round-(r−1) label —
-    * v need not be recomputed. Each round therefore (a) derives the
+    * v need not be recomputed. A delta round therefore (a) derives the
     * AFFECTED set = nodes with ≥1 changed-label neighbor (one semi-join of
     * the edge relation against the node-sized changed set), (b) recomputes
     * the mode argmax only for edges INTO affected nodes (a second semi-join
     * cutting the aggregate's input), and (c) carries every other label
-    * forward via a node-sized left join. Round 1 is always full (labels
-    * just initialized — there is no previous multiset to compare), and an
-    * empty frontier short-circuits the remaining rounds (fixpoint). Late
-    * rounds on a converging graph touch a shrinking frontier's
+    * forward via a node-sized left join. An empty frontier short-circuits
+    * the remaining rounds (fixpoint).
+    *
+    * The delta machinery is ADAPTIVE, keyed on the measured frontier: a
+    * delta round runs only when the previous round's changed count fell
+    * below nodes/4; otherwise the round is a plain full aggregate. LPA
+    * frontiers collapse abruptly at convergence, not gradually — measured
+    * on the sf0.1 co-purchase graph (20k nodes) the per-round changed
+    * counts are 100% → 75% → 73% → 69% → 3.8%: while most labels are still
+    * moving, "nodes with a changed neighbor" is essentially everyone and
+    * the affected-set derivation is a pure extra edge-scan; once the
+    * frontier collapses, a delta round touches the tiny frontier's
     * neighborhood instead of all edges — the k-core keep-set discipline
-    * applied to LPA's one asymptote. `delta = false` replays the full
-    * recomputation every round; both paths are spec-pinned row-identical
-    * (they compute the same recursion by the argument above).
+    * applied to LPA's one asymptote (to-fixpoint runs). Round 1 is always
+    * full (labels just initialized). `delta = false` disables frontier
+    * rounds entirely; both paths are spec-pinned row-identical (they
+    * compute the same recursion by the invariance argument above).
     */
   def labelPropagationOn(symIn: => DataFrame, nodes: DataFrame, rounds: Int,
                          broadcastLabels: Option[Boolean] = None,
@@ -560,12 +569,16 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     // ceiling the join stays a shuffled equi-join (the edge side re-scans
     // from the MV each round by design, so there is no partitioning to
     // carry across rounds — the label shuffle is the bounded cost)
-    val bcast = broadcastLabels.getOrElse(labels.count() <= BroadcastNodeLimit)
+    val nNodes = labels.count()
+    val bcast = broadcastLabels.getOrElse(nNodes <= BroadcastNodeLimit)
     var changed = labels.select(col("node")) // round-0 frontier: everyone
+    var changedCount = nNodes
     var converged = false
     var r = 1
     while (r <= rounds && !converged) {
-      val full = !delta || r == 1
+      // adaptive: delta machinery only once the frontier has collapsed
+      // (< nodes/4) — see the Scaladoc's measured frontier curve
+      val full = !delta || r == 1 || changedCount * 4L > nNodes
       // (a) nodes whose neighbor-label multiset may have changed
       val affected =
         if (full) None
@@ -592,8 +605,9 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
       labels = merged.select(col("node"), col("label"))
       if (delta) {
         changed = merged.filter(col("ch")).select(col("node"))
+        changedCount = changed.count() // node-sized, on the round checkpoint
         // fixpoint: an empty frontier makes every later round the identity
-        if (r < rounds && changed.isEmpty) converged = true
+        if (r < rounds && changedCount == 0L) converged = true
       }
       r += 1
     }

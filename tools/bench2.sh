@@ -68,6 +68,11 @@ res = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
        "queries": merged, "errors": {}, "sf": ds[0]["sf"],
        "protocol": f"min over {len(ds)} full JVM run(s) x 3 in-process passes",
        "runs": len(ds), "src_sha": shas.pop(), "data_sha": dshas.pop()}
+# host-speed canary (round-12): min over passes, for cross-round
+# normalization before any worktree replay
+canaries = [d["host_canary_sec"] for d in ds if "host_canary_sec" in d]
+if canaries:
+    res["host_canary_sec"] = min(canaries)
 line = json.dumps(res, separators=(",", ":"))
 print(line)
 for path in (out, merged_path):
