@@ -1085,13 +1085,25 @@ object StreamingOps {
   /** File-source entry point over the same parquet schema as the batch path:
     * the engine's batch queries re-point to a stream by swapping `read` for
     * `readStream` — the transformations are shared.
+    *
+    * LAYOUT-ADAPTIVE source path (round 12's 100×-sweep finding): when
+    * `$dir/events.parquet` is a DIRECTORY (the Spark-written layout, e.g.
+    * the 100× replica corpus) it is streamed directly; when it is a single
+    * FILE (the driver-written testdata layout) the parent dir is streamed
+    * under `pathGlobFilter=events.parquet`. The old glob-only form silently
+    * matched NOTHING on directory layouts (the filter applies to leaf FILE
+    * names, and a directory's parts are `part-*`), turning every
+    * eventStream gate into an EMPTY stream instead of an error; the
+    * file-path-only form fails on single files (`basePath must be a
+    * directory`). Both layouts are real, so the entry point handles both.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = s"$dir/events.parquet"
+    val reader = spark.readStream.schema(spark.read.parquet(p).schema)
     graft.sources.Tables.shapeEvents(
-      spark.readStream
-        .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+        reader.parquet(p)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 }
