@@ -448,12 +448,27 @@ object GraphOps {
     * union doubles the edge scan, not the shuffle (both halves partial-agg
     * into the same k-heaps).
     */
+  /** MATERIALIZED per-part distinct-order counts (pk, n) — q195's cosine
+    * denominator relation (NOT the graph degree: a part's neighbor count
+    * and its order count differ). Re-derived per call it cost a full
+    * 120M-row distinct + aggregate at 100×; as a fingerprinted MV it is a
+    * part-sized read, invalidated with the same lineitem staleness contract
+    * as the edge MVs.
+    */
+  def partOrderCountMV(spark: SparkSession, dir: String,
+                       refresh: Boolean = false): DataFrame =
+    graft.sources.Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "part_order_counts", refresh) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .groupBy("pk").agg(count(lit(1)).as("n"))
+    }
+
   def itemNeighbors(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val sym = symAdjMV(spark, dir)
       .select(col("u").as("i"), col("v").as("j"), col("w"))
-    val deg = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val deg = partOrderCountMV(spark, dir)
     val scored = sym
       .join(deg.select(col("pk").as("i"), col("n").as("n_i")), "i")
       .join(deg.select(col("pk").as("j"), col("n").as("n_j")), "j")
