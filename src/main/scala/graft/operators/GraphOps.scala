@@ -222,6 +222,27 @@ object GraphOps {
       sym.join(deg, "u").select(col("u"), col("v"), col("w"), col("deg_u"))
     }
 
+  /** Block-manager pin ceiling for the symmetrized relation, in ROWS. The
+    * per-round "re-scan the MV" discipline is the memory-safe 100× shape
+    * (an eager pin of the 239M-row relation OOM'd — the LPA doctrine), but
+    * at gate scale the re-scan pays parquet listing + scan setup per round
+    * for a relation that fits memory trivially: q144 measured 3.1 → 4.1 s
+    * in the r12 bench session from exactly this. Below the bound (≈1–2 GB
+    * pinned at 50M rows of (u,v,w,deg_u) longs) the projected relation is
+    * localCheckpointed once and every round reuses it; above, rounds
+    * re-scan the MV. The bound is read off parquet METADATA (row-count
+    * stats — no scan).
+    */
+  val PinEdgeLimit: Long = 50000000L
+
+  /** The symmetrized relation projected for an iterative gate, pinned when
+    * small (see [[PinEdgeLimit]]). */
+  private def gateSym(spark: SparkSession, dir: String, cols: String*): DataFrame = {
+    val mv = symAdjMV(spark, dir)
+    val proj = mv.select(cols.map(col): _*)
+    if (mv.count() <= PinEdgeLimit) proj.localCheckpoint(true) else proj
+  }
+
   /** MATERIALIZED node-degree relation (node, deg) of the co-purchase graph
     * — the node-sized companion of [[symAdjMV]]: seeds, adaptive-branch
     * counts (metadata-fast on parquet), label/keep-set initialization, and
@@ -245,7 +266,7 @@ object GraphOps {
     */
   def copurchasePageRank(spark: SparkSession, dir: String,
                          iterations: Int = 5): DataFrame =
-    pageRankOn(symAdjMV(spark, dir).select(col("u"), col("v"), col("deg_u")),
+    pageRankOn(gateSym(spark, dir, "u", "v", "deg_u"),
       nodeDegMV(spark, dir), iterations)
       .select(col("node").as("partkey"), col("degree"), col("rank"))
       .orderBy(col("rank").desc, col("partkey").asc)
@@ -365,7 +386,7 @@ object GraphOps {
     */
   def bfsGate(spark: SparkSession, dir: String, hops: Int = 4): DataFrame = {
     val seed = nodeDegMV(spark, dir).agg(min(col("node")).as("node"))
-    bfsDistancesOn(symAdjMV(spark, dir).select(col("u"), col("v")), seed, hops,
+    bfsDistancesOn(gateSym(spark, dir, "u", "v"), seed, hops,
       nodeDegMV(spark, dir).count())
       .groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"),
@@ -423,7 +444,7 @@ object GraphOps {
     */
   def weightedPathsGate(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     val seed = nodeDegMV(spark, dir).agg(min(col("node")).as("node"))
-    weightedDistancesOn(symAdjMV(spark, dir).select(col("u"), col("v"), col("w")),
+    weightedDistancesOn(gateSym(spark, dir, "u", "v", "w"),
       seed, rounds, nodeDegMV(spark, dir).count())
       .select(col("node"), col("dist").cast("long").as("dist"))
       .orderBy("node")
@@ -635,7 +656,7 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     * recomputation by labelPropagationOn's invariance argument.
     */
   def communityGate(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
-    labelPropagationOn(symAdjMV(spark, dir).select(col("u"), col("v")),
+    labelPropagationOn(gateSym(spark, dir, "u", "v"),
       nodeDegMV(spark, dir).select(col("node")), rounds)
       .groupBy("label")
       .agg(count(lit(1)).as("size"), min(col("node")).as("min_node"),
@@ -744,7 +765,7 @@ FROM l$rounds GROUP BY label ORDER BY label"""
     */
   def kCoreGate(spark: SparkSession, dir: String, k: Int = 60,
                 rounds: Int = 4): DataFrame =
-    kCoreOn(symAdjMV(spark, dir),
+    kCoreOn(gateSym(spark, dir, "u", "v"),
       nodeDegMV(spark, dir).select(col("node").as("u")), k, rounds)
 
   /** The q211 oracle: the same peeling rounds unrolled. */
