@@ -330,4 +330,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"PQ scoring shuffles or cross-joins the index relation:\n$plan")
   }
+
+  test("q214 span cut: no pair space — covered positions anti-join, never a self-join or cartesian") {
+    val df = SparkEntry.queries("q214_span_cut")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"kept tokens are not an anti-join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span cut degenerated to a product join:\n$plan")
+  }
+
+  test("q216 eTLD+1 quota: same k-heap-below-exchange contract as q213; no rank window") {
+    val df = SparkEntry.queries("q216_url_domain_quota")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_topk_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no map-side partial topk in:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial topk is not below the exchange in:\n$plan")
+    assert(!plan.contains("Window"), s"quota fell back to a rank window:\n$plan")
+  }
+
+  test("q215 multi-probe: centroid assignment broadcast; pair space is a cell equi-join, never a corpus product") {
+    val df = SparkEntry.queries("q215_semdedup_multiprobe")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-probe pair space degenerated to a cartesian:\n$plan")
+    // the only nested-loop allowed is the 1-row centroid-array broadcast;
+    // a corpus-vs-corpus BNLJ would print with a non-trivial build side
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"cell pair join is not a keyed equi-join:\n$plan")
+  }
 }
