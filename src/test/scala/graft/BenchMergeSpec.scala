@@ -31,6 +31,15 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(line.errorKeys == Set("q2") && line.queries.contains("q2"))
   }
 
+  test("round-12 provenance fields (host_canary_sec, filter) do not disturb the parser") {
+    val r12 = clean.replace(""","src_sha"""",
+      ""","host_canary_sec":0.592,"filter":"none","src_sha"""")
+    val line = Bench.parseBenchLine(r12).get
+    assert(line.queries == Map("q1" -> 1.5, "q2" -> 2.0))
+    assert(line.srcSha == "ab12" && line.dataSha == "cd34" && line.runs == 2,
+      "new top-level fields must not break merge-eligibility parsing")
+  }
+
   test("a pre-data_sha merged file parses with an empty data fingerprint (never merge-eligible)") {
     val legacy = clean.replace(""","data_sha":"cd34"""", "")
     val line = Bench.parseBenchLine(legacy).get

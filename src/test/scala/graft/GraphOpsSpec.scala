@@ -232,6 +232,26 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(d == f && d.nonEmpty, "co-purchase MV: delta != full at rounds=3")
   }
 
+  test("labelPropagation: delta ≡ full on seeded random graphs across round counts (exercises frontier collapse + short-circuit)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(_.toSeq).toSeq
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val es = (for (a <- 1 to n; b <- a + 1 to n if rnd.nextDouble() < 0.06)
+        yield (a.toLong, b.toLong)).toVector
+      val edges = es.toDF("src", "dst")
+      // 9 rounds runs past convergence on a 60-node sparse graph, so the
+      // adaptive guard's delta rounds AND the empty-frontier short-circuit
+      // both execute — and must still equal the blind full recursion
+      for (r <- Seq(2, 5, 9)) {
+        val d = rows(GraphOps.labelPropagation(edges, r, delta = true))
+        val f = rows(GraphOps.labelPropagation(edges, r, delta = false))
+        assert(d == f && d.nonEmpty, s"seed $seed rounds $r: delta != full")
+      }
+    }
+  }
+
   test("symAdjMV/nodeDegMV equal the direct derivation; the MV-fed pageRank gate equals the edge-fed operator") {
     val edges = GraphOps.copurchaseEdgesMV(spark, sf)
     val symDirect = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
