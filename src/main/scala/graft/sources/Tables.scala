@@ -258,30 +258,13 @@ object Tables {
     }
   }
 
-  /** Source-fingerprinted materialized view: `build` runs once per distinct
-    * (source file set, name) and lands under [[mvRoot]]; later calls —
-    * including across JVMs — read the parquet back. The fingerprint hashes
-    * every file's (srcPath-RELATIVE path, size, mtime) under `srcPath` —
-    * relative, not just the file name, so two structurally different source
-    * trees whose leaf names coincide can never alias one fingerprint. A
-    * regenerated dataset invalidates the MV automatically. This is the
-    * train-once / probe-many lever for any expensive derived relation (edge
-    * lists, k-means codebooks): the cost disappears from every query after
-    * the first, and the derived relation itself is what a cluster deployment
-    * would keep in object storage next to the table.
-    *
-    * Cross-JVM safety: the build lands in a private temp directory and is
-    * PUBLISHED by a single atomic rename, so a concurrent reader never sees
-    * a half-written MV and two concurrent builders race to one winner (the
-    * loser discards its copy and reads the published one — both built the
-    * same deterministic relation from the same fingerprinted source). The
-    * `_SUCCESS` marker is re-checked after publish; a pre-atomic-era partial
-    * directory (no marker) is swept before publishing.
-    */
-  def fingerprintedMv(spark: SparkSession, srcPath: java.nio.file.Path,
-                      name: String, refresh: Boolean = false)
-                     (build: => DataFrame): DataFrame = synchronized {
-    import java.nio.file.{Files, StandardCopyOption}
+  /** Fingerprint of a source file set: SHA-256 over the absolute srcPath
+    * plus every file's (srcPath-RELATIVE path, size, mtime) — relative, not
+    * just the leaf name, so two structurally different source trees whose
+    * leaf names coincide can never alias one fingerprint; absolute-rooted,
+    * so two different corpora never share an MV. 16 hex chars. */
+  def mvFingerprint(srcPath: java.nio.file.Path): String = {
+    import java.nio.file.Files
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(srcPath.toString.getBytes("UTF-8"))
     // relativize against the directory containing the source set (srcPath
@@ -295,23 +278,133 @@ object Tables {
           .getBytes("UTF-8"))
       }
     finally walk.close()
-    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Per-(name, fingerprint) build monitors: two DIFFERENT MVs may build
+    * concurrently in one JVM (sym + codebooks + part-order-counts all
+    * first-touch on the same gate call tree), while two threads racing to
+    * the SAME MV still serialize to one build (round-13; previously a
+    * single object-level lock serialized unrelated builds too). */
+  private val mvLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Grace period a superseded MV fingerprint survives after being MARKED
+    * superseded, covering readers that resolved the old path just before a
+    * source regeneration (see [[vacuumMvs]]). */
+  val MvVacuumGraceMs: Long = 3600000L
+
+  /** Vacuum superseded fingerprints of MV `name` under [[mvRoot]] — the
+    * [[Versioned]] `vacuum` discipline applied to the fingerprinted-MV
+    * layer, invoked automatically on every successful publish (round-13;
+    * previously a regenerated source stranded the old `${name}_${fp}` dir
+    * forever — a dead 239M-row sym MV per corpus rebuild).
+    *
+    * Two-phase, reader-safe sweep:
+    *   1. every published sibling `${name}_<fp>` with fp != `keepFp` is
+    *      MARKED by writing a `_SUPERSEDED` stamp file (once); a dir with
+    *      no `_SUCCESS` marker (pre-atomic-era partial) is deleted
+    *      immediately — no reader can hold it, because paths are only ever
+    *      handed out after the `_SUCCESS` check;
+    *   2. a marked dir is DELETED only once its stamp is older than
+    *      `graceMs`. A reader that resolved the old path while it was
+    *      current has the grace window to finish; any later resolution
+    *      re-fingerprints the live source and lands on `keepFp`.
+    * Stale build temps (`.{name}_*.tmp-*` left by a crashed builder) are
+    * swept on dir mtime older than the grace period — a LIVE concurrent
+    * builder's temp is necessarily younger.
+    *
+    * Returns the deleted directory names. `nowMs` is injectable so the
+    * grace rule itself is unit-pinned.
+    */
+  def vacuumMvs(name: String, keepFp: String,
+                graceMs: Long = MvVacuumGraceMs,
+                nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    import java.nio.file.Files
+    val root = mvRoot()
+    if (!Files.isDirectory(root)) return Nil
+    val published = ("^" + java.util.regex.Pattern.quote(name + "_") + "[0-9a-f]{16}$").r
+    val tmpPrefix = s".${name}_"
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listing = Files.list(root)
+    try listing.forEach { p =>
+      val fn = p.getFileName.toString
+      if (published.findFirstIn(fn).isDefined && fn != s"${name}_$keepFp") {
+        if (!Files.exists(p.resolve("_SUCCESS"))) {
+          deleteRecursively(p); deleted += fn
+        } else {
+          val stamp = p.resolve("_SUPERSEDED")
+          if (!Files.exists(stamp))
+            Files.write(stamp, nowMs.toString.getBytes("UTF-8"))
+          else {
+            val markedAt = scala.util.Try(
+              new String(Files.readAllBytes(stamp), "UTF-8").trim.toLong).getOrElse(0L)
+            if (nowMs - markedAt >= graceMs) { deleteRecursively(p); deleted += fn }
+          }
+        }
+      } else if (fn.startsWith(tmpPrefix) && fn.contains(".tmp-") &&
+                 nowMs - Files.getLastModifiedTime(p).toMillis >= graceMs) {
+        deleteRecursively(p); deleted += fn
+      }
+    } finally listing.close()
+    deleted.toSeq
+  }
+
+  /** Source-fingerprinted materialized view: `build` runs once per distinct
+    * (source file set, name) and lands under [[mvRoot]]; later calls —
+    * including across JVMs — read the parquet back. A regenerated dataset
+    * invalidates the MV automatically (see [[mvFingerprint]]). This is the
+    * train-once / probe-many lever for any expensive derived relation (edge
+    * lists, k-means codebooks): the cost disappears from every query after
+    * the first, and the derived relation itself is what a cluster deployment
+    * would keep in object storage next to the table.
+    *
+    * Cross-JVM safety: the build lands in a private temp directory and is
+    * PUBLISHED by a single atomic rename, so a concurrent reader never sees
+    * a half-written MV and two concurrent builders race to one winner (the
+    * loser discards its copy and reads the published one — both built the
+    * same deterministic relation from the same fingerprinted source). The
+    * `_SUCCESS` marker is re-checked after publish; a pre-atomic-era partial
+    * directory (no marker) is swept before publishing. Each successful
+    * publish then [[vacuumMvs]] the name's superseded fingerprints.
+    *
+    * This variant returns the published PATH — the stable cache key the
+    * JVM-shared gate-pin layer needs (see `GraphOps`); [[fingerprintedMv]]
+    * is the read-back convenience.
+    */
+  def fingerprintedMvPath(spark: SparkSession, srcPath: java.nio.file.Path,
+                          name: String, refresh: Boolean = false)
+                         (build: => DataFrame): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val fp = mvFingerprint(srcPath)
     val root = mvRoot()
     val mv = root.resolve(s"${name}_$fp")
-    if (refresh || !Files.exists(mv.resolve("_SUCCESS"))) {
-      val tmp = root.resolve(s".${name}_$fp.tmp-${java.util.UUID.randomUUID()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      // refresh replaces the published MV; a markerless partial (pre-atomic
-      // era or crashed cleanup) is swept rather than blocking the publish
-      if (Files.exists(mv) && (refresh || !Files.exists(mv.resolve("_SUCCESS"))))
-        deleteRecursively(mv)
-      try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // another JVM published between our check and move: theirs wins
-        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+    val lock = mvLocks.computeIfAbsent(s"${name}_$fp", _ => new Object)
+    lock.synchronized {
+      if (refresh || !Files.exists(mv.resolve("_SUCCESS"))) {
+        val tmp = root.resolve(s".${name}_$fp.tmp-${java.util.UUID.randomUUID()}")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        // refresh replaces the published MV; a markerless partial (pre-atomic
+        // era or crashed cleanup) is swept rather than blocking the publish
+        if (Files.exists(mv) && (refresh || !Files.exists(mv.resolve("_SUCCESS"))))
+          deleteRecursively(mv)
+        try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another JVM published between our check and move: theirs wins
+          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+        }
+        require(Files.exists(mv.resolve("_SUCCESS")), s"MV publish failed: $mv")
+        vacuumMvs(name, fp)
       }
-      require(Files.exists(mv.resolve("_SUCCESS")), s"MV publish failed: $mv")
     }
-    spark.read.parquet(mv.toString)
+    // a source that flip-flops back to a prior state makes an old fp CURRENT
+    // again — un-stamp it so a later sibling vacuum can't reap a live MV
+    Files.deleteIfExists(mv.resolve("_SUPERSEDED"))
+    mv
   }
+
+  /** [[fingerprintedMvPath]] + parquet read-back — the common-case API. */
+  def fingerprintedMv(spark: SparkSession, srcPath: java.nio.file.Path,
+                      name: String, refresh: Boolean = false)
+                     (build: => DataFrame): DataFrame =
+    spark.read.parquet(fingerprintedMvPath(spark, srcPath, name, refresh)(build).toString)
 }
