@@ -2185,7 +2185,14 @@ ORDER BY r.rank DESC, partkey"""
     // www./news./cdn. subdomains is still ONE domain budget; same bounded
     // k-heap shuffle contract
     "q216_url_domain_quota" -> ((s, dir) =>
-      TextOps.urlDomainQuota(Tables.documents(s, dir)))
+      TextOps.urlDomainQuota(Tables.documents(s, dir))),
+
+    // INCREMENTAL SYM-MV MAINTENANCE: q127's base ⊎ delta discipline lifted
+    // to the symmetrized-adjacency relation — pair weights AND degrees both
+    // merge additively at delta cost (the standing relation is scanned
+    // once, the source self-join never reruns); oracle = the full rebuild
+    "q217_sym_incremental" -> ((s, dir) =>
+      GraphOps.symIncrementalParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5177,6 +5184,27 @@ GROUP BY 1 ORDER BY cell"""
 
     // identical URL synthesis + eTLD+1 rule (shared suffix list) + ranked
     // window over the same 52-bit md5 key
-    "q216_url_domain_quota" -> TextOps.urlDomainQuotaOracleSql()
+    "q216_url_domain_quota" -> TextOps.urlDomainQuotaOracleSql(),
+
+    // q217's oracle is the FULL REBUILD of the symmetrized adjacency —
+    // hash equality against the engine's base ⊎ delta merge proves the
+    // incremental sym-MV maintenance (weights AND degrees additive)
+    "q217_sym_incremental" -> """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS u, dst AS v, w FROM e
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM e
+), deg AS (
+  SELECT u, count(*) AS deg_u FROM sym GROUP BY u
+)
+SELECT s.u, s.v, CAST(s.w AS BIGINT) AS w, CAST(d.deg_u AS BIGINT) AS deg_u
+FROM sym s JOIN deg d ON d.u = s.u
+ORDER BY s.u, s.v"""
   )
 }

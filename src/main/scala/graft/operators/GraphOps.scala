@@ -97,6 +97,68 @@ object GraphOps {
       .orderBy("src", "dst")
   }
 
+  /** INCREMENTAL symmetrized-adjacency maintenance (q217) — q127's
+    * base ⊎ delta discipline lifted to the [[symAdjMV]] relation (round-13,
+    * VERDICT r12 item 3: the edge MV refreshed at delta cost, but the sym
+    * MV rebuilt from scratch — a 36.3 s source self-join at 100× — on ANY
+    * source change).
+    *
+    * Both components of the sym relation are ADDITIVE under the CDC grain
+    * (whole orders per batch, so per-batch pair weights sum — the q127
+    * argument):
+    *   - pair weights: w'(u,v) = w_base(u,v) + w_delta(u,v);
+    *   - degrees: deg'(u) = deg_base(u) + |new neighbors of u| — a pair
+    *     already present in the base adjusts only its weight, never the
+    *     neighbor count, so the adjustment is the node-sized census of
+    *     delta pairs ABSENT from the base.
+    * Cost shape: one (u,v)-keyed merge of base ∪ symmetrized-delta (the
+    * indicator `max` rides the same map-side-combined aggregate, so "is
+    * this pair new?" costs no second pass over the base), one node-sized
+    * degree adjustment, one node-keyed join — the standing relation is
+    * scanned ONCE and the source self-join never reruns. The result is
+    * column- and value-identical to `symmetrizeWithDegrees(merged edges)`;
+    * q217's oracle proves it against the full rebuild by hash equality.
+    *
+    * `baseSym` is the standing (u, v, w, deg_u) relation (the MV);
+    * `deltaEdges` is the new batch's canonical (src, dst, w) edge relation.
+    */
+  def mergeSymDelta(baseSym: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val symDelta = deltaEdges
+      .select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .union(deltaEdges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+    val merged = baseSym.select(col("u"), col("v"), col("w"), lit(1).as("in_base"))
+      .union(symDelta.select(col("u"), col("v"), col("w"), lit(0).as("in_base")))
+      .groupBy("u", "v")
+      .agg(sum(col("w")).as("w"), max(col("in_base")).as("in_base"))
+    // base degrees ride the standing relation (deg_u is constant per u);
+    // the adjustment is node-sized: one new row per (u, new neighbor)
+    val baseDeg = baseSym.select(col("u"), col("deg_u")).distinct()
+    val newDeg = baseDeg.select(col("u"), col("deg_u").as("d"))
+      .union(merged.filter(col("in_base") === 0)
+        .groupBy("u").agg(count(lit(1)).as("d")))
+      .groupBy("u").agg(sum(col("d")).as("deg_u"))
+    merged.select(col("u"), col("v"), col("w"))
+      .join(newDeg, "u")
+      .select(col("u"), col("v"), col("w"), col("deg_u"))
+  }
+
+  /** Registered q217: q127's deterministic order split (delta = every 10th
+    * order), base sym relation derived from the base orders, delta merged
+    * incrementally via [[mergeSymDelta]]; the oracle is the FULL REBUILD of
+    * the symmetrized adjacency over all orders — hash equality is the
+    * incremental-maintenance proof.
+    */
+  def symIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val baseSym = symmetrizeWithDegrees(copurchaseEdgesOf(li.filter(col("ok") % 10 =!= 0)))
+    val delta = copurchaseEdgesOf(li.filter(col("ok") % 10 === 0))
+    mergeSymDelta(baseSym, delta)
+      .select(col("u"), col("v"), col("w").cast("long").as("w"),
+        col("deg_u").cast("long").as("deg_u"))
+      .orderBy("u", "v")
+  }
+
   /** PageRank over an undirected edge list (columns src/dst), in the scaled
     * formulation (sum of ranks = N): r⁰ = 1, rᵗ⁺¹ = (1−d) + d·Σ rᵗ(u)/deg(u)
     * over neighbors u. Nodes are every endpoint of the edge relation, so

@@ -98,6 +98,28 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("mergeSymDelta: incremental sym maintenance equals the full rebuild (weights AND degrees) for every whole-order split") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("u"), col("v"), col("w").cast("long"), col("deg_u").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val full = key(GraphOps.symmetrizeWithDegrees(GraphOps.copurchaseEdgesOf(li)))
+    for (m <- Seq(3L, 7L, 10L)) {
+      val baseSym = GraphOps.symmetrizeWithDegrees(
+        GraphOps.copurchaseEdgesOf(li.filter(col("ok") % m =!= 0)))
+      val delta = GraphOps.copurchaseEdgesOf(li.filter(col("ok") % m === 0))
+      val inc = key(GraphOps.mergeSymDelta(baseSym, delta))
+      assert(inc == full && full.nonEmpty, s"split mod $m: incremental sym != full rebuild")
+    }
+    // degenerate batches: an empty delta is the identity; a delta landing
+    // entirely on NEW nodes extends the relation without touching base degs
+    val all = GraphOps.symmetrizeWithDegrees(GraphOps.copurchaseEdgesOf(li))
+    val empty = GraphOps.copurchaseEdgesOf(li.filter(lit(false)))
+    assert(key(GraphOps.mergeSymDelta(all, empty)) == full, "empty delta must be the identity")
+  }
+
   test("copurchaseEdgesMV: materialization equals the direct build; reuse, REFRESH, and staleness are pinned") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // run against a COPY of the source so the staleness leg can touch mtimes
