@@ -2187,6 +2187,14 @@ ORDER BY r.rank DESC, partkey"""
     "q216_url_domain_quota" -> ((s, dir) =>
       TextOps.urlDomainQuota(Tables.documents(s, dir))),
 
+    // FULL-PSL DOMAIN QUOTA: q216's quota under the complete Public-Suffix-
+    // List algorithm — wildcard (`*.ck`) and exception (`!www.ck`) rules
+    // plus the implicit `*` default, compiled from the classpath rule FILE
+    // into a zero-shuffle codegen'd when-chain; apex-suffix hosts (no
+    // registrable domain) are dropped, the crawl-frontier discipline
+    "q218_psl_domain_quota" -> ((s, dir) =>
+      TextOps.urlDomainQuotaPsl(Tables.documents(s, dir))),
+
     // INCREMENTAL SYM-MV MAINTENANCE: q127's base ⊎ delta discipline lifted
     // to the symmetrized-adjacency relation — pair weights AND degrees both
     // merge additively at delta cost (the standing relation is scanned
@@ -5185,6 +5193,10 @@ GROUP BY 1 ORDER BY cell"""
     // identical URL synthesis + eTLD+1 rule (shared suffix list) + ranked
     // window over the same 52-bit md5 key
     "q216_url_domain_quota" -> TextOps.urlDomainQuotaOracleSql(),
+
+    // identical URL synthesis + the SAME parsed PSL rules interpolated into
+    // a SQL replica of the precedence order (exception > longest > default)
+    "q218_psl_domain_quota" -> TextOps.urlDomainQuotaPslOracleSql(),
 
     // q217's oracle is the FULL REBUILD of the symmetrized adjacency —
     // hash equality against the engine's base ⊎ delta merge proves the

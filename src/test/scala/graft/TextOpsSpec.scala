@@ -622,6 +622,48 @@ class TextOpsSpec extends SparkSpecBase {
     assert(subsUsed.size > 1, "kept docs all came from one subdomain — grouping untested")
   }
 
+  test("registrableDomainPsl: wildcard, exception, implicit-default and apex-suffix cases; parser round-trips the file format") {
+    // the published-list precedence: exception > longest match > implicit '*'
+    val cases = Seq(
+      ("https://www.bbc.co.uk/news", "bbc.co.uk"),      // multi-part normal
+      ("https://a.b.example.com/x", "example.com"),     // normal
+      ("https://sub.site.ck/x", "sub.site.ck"),         // wildcard: site.ck IS a public suffix
+      ("https://site.ck/x", null),                      // apex of a wildcard suffix: NO registrable domain
+      ("https://www.ck/x", "www.ck"),                   // exception carve-out: its own registrable domain
+      ("https://deep.www.ck/x", "www.ck"),              // exception ⇒ ps = 'ck', so suffix+1 = www.ck
+      ("https://a.b.unknown.zz/x", "unknown.zz"),       // implicit '*' default for an unlisted TLD
+      ("https://co.uk/x", null),                        // apex of a listed suffix
+      ("https://uk/x", null),                           // bare TLD
+      ("https://ck/x", null))                           // bare wildcard base: no rule matches, default ps = itself
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.registrableDomainPsl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // parser: kinds and label counts off the raw PSL format
+    val rules = TextOps.parsePsl(Iterator("// c", "", "com", "co.uk", "*.ck", "!www.ck"))
+    assert(rules == Seq(
+      TextOps.PslRule("com", "normal", 1), TextOps.PslRule("co.uk", "normal", 2),
+      TextOps.PslRule("ck", "wildcard", 1), TextOps.PslRule("www.ck", "exception", 2)))
+    // the embedded subset carries all three rule kinds (the q218 coverage claim)
+    assert(TextOps.PslSubset.exists(_.kind == "wildcard") &&
+      TextOps.PslSubset.exists(_.kind == "exception") &&
+      TextOps.PslSubset.count(_.kind == "normal") >= 10)
+    // q218 end-to-end: caps respected; the exception host and a wildcard
+    // 3-label domain both appear; no apex suffix leaks through
+    val out = TextOps.urlDomainQuotaPsl(graft.sources.Tables.documents(spark, sf), cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.length <= 5, s"domain $d exceeded the cap")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"ranks not dense for $d")
+    }
+    val doms = out.map(_._1).toSet
+    assert(doms.contains("www.ck"), "exception host must survive as its own domain")
+    assert(doms.exists(d => d.endsWith(".ck") && d != "www.ck" && d.count(_ == '.') == 2),
+      "wildcard .ck domains must keep the subdomain (3 labels)")
+    assert(!doms.contains("co.uk") && !doms.contains("site.ck"),
+      "apex public suffixes must be dropped")
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
