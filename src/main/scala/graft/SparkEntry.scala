@@ -2200,7 +2200,14 @@ ORDER BY r.rank DESC, partkey"""
     // merge additively at delta cost (the standing relation is scanned
     // once, the source self-join never reruns); oracle = the full rebuild
     "q217_sym_incremental" -> ((s, dir) =>
-      GraphOps.symIncrementalParity(s, dir))
+      GraphOps.symIncrementalParity(s, dir)),
+
+    // STREAMING DOMAIN QUOTA: q213's cap as keyed streaming state — a real
+    // AvailableNow lifecycle whose bounded per-domain heap (cap ids + one
+    // monotone counter) ends hash-identical to the batch quota; the
+    // batch-vs-streaming asymmetry of the LLM-prep quota family closed
+    "q219_stream_domain_quota" -> ((s, dir) =>
+      graft.streaming.StreamingOps.domainQuotaStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5217,6 +5224,10 @@ WITH li AS (
 )
 SELECT s.u, s.v, CAST(s.w AS BIGINT) AS w, CAST(d.deg_u AS BIGINT) AS deg_u
 FROM sym s JOIN deg d ON d.u = s.u
-ORDER BY s.u, s.v"""
+ORDER BY s.u, s.v""",
+
+    // q219's oracle IS the batch q213 rule: the streaming bounded-heap
+    // state must end exactly where the batch ranking ends
+    "q219_stream_domain_quota" -> TextOps.domainQuotaOracleSql()
   )
 }

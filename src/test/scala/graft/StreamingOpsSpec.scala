@@ -333,6 +333,39 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("domainQuotaStream: a later batch DISPLACES a survivor; state stays cap-bounded; final state = batch quota") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)] // (domain, doc_id, hv)
+    val q = StreamingOps.domainQuotaStream(input.toDS(), cap = 2).writeStream
+      .format("memory").queryName("domquota_out").outputMode("update").start()
+    try {
+      // batch 1: domain a fills its heap with keys 30, 50 (and sees 70 overflow)
+      input.addData(("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 70L), ("b", 9L, 5L))
+      q.processAllAvailable()
+      val after1 = spark.table("domquota_out").as[(String, Long, Seq[Long])]
+        .collect().filter(_._1 == "a").maxBy(_._2)
+      assert(after1 == (("a", 3L, Seq(2L, 1L))), s"batch-1 survivors wrong: $after1")
+      // batch 2: key 10 displaces doc 1 (hv 50); doc 5's hv 60 never enters
+      input.addData(("a", 4L, 10L), ("a", 5L, 60L))
+      q.processAllAvailable()
+      val emissions = spark.table("domquota_out").as[(String, Long, Seq[Long])].collect()
+      val finalA = emissions.filter(_._1 == "a").maxBy(_._2)
+      assert(finalA == (("a", 5L, Seq(4L, 2L))),
+        s"displacement across batches failed: $finalA")
+      assert(emissions.forall(_._3.length <= 2), "state exceeded the cap")
+      // the monotone-counter selection rule the gate relies on: max n_seen
+      // per domain IS the latest emission
+      assert(emissions.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(3L, 5L))
+      // final state equals the batch ranking over everything that arrived
+      val all = Seq(("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 70L), ("b", 9L, 5L),
+        ("a", 4L, 10L), ("a", 5L, 60L))
+      val batch = all.groupBy(_._1).view.mapValues(
+        _.map(t => (t._3, t._2)).sorted.take(2).map(_._2)).toMap
+      val got = emissions.groupBy(_._1).map { case (d, es) => d -> es.maxBy(_._2)._3.toSeq }
+      assert(got == batch, s"stream final != batch quota: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("nearDupStream: arriving docs matched against the static corpus band index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
