@@ -648,6 +648,30 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("prk"), col("cc.cell").as("cell"))
   }
 
+  /** ε-MARGIN probed assignment — probe every cell whose centroid
+    * similarity is within `eps` of the nearest cell's (the adaptive
+    * alternative to a fixed nProbe: boundary vectors probe more cells,
+    * interior vectors just one). Measured round 13 (SCALING.md §SemDeDup
+    * probe curve): at an EQUAL pair-space budget this is DOMINATED by the
+    * fixed-nProbe rule on the registered corpus — ε = 0.1 costs the same
+    * 4.0× pairs as nProbe = 2 but misses 0.1448 vs 0.1144, because at
+    * τ = 0.35 the missed pairs are moderate-similarity pairs straddling
+    * cells far from the boundary, where centroid-margin is a weak
+    * predictor of pair loss. Kept as the measured-and-rejected variant
+    * (the spec pins the dominance so the conclusion can't silently rot).
+    */
+  private[graft] def semanticAssignmentMargin(embeddings: DataFrame, nCells: Int,
+                                              iters: Int, eps: Double): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val rk = cellRank(col("e"), col("cents"))
+    emb.crossJoin(broadcast(centsArray(kmeansCentroids(embeddings, nCells, iters))))
+      .select(col("vec_id"), col("e"),
+        explode(filter(rk, c =>
+          c.getField("csim") >= element_at(rk, 1).getField("csim") - lit(eps))).as("cc"))
+      .select(col("vec_id"), col("e"), col("cc.cell").as("cell"))
+  }
+
   /** Product-quantized kNN (q205) — Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search" (TPAMI 2011): the vector is
     * split into `m` subvectors, each quantized against its OWN small

@@ -80,6 +80,39 @@ class SemDeDupMissSpec extends SparkSpecBase {
       f"multi-probe miss $missMulti%.4f did not materially improve on $missSingle%.4f")
   }
 
+  test("probe curve (round 13): nProbe=3 near-exact; ε-margin DOMINATED by fixed nProbe at equal pair budget; nProbe=2 is the knee") {
+    val emb = Tables.embeddings(spark, sf01)
+    val truth = droppedSet(emb, 1, 0.35)
+    def multiDrops(nProbe: Int): Set[Long] = {
+      val asg = Similarity.semanticAssignmentMulti(emb, 8, 3, nProbe).localCheckpoint(true)
+      Similarity.multiProbeDropped(asg, 0.35).as[Long].collect().toSet
+    }
+    def pairSpace(asg: org.apache.spark.sql.DataFrame): Long =
+      asg.groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).as[Long].collect().head
+    // measured 2026-08-14 at sf0.1 (k=8, τ=0.35, truth=1512 drops):
+    //   nProbe 1/2/3/4: miss .4537/.1144/.0179/.0000 at 1.0/4.0/9.0/16.0× pairs
+    //   ε-margin .01/.02/.05/.10: miss .4061/.3829/.2864/.1448 at 1.14/1.26/1.88/3.99×
+    val m3 = multiDrops(3)
+    val miss3 = (truth -- m3).size.toDouble / truth.size
+    assert(miss3 <= 0.05, f"nProbe=3 miss $miss3%.4f left the measured 0.0179 regime")
+    // the dominance pin: ε=0.1 costs the SAME ~4× pair space as nProbe=2
+    // but recovers FEWER pairs — centroid margin is a weak predictor of
+    // pair loss in the moderate-similarity regime
+    val m2 = multiDrops(2)
+    val asgM = Similarity.semanticAssignmentMargin(emb, 8, 3, eps = 0.10).localCheckpoint(true)
+    val mm = Similarity.multiProbeDropped(asgM, 0.35).as[Long].collect().toSet
+    val ps2 = pairSpace(Similarity.semanticAssignmentMulti(emb, 8, 3, 2))
+    val psM = pairSpace(asgM)
+    info(f"nProbe=2: drops=${m2.size} pairs=$ps2; eps=0.10: drops=${mm.size} pairs=$psM")
+    assert(math.abs(psM.toDouble / ps2 - 1.0) < 0.15, "budgets drifted — comparison no longer like-for-like")
+    assert(mm.size < m2.size, "ε-margin stopped being dominated — re-measure the curve before re-deciding nProbe=2")
+    assert(mm.subsetOf(truth), "margin probing invented drops outside the all-pairs rule")
+    // knee rationale (recorded, not asserted): marginal pairs per recovered
+    // drop grow geometrically — ≈2.9k (1→2), ≈17k (2→3), ≈130k (3→4) — so
+    // the registered q215 config stays nProbe=2
+  }
+
   test("q90 SemDeDup: planted near-dup pairs (the paper's operating regime) are recalled through k=8 cells at the measured floors") {
     val corpus = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
     val rng = new scala.util.Random(47)
