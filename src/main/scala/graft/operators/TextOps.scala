@@ -2148,7 +2148,20 @@ FROM r WHERE rk <= $cap ORDER BY domain, rk"""
   def registrableDomainPsl(url: org.apache.spark.sql.Column,
                            rules: Seq[PslRule] = PslSubset): org.apache.spark.sql.Column = {
     val host = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
-    val labels = split(host, "\\.")
+    registrableDomainPslOfLabels(split(host, "\\."), rules)
+  }
+
+  /** The PSL matcher over an ALREADY-SPLIT label array. The split (and the
+    * regexp host-extract, and whatever synthesized the URL) must be staged
+    * as a real column before a when-chain that references it in every
+    * branch: inlined, the k×(kinds+1) branch conditions each carry their
+    * own copy of the url→host→labels subtree, the generated code blows past
+    * the JIT method budget, and the projection falls off codegen — measured
+    * 41 s vs 1.7 s at 100× on q218 for exactly this. Per-branch work over
+    * the label ATTRIBUTE (slice + array_join + set membership) is cheap.
+    */
+  def registrableDomainPslOfLabels(labels: org.apache.spark.sql.Column,
+                                   rules: Seq[PslRule]): org.apache.spark.sql.Column = {
     val n = size(labels)
     def suffixK(k: Int) = array_join(slice(labels, -k, k), ".")
     // precedence: exceptions first (longest first), then effective rule
@@ -2206,12 +2219,24 @@ FROM r WHERE rk <= $cap ORDER BY domain, rk"""
       .otherwise(synth)
     val url = concat(lit("https://"), host, lit("/doc/"), dKey)
     documents
-      .select(col("doc_id"), registrableDomainPsl(url).as("domain"),
+      // STAGED columns: url→host→labels materialize once per row; the PSL
+      // when-chain then references only the cheap label attribute (see
+      // registrableDomainPslOfLabels — unstaged this fell off codegen)
+      .select(col("doc_id"),
+        split(regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1), "\\.").as("labs"),
         conv(substring(md5(dKey), 1, 13), 16, 10).cast("long").as("hv"))
-      .filter(col("domain").isNotNull)
+      .select(col("doc_id"),
+        registrableDomainPslOfLabels(col("labs"), PslSubset).as("domain"),
+        col("hv"))
       .groupBy("domain")
       .agg(graft.functions.TopKByScore.topK(
         (-col("hv")).cast("double"), col("doc_id"), cap).as("top"))
+      // apex-suffix hosts (domain NULL) ride the aggregate as one extra
+      // group and are dropped HERE, post-aggregate, behind a plan fence:
+      // un-fenced, this grouping-key predicate is pushed to the scan where
+      // pruning inlines the staged url→labels tree into every branch —
+      // measured 40.5 s vs 1.7 s at 100× (see PushdownBarrier)
+      .filter(graft.functions.PushdownBarrier.fence(col("domain").isNotNull))
       .select(col("domain"), explode(col("top")).as("e"))
       .select(col("domain"), col("e.rk").as("rk"), col("e.id").as("doc_id"))
       .orderBy("domain", "rk")

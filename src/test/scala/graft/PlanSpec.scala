@@ -352,6 +352,29 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"quota fell back to a rank window:\n$plan")
   }
 
+  test("q218 PSL quota: NULL-drop fenced ABOVE the aggregate; the scan carries no inlined domain predicate; k-heap contract holds") {
+    val df = SparkEntry.queries("q218_psl_domain_quota")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-13 pathology: un-fenced, isNotNull(domain) was pushed to the
+    // scan where pruning inlined ~20 copies of the staged url→labels tree
+    // into the filter condition (40.5 s vs 1.7 s at 100×). The fence keeps
+    // the drop post-aggregate (group-cardinality rows).
+    val barrierIdx = plan.indexOf("pushdown_barrier")
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    assert(barrierIdx >= 0, s"fenced NULL-drop missing from:\n$plan")
+    assert(aggIdx >= 0 && barrierIdx < aggIdx,
+      s"the fenced filter is not above the aggregate in:\n$plan")
+    assert(!plan.contains("DataFilters: [CASE WHEN"),
+      s"the domain predicate leaked into the scan:\n${plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")}")
+    // same bounded-shuffle contract as q213/q216
+    val partialIdx = plan.indexOf("partial_topk_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial topk is not below the exchange in:\n$plan")
+    assert(!plan.contains("Window"), s"quota fell back to a rank window:\n$plan")
+  }
+
   test("q215 multi-probe: centroid assignment broadcast; pair space is a cell equi-join, never a corpus product") {
     val df = SparkEntry.queries("q215_semdedup_multiprobe")(spark, sf)
     df.collect()
