@@ -12,6 +12,17 @@ import graft.sources.Tables
 class FingerprintedMvSpec extends SparkSpecBase {
   import spark.implicits._
 
+  /** Delete every `${name}_<fp>` dir under the live MV root — the root is
+    * shared across suite RUNS, so vacuum-sweep assertions must start
+    * hermetic or they pick up a previous run's stale fingerprints. */
+  private def purgeMvName(name: String): Unit = {
+    // keepFp "none" matches no real fingerprint; two passes because the
+    // sweep is two-phase (pass 1 marks unstamped dirs, pass 2 deletes)
+    val now = System.currentTimeMillis()
+    Tables.vacuumMvs(name, keepFp = "none", graceMs = 0L, nowMs = now)
+    Tables.vacuumMvs(name, keepFp = "none", graceMs = 0L, nowMs = now + 1)
+  }
+
   test("fingerprintedMv: build runs once per fingerprint, again on source change, again on refresh") {
     import java.nio.file.{Files, Paths}
     val work = Files.createTempDirectory("graft_fpmv_spec")
@@ -83,6 +94,7 @@ class FingerprintedMvSpec extends SparkSpecBase {
     val src = work.resolve("src.txt")
     Files.write(src, "v1".getBytes("UTF-8"))
     val name = "fpmv_spec_vacuum"
+    purgeMvName(name) // the shared MV root outlives suite runs — hermetic start
     def mv() = Tables.fingerprintedMv(spark, src, name) {
       Seq((1L, "a")).toDF("id", "v")
     }
@@ -113,6 +125,7 @@ class FingerprintedMvSpec extends SparkSpecBase {
     Files.write(src, "v1".getBytes("UTF-8"))
     val mt1 = Files.getLastModifiedTime(src)
     val name = "fpmv_spec_vacuum2"
+    purgeMvName(name)
     def mv() = Tables.fingerprintedMv(spark, src, name) {
       Seq((1L, "a")).toDF("id", "v")
     }
