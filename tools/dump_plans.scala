@@ -43,7 +43,10 @@ val picks = Seq(
   ("q98_copurchase_pagerank", "PageRank over the symmetrized-adjacency MV: per-iteration cost is the contribution join + partial-aggregate combine; setup reads materialized (u,v,deg_u)"),
   ("q214_span_cut", "span-cut cleaner: vocabulary-sized df aggregate, covered positions via left-anti join, per-doc re-collect — no pair space"),
   ("q215_semdedup_multiprobe", "multi-probe SemDeDup: ONE broadcast probed-assignment pass (checkpointed), cell-equi-join pair space, primary-cell census"),
-  ("q216_url_domain_quota", "eTLD+1 quota: pure string expressions (host extract + suffix rule) feeding the same k-heap aggregate as q213"))
+  ("q216_url_domain_quota", "eTLD+1 quota: pure string expressions (host extract + suffix rule) feeding the same k-heap aggregate as q213"),
+  ("q217_sym_incremental", "incremental sym maintenance: indicator-carrying merge aggregate (one (u,v) shuffle of base ∪ sym-delta), node-sized degree adjustment, node-keyed join — no source self-join"),
+  ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
+  ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"))
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of flagship queries (sf0.01, local)\n\n")
 sb.append("Auto-generated by `tools/dump_plans.scala` (spark-shell -I). What to look\n")
