@@ -2207,7 +2207,14 @@ ORDER BY r.rank DESC, partkey"""
     // monotone counter) ends hash-identical to the batch quota; the
     // batch-vs-streaming asymmetry of the LLM-prep quota family closed
     "q219_stream_domain_quota" -> ((s, dir) =>
-      graft.streaming.StreamingOps.domainQuotaStreamParity(s, dir))
+      graft.streaming.StreamingOps.domainQuotaStreamParity(s, dir)),
+
+    // STREAMING SPAN-CUT: q214's cleaner as corpus ingestion — per-batch
+    // cleaning against the standing duplicated-shingle index MV
+    // (vocabulary-sized, the crawl pipeline's persisted state); identical
+    // to the batch cleaner under any batch split, no state store
+    "q220_stream_span_cut" -> ((s, dir) =>
+      graft.streaming.StreamingOps.spanCutStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5228,6 +5235,10 @@ ORDER BY s.u, s.v""",
 
     // q219's oracle IS the batch q213 rule: the streaming bounded-heap
     // state must end exactly where the batch ranking ends
-    "q219_stream_domain_quota" -> TextOps.domainQuotaOracleSql()
+    "q219_stream_domain_quota" -> TextOps.domainQuotaOracleSql(),
+
+    // q220's oracle IS q214's batch SQL: per-document cleaning against the
+    // full-corpus index makes the stream emission batch-identical
+    "q220_stream_span_cut" -> TextOps.spanCutCleanOracleSql
   )
 }

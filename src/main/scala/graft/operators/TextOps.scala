@@ -1780,16 +1780,42 @@ object TextOps {
   def spanCutClean(spark: SparkSession, dir: String): DataFrame =
     spanCutCleanFrom(Tables.documents(spark, dir))
 
-  def spanCutCleanFrom(docs: DataFrame): DataFrame = {
+  /** The corpus-duplicated 3-gram relation (sg) — q214's cut criterion,
+    * factored out as the STANDING INDEX the streaming cleaner (q220) probes
+    * per micro-batch: vocabulary-sized (distinct duplicated shingles, never
+    * token- or pair-sized), so it is exactly what a crawl pipeline persists
+    * next to the corpus. */
+  def dupShinglesFrom(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pos = tok
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
+    pos.select(col("doc_id"), col("sg")).distinct()
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("sg")
+  }
+
+  /** The duplicated-shingle index persisted via the S6 fingerprinted-MV
+    * discipline, keyed on the documents source. */
+  def dupShinglesMV(spark: SparkSession, dir: String,
+                    refresh: Boolean = false): DataFrame =
+    Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "dup_shingles", refresh)(dupShinglesFrom(Tables.documents(spark, dir)))
+
+  /** Span-cut cleaning of `docs` against a GIVEN duplicated-shingle
+    * relation — per-document work only (tokenize, probe the index, anti-join
+    * covered positions, re-collect), no corpus aggregate: the unit the
+    * streaming cleaner runs per micro-batch. Unordered; [[spanCutCleanFrom]]
+    * adds the gate's doc_id ordering. */
+  def spanCutCleanAgainst(docs: DataFrame, dupSgs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val base = tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     val pos = tok
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
-    val df = pos.select(col("doc_id"), col("sg")).distinct()
-      .groupBy("sg").agg(count(lit(1)).as("df"))
     val coveredPos = pos
-      .join(df.filter(col("df") > 1).select("sg"), Seq("sg"))
+      .join(dupSgs.select("sg"), Seq("sg"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("p"))
       .distinct()
     val kept = tok
@@ -1807,8 +1833,10 @@ object TextOps {
         md5(coalesce(col("kept_text"), lit(""))).as("kept_digest"),
         rd((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
           / col("n_tokens"), 6).as("cut_ratio"))
-      .orderBy("doc_id")
   }
+
+  def spanCutCleanFrom(docs: DataFrame): DataFrame =
+    spanCutCleanAgainst(docs, dupShinglesFrom(docs)).orderBy("doc_id")
 
   /** The q214 oracle: q97's covered-position derivation, then the kept
     * token stream re-aggregated in position order and digested. */

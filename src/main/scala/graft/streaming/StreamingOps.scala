@@ -1162,6 +1162,47 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING span-cut cleaner (q220) — q214's exact-substring removal as
+    * corpus INGESTION: arriving documents are cleaned per micro-batch
+    * against the STANDING duplicated-shingle index (vocabulary-sized,
+    * persisted via the fingerprinted-MV discipline — what a crawl pipeline
+    * keeps next to the corpus), the `nearDupStreamWithGrowingIndex`
+    * foreachBatch shape with a parquet sink. Cleaning is per-document given
+    * the index — tokenize, probe, anti-join covered positions, re-collect —
+    * so the emitted relation is IDENTICAL to the batch cleaner under any
+    * arrival order or micro-batch split (spec-pinned across a 2-batch
+    * MemoryStream split); the oracle is q214's batch SQL verbatim.
+    *
+    * Scale shape: per-batch cost is linear in the batch's tokens; the
+    * standing index probe is a (broadcastable) vocabulary-sized equi-join;
+    * no state store at all — the state of this pipeline IS the index, which
+    * refreshes on the MV's source-fingerprint discipline.
+    */
+  def spanCutStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val dup = TextOps.dupShinglesMV(spark, dir).localCheckpoint(true)
+    val out = java.nio.file.Files.createTempDirectory("graft_spancut_stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_spancut")
+    try {
+      val q = docStream(spark, dir).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextOps.spanCutCleanAgainst(batch, dup)
+            .write.mode("append").parquet(out.toString)
+        }
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.read.parquet(out.toString).orderBy("doc_id").localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(out)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   def domainQuotaStreamParity(spark: SparkSession, dir: String,
                               cap: Int = 10): DataFrame = {
     import spark.implicits._

@@ -366,6 +366,46 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("spanCutStream: per-batch cleaning against the standing index equals the batch cleaner under a 2-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a second document shares the quick brown fox phrase entirely"),
+      (3L, "completely unrelated words live here alone")
+    ).toDF("doc_id", "text")
+    val dup = TextOps.dupShinglesFrom(corpus).localCheckpoint(true)
+    val batchResult = TextOps.spanCutCleanAgainst(corpus, dup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5))).toSet
+    // stream the SAME corpus in two micro-batches against the same index
+    val input = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String, Double)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized {
+          buf ++= TextOps.spanCutCleanAgainst(b, dup).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getString(4), r.getDouble(5)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((2L, "a second document shares the quick brown fox phrase entirely"),
+        (3L, "completely unrelated words live here alone"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == batchResult,
+      s"stream split diverged from batch:\n${buf.toSet}\nvs\n$batchResult")
+    // the cleaner genuinely cut the shared phrase and kept the unrelated doc whole
+    val byId = buf.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 > 0 && byId(2L)._3 > 0, "shared 'the quick brown fox' span must be cut in both docs")
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == byId(3L)._2, "unrelated doc must pass through uncut")
+  }
+
   test("nearDupStream: arriving docs matched against the static corpus band index") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
