@@ -2214,7 +2214,13 @@ ORDER BY r.rank DESC, partkey"""
     // (vocabulary-sized, the crawl pipeline's persisted state); identical
     // to the batch cleaner under any batch split, no state store
     "q220_stream_span_cut" -> ((s, dir) =>
-      graft.streaming.StreamingOps.spanCutStreamParity(s, dir))
+      graft.streaming.StreamingOps.spanCutStreamParity(s, dir)),
+
+    // INCREMENTAL INDEX MAINTENANCE: the q220 standing span-cut index
+    // refreshed at delta cost — per-batch shingle dfs are additive under
+    // the whole-document CDC grain; oracle = the full-corpus rebuild
+    "q221_shingle_df_incremental" -> ((s, dir) =>
+      TextOps.shingleDfIncrementalParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5239,6 +5245,9 @@ ORDER BY s.u, s.v""",
 
     // q220's oracle IS q214's batch SQL: per-document cleaning against the
     // full-corpus index makes the stream emission batch-identical
-    "q220_stream_span_cut" -> TextOps.spanCutCleanOracleSql
+    "q220_stream_span_cut" -> TextOps.spanCutCleanOracleSql,
+
+    // q221's oracle is the FULL REBUILD of the shingle-df relation
+    "q221_shingle_df_incremental" -> TextOps.shingleDfIncrementalOracleSql
   )
 }

@@ -1803,6 +1803,59 @@ object TextOps {
       java.nio.file.Paths.get(dir, "documents.parquet"),
       "dup_shingles", refresh)(dupShinglesFrom(Tables.documents(spark, dir)))
 
+  /** UNFILTERED shingle document-frequency relation (sg, df) — the
+    * maintainable form of the q220 standing index ([[dupShinglesFrom]] is
+    * its `df > 1` projection). Vocabulary-sized. */
+  def shingleDfFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sg"))
+      .distinct()
+      .groupBy("sg").agg(count(lit(1)).as("df"))
+
+  /** INCREMENTAL shingle-df index maintenance (q221) — the q127/q217
+    * base ⊎ delta discipline applied to the crawl pipeline's standing
+    * span-cut index: df(sg) counts DISTINCT documents containing sg, and a
+    * document's shingles never span ingestion batches (whole documents are
+    * the CDC grain, ids never re-sent), so per-batch dfs are ADDITIVE —
+    * refreshing the standing index costs one vocabulary-keyed merge of
+    * base ∪ delta-df, never a re-scan of corpus history. This closes the
+    * q220 loop: ingest batch → clean against the index as it stood →
+    * merge the batch's own shingles in at delta cost (the growing-index
+    * shape of `nearDupStreamWithGrowingIndex`, stated as a hash-verifiable
+    * relation instead of a side-effecting sink).
+    */
+  def mergeShingleDfDelta(base: DataFrame, deltaDocs: DataFrame): DataFrame =
+    base.union(shingleDfFrom(deltaDocs))
+      .groupBy("sg").agg(sum(col("df")).as("df"))
+
+  /** Registered q221: deterministic whole-document split (delta = every
+    * 10th doc), base index merged with the delta batch; oracle = the df
+    * relation rebuilt over the full corpus — hash equality proves the
+    * additive maintenance. */
+  def shingleDfIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = shingleDfFrom(docs.filter(col("doc_id") % 10 =!= 0))
+    mergeShingleDfDelta(base, docs.filter(col("doc_id") % 10 === 0))
+      .select(col("sg"), col("df").cast("long").as("df"))
+      .orderBy("sg")
+  }
+
+  /** The q221 oracle: the full rebuild of the shingle-df relation. */
+  def shingleDfIncrementalOracleSql: String = """
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+)
+SELECT sg, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY sg ORDER BY sg"""
+
   /** Span-cut cleaning of `docs` against a GIVEN duplicated-shingle
     * relation — per-document work only (tokenize, probe the index, anti-join
     * covered positions, re-collect), no corpus aggregate: the unit the

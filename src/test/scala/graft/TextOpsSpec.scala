@@ -664,6 +664,25 @@ class TextOpsSpec extends SparkSpecBase {
       "apex public suffixes must be dropped")
   }
 
+  test("mergeShingleDfDelta: incremental index refresh equals the full rebuild for every whole-doc split; df>1 cut matches the q220 index") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sg"), col("df").cast("long")).as[(String, Long)].collect().toSet
+    val full = key(TextOps.shingleDfFrom(docs))
+    assert(full.nonEmpty)
+    for (m <- Seq(3L, 7L, 10L)) {
+      val inc = key(TextOps.mergeShingleDfDelta(
+        TextOps.shingleDfFrom(docs.filter(col("doc_id") % m =!= 0)),
+        docs.filter(col("doc_id") % m === 0)))
+      assert(inc == full, s"split mod $m: incremental df != full rebuild")
+    }
+    // the maintained relation's df>1 projection IS the q220 standing index
+    val dupFromMaintained = full.filter(_._2 > 1).map(_._1)
+    val dupDirect = TextOps.dupShinglesFrom(docs).as[String].collect().toSet
+    assert(dupFromMaintained == dupDirect,
+      "df>1 cut of the maintained index diverged from dupShinglesFrom")
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
