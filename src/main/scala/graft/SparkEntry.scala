@@ -2220,7 +2220,21 @@ ORDER BY r.rank DESC, partkey"""
     // refreshed at delta cost — per-batch shingle dfs are additive under
     // the whole-document CDC grain; oracle = the full-corpus rebuild
     "q221_shingle_df_incremental" -> ((s, dir) =>
-      TextOps.shingleDfIncrementalParity(s, dir))
+      TextOps.shingleDfIncrementalParity(s, dir)),
+
+    // BENCHMARK DECONTAMINATION: the eval-leak REMOVAL step — q214's
+    // span-cut machinery probed with the held-out benchmark source's
+    // shingles (q65 measures the leakage; this cuts it out of the kept
+    // text); benchmark side is distinct-aggregated then broadcast
+    "q222_benchmark_decontam" -> ((s, dir) =>
+      TextOps.benchmarkDecontam(s, dir)),
+
+    // TOKEN-BUDGET SELECTION: quality-ranked corpus prefix under a global
+    // token budget — the q83 two-phase distributed prefix sum over the
+    // (rounded score desc, doc_id) range partitioning, never a
+    // single-partition window
+    "q223_token_budget_select" -> ((s, dir) =>
+      TextOps.tokenBudgetSelect(s, dir, 8000L))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5248,6 +5262,14 @@ ORDER BY s.u, s.v""",
     "q220_stream_span_cut" -> TextOps.spanCutCleanOracleSql,
 
     // q221's oracle is the FULL REBUILD of the shingle-df relation
-    "q221_shingle_df_incremental" -> TextOps.shingleDfIncrementalOracleSql
+    "q221_shingle_df_incremental" -> TextOps.shingleDfIncrementalOracleSql,
+
+    // q214's covered-position derivation, cut set = the benchmark source's
+    // distinct shingles, population = the other sources
+    "q222_benchmark_decontam" -> TextOps.benchmarkDecontamOracleSql(),
+
+    // the q31 score formula + a window cumsum over (score desc, doc_id),
+    // exclusive-prefix cut at the budget
+    "q223_token_budget_select" -> TextOps.tokenBudgetSelectOracleSql(8000L)
   )
 }

@@ -1778,7 +1778,19 @@ object TextOps {
     * be O(doc_len × covered) on a pathological 10k-token document).
     */
   def spanCutClean(spark: SparkSession, dir: String): DataFrame =
-    spanCutCleanFrom(Tables.documents(spark, dir))
+    // Probe the PERSISTED duplicated-shingle index (the same MV the
+    // streaming cleaner q220 probes per batch and q221 maintains at delta
+    // cost) instead of re-deriving it inline: the inline form tokenizes
+    // the corpus TWICE (once for the df aggregate, once for the probe —
+    // Catalyst does not share subtrees across a join) and denies the
+    // planner the index's real size (sink-measured at 100×: 208–217 s
+    // inline vs 67–78 s against the MV at comparable canaries; the index
+    // build amortizes across every cleaner run until the corpus
+    // fingerprint changes). [[spanCutCleanFrom]]
+    // remains the self-contained single-relation form (specs, oracle
+    // parity); both produce the identical relation.
+    spanCutCleanAgainst(Tables.documents(spark, dir), dupShinglesMV(spark, dir))
+      .orderBy("doc_id")
 
   /** The corpus-duplicated 3-gram relation (sg) — q214's cut criterion,
     * factored out as the STANDING INDEX the streaming cleaner (q220) probes
@@ -1929,6 +1941,163 @@ SELECT n.doc_id, n.n_tokens,
        round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio
 FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
 ORDER BY n.doc_id"""
+
+  /** BENCHMARK SPAN DECONTAMINATION (q222) — the eval-leak REMOVAL step of
+    * a pretraining pipeline (GPT-3 appendix C; Lee et al. 2022): spans of
+    * the training corpus that exactly match any shingle of a held-out
+    * benchmark set are cut, keeping the rest of each document. q65 MEASURES
+    * cross-set leakage; this removes it — q214's span-cut machinery probed
+    * with an EXTERNAL cut set (the benchmark's distinct shingles) instead
+    * of the corpus's own duplicated-shingle index. Gate-scale shingles are
+    * the engine-wide 3-gram ([[shingles]]); a production run widens n (13
+    * in GPT-3) by swapping the shingle width — nothing structural changes.
+    *
+    * Scale shape: the benchmark shingle set is BENCHMARK-sized (eval sets
+    * are MBs against a 100 TB corpus), aggregated to distinct shingles
+    * before the probe — a broadcast join that never multiplies; everything
+    * downstream is q214's linear per-document machinery (anti-join +
+    * per-doc re-collect, one doc_id shuffle, no pair space).
+    */
+  def benchmarkDecontam(spark: SparkSession, dir: String,
+                        benchSource: String = "src0"): DataFrame =
+    benchmarkDecontamFrom(Tables.documents(spark, dir), benchSource)
+
+  def benchmarkDecontamFrom(docs: DataFrame, benchSource: String): DataFrame = {
+    val benchSgs = docs.filter(col("source") === benchSource)
+      .select(explode(shingles(tokens(col("text")))).as("sg")).distinct()
+    spanCutCleanAgainst(docs.filter(col("source") =!= benchSource), benchSgs)
+      .orderBy("doc_id")
+  }
+
+  /** The q222 oracle: the q214 covered-position derivation with the cut
+    * set swapped to the benchmark source's distinct shingles and the
+    * cleaned population restricted to the non-benchmark sources. */
+  def benchmarkDecontamOracleSql(benchSource: String = "src0"): String = s"""
+WITH d AS (
+  SELECT doc_id, source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, source, string_split(norm, ' ') AS toks FROM d
+), bsh AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE source = '$benchSource' AND len(toks) >= 3)
+), tt AS (
+  SELECT doc_id, toks FROM t WHERE source <> '$benchSource'
+), n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tt
+), sh AS (
+  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM tt WHERE len(toks) >= 3)
+), cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 3)) AS cp
+        FROM sh s JOIN bsh USING (sg))
+), tp AS (
+  SELECT doc_id, i, toks[i] AS tk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tt)
+), kept AS (
+  SELECT tp.doc_id, count(*) AS n_kept,
+         string_agg(tp.tk, ' ' ORDER BY tp.i) AS kept_text
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.i
+  WHERE cov.cp IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.kept_text, '')) AS kept_digest,
+       round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio
+FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
+ORDER BY n.doc_id"""
+
+  /** TOKEN-BUDGET CORPUS SELECTION (q223) — "take the best documents until
+    * the budget is spent": every document ranked by the q31 composite
+    * quality score (rounded to 6, ties by doc_id — the rounding makes the
+    * ORDER itself engine-portable), kept while the EXCLUSIVE cumulative
+    * token count is below `budget` (the straddling document is kept, its
+    * successors dropped — the same boundary contract as q83's packing).
+    * This is the FineWeb-Edu-style curation step: a quality model scores
+    * the corpus, the training set is the best slice that fits the compute
+    * budget.
+    *
+    * Scale shape: the global quality ordering is a RANGE partition on
+    * (score desc, doc_id) and the cumulative count is the q83 two-phase
+    * distributed prefix sum (one #partitions-row driver aggregate,
+    * broadcast exclusive prefixes, one streaming pass) — NEVER a
+    * single-partition window, which would serialize 100 TB through one
+    * task. Scoring is one codegen'd projection over the corpus.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+                        budget: Long): DataFrame =
+    tokenBudgetSelectFrom(Tables.documents(spark, dir), budget)
+
+  def tokenBudgetSelectFrom(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      // coalesce pins the (degenerate) empty-document score to 0.0 so the
+      // ordering never depends on engine NULL-placement conventions
+      coalesce(rd(qualityScore(col("text")), 6), lit(0.0)).as("q"))
+    val parted = scored
+      .repartitionByRange(col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("doc_id"))
+      .localCheckpoint(true)
+    val totals = parted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefixes = totals.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) => (pid, acc + totals(pid)) }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => pid -> acc }.toMap
+    val bc = spark.sparkContext.broadcast(prefixes)
+    parted.select(col("doc_id"), col("n_tokens"), col("q")).as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var running = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, n, q) =>
+          val off = running
+          running += n
+          (id, n, q, off)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "quality_score", "tokens_before")
+      .filter(col("tokens_before") < budget)
+      .orderBy("doc_id")
+  }
+
+  /** The q223 oracle: the q31 score formula, a window cumulative sum over
+    * the (score desc, doc_id) order, exclusive-prefix cut at the budget. */
+  def tokenBudgetSelectOracleSql(budget: Long): String = s"""
+WITH d AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\\b(the|a|and|of|to|in|is)\\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), s AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      + (1.0 - CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0)) * 0.3
+      + least(1.0, CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) * 5.0) * 0.3, 6) + 0,
+      0.0) AS q
+  FROM m
+), c AS (
+  SELECT doc_id, n_tokens, q,
+         COALESCE(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM s
+)
+SELECT doc_id, n_tokens, q AS quality_score,
+       CAST(tokens_before AS BIGINT) AS tokens_before
+FROM c WHERE tokens_before < $budget ORDER BY doc_id"""
 
   /** BM25 retrieval scoring (Robertson/Sparck Jones, the Okapi form with
     * k1 = 1.2, b = 0.75) of the corpus against a fixed query-term set — the

@@ -1180,7 +1180,19 @@ object StreamingOps {
     */
   def spanCutStreamParity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextOps
-    val dup = TextOps.dupShinglesMV(spark, dir).localCheckpoint(true)
+    // Deliberately NOT localCheckpoint'ed: inside a streaming foreachBatch
+    // AQE is OFF, so the probe join's broadcast decision rests on STATIC
+    // stats — the parquet-backed MV carries real sizeInBytes and the
+    // vocabulary-sized index broadcasts, where a LogicalRDD from
+    // localCheckpoint defaults to "huge" and forces a sort-merge join that
+    // shuffles the full shingle-position stream every batch. (At the gate
+    // corpus the measured effect is small — the covered-position distinct
+    // and per-doc re-collect dominate — but at 100 TB the per-batch
+    // token-volume shuffle is the difference between a map-side probe and
+    // a full extra shuffle stage.) If the dup vocabulary ever outgrew the
+    // broadcast threshold the planner degrades to a shuffle join instead
+    // of OOMing the executors.
+    val dup = TextOps.dupShinglesMV(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("graft_spancut_stream_out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_spancut")
     try {

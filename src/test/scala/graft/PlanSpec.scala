@@ -386,4 +386,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"cell pair join is not a keyed equi-join:\n$plan")
   }
+
+  test("q222 decontam: benchmark shingle probe is a broadcast equi-join; no cartesian, no NLJ") {
+    val df = SparkEntry.queries("q222_benchmark_decontam")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontam probe degenerated to a product join:\n$plan")
+    // the benchmark-sized distinct-shingle side must build-broadcast (the
+    // 100 TB contract: eval sets are MBs — a map-side probe, never a
+    // token-volume shuffle for the cut-set match)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle probe is not broadcast:\n$plan")
+  }
+
+  test("q223 token budget: global cumsum is the range-partitioned prefix sum, never a single-partition window") {
+    val df = SparkEntry.queries("q223_token_budget_select")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"budget cumsum fell back to a window (single-partition at 100 TB):\n$plan")
+    // the offsets ride a mapPartitions over the range-partitioned,
+    // localCheckpoint-materialized ordering (lineage is deliberately cut
+    // there — the checkpoint freezes the sampled range bounds, q83
+    // discipline), so the outer plan reads from an ExistingRDD scan
+    assert(plan.contains("ExistingRDD"),
+      s"selection does not read the materialized prefix-sum relation:\n$plan")
+  }
 }

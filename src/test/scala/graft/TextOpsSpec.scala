@@ -683,6 +683,55 @@ class TextOpsSpec extends SparkSpecBase {
       "df>1 cut of the maintained index diverged from dupShinglesFrom")
   }
 
+  test("benchmarkDecontam: exact copy fully cut, partial overlap keeps only the uncovered suffix, disjoint docs untouched, benchmark excluded") {
+    // bench source "book" = doc 4, an exact copy of doc 1's text
+    val out = TextOps.benchmarkDecontamFrom(docs, "book")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 5L), "benchmark doc must be excluded")
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1 text == benchmark text: every position covered -> nothing kept
+    assert(byId(1L)._3 == 0L && byId(1L)._4 ==
+      java.security.MessageDigest.getInstance("MD5").digest("".getBytes)
+        .map("%02x".format(_)).mkString)
+    // doc 2 shares the 8-token prefix; only the final "cat" survives
+    assert(byId(2L)._3 == 1L)
+    assert(byId(2L)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest("cat".getBytes).map("%02x".format(_)).mkString)
+    // disjoint docs keep every token
+    assert(byId(3L)._3 == byId(3L)._2 && byId(5L)._3 == byId(5L)._2)
+  }
+
+  test("tokenBudgetSelect: kept set equals the local quality-prefix scan; exclusive-prefix boundary; budget monotone") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    // the operator's own scoring projection, recomputed for the local model
+    val scored = corpus.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long"),
+        coalesce(graft.functions.Fx.rd(TextOps.qualityScore(col("text")), 6), lit(0.0)))
+      .as[(Long, Long, Double)].collect().sortBy { case (id, _, q) => (-q, id) }
+    val total = scored.map(_._2).sum
+    val budget = total / 2
+    val expected = scored.scanLeft((0L, 0L, 0.0, 0L)) {
+      case ((_, _, _, acc), (id, n, q)) => (id, n, q, acc + n)
+    }.tail.map { case (id, n, q, cumIncl) => (id, n, q, cumIncl - n) }
+      .filter(_._4 < budget).sortBy(_._1).toSeq
+    val got = TextOps.tokenBudgetSelectFrom(corpus, budget)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == expected, s"distributed selection != local prefix scan")
+    assert(got.nonEmpty && got.size < scored.length, "budget must actually cut")
+    // the straddling doc is kept (its exclusive prefix < budget) and the
+    // kept token mass reaches at least the budget
+    assert(got.map(_._2).sum >= budget)
+    // monotonicity: a bigger budget keeps a superset
+    val small = TextOps.tokenBudgetSelectFrom(corpus, budget / 2)
+      .as[(Long, Long, Double, Long)].collect().map(_._1).toSet
+    assert(small.subsetOf(got.map(_._1).toSet))
+    // budget 1 keeps exactly the single best-ranked document
+    val one = TextOps.tokenBudgetSelectFrom(corpus, 1L)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(one.length == 1 && one.head._1 == scored.head._1 && one.head._4 == 0L)
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
