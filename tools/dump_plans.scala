@@ -46,7 +46,10 @@ val picks = Seq(
   ("q216_url_domain_quota", "eTLD+1 quota: pure string expressions (host extract + suffix rule) feeding the same k-heap aggregate as q213"),
   ("q217_sym_incremental", "incremental sym maintenance: indicator-carrying merge aggregate (one (u,v) shuffle of base ∪ sym-delta), node-sized degree adjustment, node-keyed join — no source self-join"),
   ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
-  ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"))
+  ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"),
+  ("q221_shingle_df_incremental", "incremental shingle-df: base ∪ delta-df merged by ONE vocabulary-keyed sum aggregate — delta tokenize only, no corpus-history re-scan"),
+  ("q222_benchmark_decontam", "benchmark decontamination: benchmark-sized distinct-shingle cut set BROADCAST into the probe, then q214's anti-join + per-doc re-collect — no product join"),
+  ("q223_token_budget_select", "token-budget selection: range-partitioned (score, id) ordering materialized once, two-phase prefix sum via mapPartitions — NO single-partition window"))
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of flagship queries (sf0.01, local)\n\n")
 sb.append("Auto-generated by `tools/dump_plans.scala` (spark-shell -I). What to look\n")
