@@ -2234,7 +2234,28 @@ ORDER BY r.rank DESC, partkey"""
     // (rounded score desc, doc_id) range partitioning, never a
     // single-partition window
     "q223_token_budget_select" -> ((s, dir) =>
-      TextOps.tokenBudgetSelect(s, dir, 8000L))
+      TextOps.tokenBudgetSelect(s, dir, 8000L)),
+
+    // LEAKAGE-SAFE SPLIT: train/val/test assignment keyed on the near-dup
+    // CLUSTER REP (q74's relation) so no duplicate cluster straddles the
+    // train/test boundary; singletons degenerate to the q59 per-doc rule
+    "q224_leak_safe_split" -> ((s, dir) =>
+      TextOps.leakSafeSplit(s, dir, 0.5)),
+
+    // MIXTURE-BUDGET EXECUTION: q89's temperature-scaled weights turned
+    // into per-source token budgets (integer micro-weight arithmetic),
+    // each source selected by the q223 quality-ranked exclusive-prefix
+    // rule via the SEGMENTED two-phase prefix sum — never a per-source
+    // window
+    "q225_mixture_budget_select" -> ((s, dir) =>
+      TextOps.mixtureBudgetSelect(s, dir, 8000L)),
+
+    // CHUNK-LEVEL DEDUP CLEANER: q92's content-defined chunks turned from
+    // census into cleaning — per doc, drop every chunk whose digest occurs
+    // in more than dfLimit documents, reassemble the survivors in order
+    // (q214's cleaner contract at CDC granularity)
+    "q226_chunk_dedup_clean" -> ((s, dir) =>
+      TextOps.chunkDedupClean(s, dir, 1L))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5270,6 +5291,17 @@ ORDER BY s.u, s.v""",
 
     // the q31 score formula + a window cumsum over (score desc, doc_id),
     // exclusive-prefix cut at the budget
-    "q223_token_budget_select" -> TextOps.tokenBudgetSelectOracleSql(8000L)
+    "q223_token_budget_select" -> TextOps.tokenBudgetSelectOracleSql(8000L),
+
+    // the q74 recursive-CTE cluster closure + the q59 md5-bucket rule on
+    // coalesce(cluster_rep, doc_id)
+    "q224_leak_safe_split" -> TextOps.leakSafeSplitOracleSql(MinhashPairsCtes),
+
+    // the q89 weight chain → integer per-source budgets, the q31 score
+    // formula, per-source window cumsum, exclusive-prefix cut per budget
+    "q225_mixture_budget_select" -> TextOps.mixtureBudgetSelectOracleSql(8000L),
+
+    // q92's chunking CTE + digest df + ordered kept-chunk reassembly
+    "q226_chunk_dedup_clean" -> TextOps.chunkDedupCleanOracleSql(1L)
   )
 }

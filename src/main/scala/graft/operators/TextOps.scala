@@ -2099,6 +2099,290 @@ SELECT doc_id, n_tokens, q AS quality_score,
        CAST(tokens_before AS BIGINT) AS tokens_before
 FROM c WHERE tokens_before < $budget ORDER BY doc_id"""
 
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (q224) — the holdout-construction
+    * guard every evaluation pipeline needs: a plain per-document hash split
+    * ([[splitAssign]], q59) puts two near-duplicate documents on OPPOSITE
+    * sides of the train/test boundary with probability 2·p·(1−p) — the
+    * test set then "evaluates" memorized training text (the leakage q65
+    * measures post-hoc). This operator keys the split on the NEAR-DUP
+    * CLUSTER representative instead of the document: every member of a
+    * cluster ([[nearDupClusters]], the q74 relation) inherits its rep's
+    * bucket, so no cluster ever straddles a split; singleton documents key
+    * on themselves, which degenerates to exactly the q59 rule. Membership
+    * stays a pure function of (content-cluster, hash) — stable across runs
+    * and corpus growth, no RNG state.
+    *
+    * Scale shape: the cluster relation is bounded by clustered docs (a
+    * small fraction of a deduplicated corpus) and joins the doc census by
+    * doc_id — one keyed equi-join, broadcastable when small; the bucket
+    * assignment is a narrow no-shuffle projection. The CC cost is q74's,
+    * amortized if the cluster relation is maintained as corpus state.
+    */
+  def leakSafeSplit(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    pTrain: Int = 90, pVal: Int = 5): DataFrame =
+    leakSafeSplitKeyed(Tables.documents(spark, dir),
+      nearDupClusters(spark, dir, threshold), pTrain, pVal)
+
+  /** Twin over explicit relations (specs / pipeline stages): `clusters` is
+    * any (doc_id, cluster_rep) relation; docs absent from it are singletons. */
+  def leakSafeSplitKeyed(docs: DataFrame, clusters: DataFrame,
+                         pTrain: Int = 90, pVal: Int = 5): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("split_key"))
+    val b = hashBucket(col("split_key"), 100)
+    keyed
+      .withColumn("split",
+        when(b < pTrain, "train").when(b < pTrain + pVal, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** The q224 oracle: the q74 recursive-CTE closure for cluster reps, then
+    * the q59 md5-bucket rule applied to coalesce(rep, doc_id). */
+  def leakSafeSplitOracleSql(pairsCtes: String): String =
+    "WITH RECURSIVE " + pairsCtes + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), clusters AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep FROM reach GROUP BY a
+), keys AS (
+  SELECT doc.doc_id, COALESCE(c.cluster_rep, doc.doc_id) AS split_key
+  FROM documents doc LEFT JOIN clusters c ON doc.doc_id = c.doc_id
+), bk AS (
+  SELECT doc_id, split_key,
+         CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+  FROM keys
+)
+SELECT doc_id, split_key,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM bk ORDER BY doc_id"""
+
+  /** MIXTURE-WEIGHT BUDGET EXECUTION (q225) — the step that turns q89's
+    * temperature-scaled mixture WEIGHTS into an actual training corpus
+    * (the DoReMi / data-mixing discipline): the global token budget is
+    * apportioned per source as floor(weight × budget) — computed in integer
+    * micro-weight arithmetic (round(weight·10⁶) recovers the exact integer
+    * from the 6-decimal weight, then (micro × budget) div 10⁶) so both
+    * engines agree at exact boundaries — and within each source the q223
+    * rule applies: documents ranked by the rounded q31 quality composite
+    * (ties by doc_id), kept while the EXCLUSIVE within-source cumulative
+    * token count is under the source's budget (straddler kept; a
+    * zero-budget source keeps nothing).
+    *
+    * Scale shape: the q223 two-phase prefix sum GENERALIZED to segmented
+    * keys — one range partition on (source, score desc, doc_id), segment
+    * totals per (partition, source) (a #partitions × #sources driver
+    * relation), per-source exclusive prefixes broadcast back, one streaming
+    * pass. The budgets relation is sources-sized and broadcast. NEVER a
+    * per-source window (few sources ⇒ the window serializes the corpus
+    * through #sources tasks at 100 TB).
+    */
+  def mixtureBudgetSelect(spark: SparkSession, dir: String,
+                          budget: Long): DataFrame =
+    mixtureBudgetSelectFrom(Tables.documents(spark, dir), budget)
+
+  def mixtureBudgetSelectFrom(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = mixtureWeightsFrom(docs).selectExpr("source",
+      s"CAST((CAST(round(weight * 1000000) AS BIGINT) * CAST($budget AS BIGINT))" +
+        " DIV 1000000 AS BIGINT) AS source_budget")
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      coalesce(rd(qualityScore(col("text")), 6), lit(0.0)).as("q"))
+    val parted = scored
+      .repartitionByRange(col("source"), col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("source"), col("q").desc, col("doc_id"))
+      .localCheckpoint(true)
+    val totals = parted
+      .groupBy(spark_partition_id().as("pid"), col("source"))
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val prefixes: Map[(Int, String), Long] = totals.keys.groupBy(_._2)
+      .flatMap { case (src, ks) =>
+        val pids = ks.map(_._1).toSeq.sorted
+        pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals((pid, src))).init)
+          .map { case (pid, off) => (pid, src) -> off }
+      }
+    val bc = spark.sparkContext.broadcast(prefixes)
+    parted.select(col("doc_id"), col("source"), col("n_tokens"), col("q"))
+      .as[(Long, String, Long, Double)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // rows are sorted by (source, …) within the partition, so each
+        // source is one contiguous run — reseed the running offset at the
+        // source boundary from the broadcast segment prefix
+        var cur: String = null
+        var running = 0L
+        it.map { case (id, src, n, q) =>
+          if (src != cur) { cur = src; running = bc.value.getOrElse((pid, src), 0L) }
+          val off = running
+          running += n
+          (id, src, n, q, off)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "quality_score", "tokens_before")
+      .join(broadcast(budgets), "source")
+      .filter(col("tokens_before") < col("source_budget"))
+      .select("doc_id", "source", "n_tokens", "quality_score",
+        "tokens_before", "source_budget")
+      .orderBy("doc_id")
+  }
+
+  /** The q225 oracle: the q89 weight chain to integer per-source budgets,
+    * the q31 score formula, a per-source window cumsum, exclusive-prefix
+    * cut at each source's budget. */
+  def mixtureBudgetSelectOracleSql(budget: Long): String = s"""
+WITH d AS (
+  SELECT doc_id, source, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\\s]+', 0)) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS alnum_space,
+    CAST(len(regexp_extract_all(norm, '\\b(the|a|and|of|to|in|is)\\b', 0)) AS BIGINT) AS stop_hits
+  FROM d
+), s AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      + (1.0 - CAST(n_chars - alnum_space AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0)) * 0.3
+      + least(1.0, CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) * 5.0) * 0.3, 6) + 0,
+      0.0) AS q
+  FROM m
+), per AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM s GROUP BY source
+), t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS tot FROM per),
+w AS (
+  SELECT source, sqrt(CAST(src_tokens AS DOUBLE) / tot) AS wr FROM per CROSS JOIN t
+), z AS (SELECT sum(wr) AS z FROM w),
+bud AS (
+  SELECT source,
+         CAST((CAST(round(round(wr / z, 6) * 1000000) AS BIGINT) * $budget) // 1000000 AS BIGINT) AS source_budget
+  FROM w CROSS JOIN z
+), c AS (
+  SELECT doc_id, source, n_tokens, q,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM s
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.q AS quality_score,
+       CAST(c.tokens_before AS BIGINT) AS tokens_before, b.source_budget
+FROM c JOIN bud b ON c.source = b.source
+WHERE c.tokens_before < b.source_budget ORDER BY c.doc_id"""
+
+  /** CHUNK-LEVEL DEDUP CLEANER (q226) — the storage-dedup discipline
+    * ([[cdcChunkProfile]], q92) applied as CORPUS CLEANING: q92 only
+    * CENSUSES duplicated content-defined chunks; this drops, per document,
+    * every chunk whose digest occurs in more than `dfLimit` documents and
+    * reassembles the survivors in order — cross-document boilerplate and
+    * mirrored passages removed at CDC granularity. Because boundaries are a
+    * pure function of LOCAL content, a shared passage chunks identically in
+    * every document that contains it regardless of offset, so the df
+    * criterion catches shifted duplicates that fixed blocks would miss —
+    * the same reason q214's shingle spans do, at a coarser (and far
+    * cheaper: ~len/16 chunks vs len shingle positions) granularity.
+    * Output mirrors q214's cleaner contract: per-doc census + md5 digest
+    * of the reassembled kept text + cut ratio.
+    *
+    * Scale shape: chunking is per-row array expressions (no per-char
+    * explosion); only the ~len/16 chunks explode. df is one hash
+    * aggregation keyed by chunk digest (bounded by the DISTINCT chunk
+    * vocabulary); the digest join is a keyed equi-join; reassembly is the
+    * q214 per-doc re-collect — one doc_id shuffle, no pair space.
+    */
+  def chunkDedupClean(spark: SparkSession, dir: String,
+                      dfLimit: Long = 1L): DataFrame =
+    chunkDedupCleanFrom(Tables.documents(spark, dir), dfLimit)
+
+  def chunkDedupCleanFrom(docs: DataFrame, dfLimit: Long): DataFrame = {
+    val L = length(col("norm"))
+    // identical boundary rule to [[cdcChunkProfileFrom]] (md5 nibble-0 on
+    // the 8-char window STARTING at i, expected ~16-char chunks); docs
+    // shorter than 9 chars are a single chunk — the cleaner keeps every
+    // doc, unlike the census's >= 8 cut
+    val bounds = concat(
+      array(lit(1)),
+      when(L >= 9,
+        filter(sequence(lit(2), L - 7),
+          i => md5(col("norm").substr(i, lit(8))).startsWith("0")))
+        .otherwise(array().cast("array<int>")))
+    val chunks = docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 1)
+      .withColumn("bs", bounds)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("bs"))), j =>
+          col("norm").substr(
+            element_at(col("bs"), j),
+            when(j < size(col("bs")), element_at(col("bs"), j + 1) - element_at(col("bs"), j))
+              .otherwise(L - element_at(col("bs"), j) + 1)))))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+        md5(col("col")).as("dg"))
+    val dfRel = chunks.select(col("doc_id"), col("dg")).distinct()
+      .groupBy("dg").agg(count(lit(1)).as("df"))
+    chunks.join(dfRel, "dg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") <= dfLimit, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("",
+          transform(
+            sort_array(collect_list(
+              when(col("df") <= dfLimit, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")))).as("kept_digest"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_digest"),
+        rd((col("n_chunks") - col("n_kept")).cast("double") / col("n_chunks"), 6)
+          .as("cut_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The q226 oracle: q92's chunking CTE extended with per-doc positions,
+    * digest df, and the ordered kept-chunk reassembly. */
+  def chunkDedupCleanOracleSql(dfLimit: Long = 1L): String = s"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), b AS (
+  SELECT doc_id, norm,
+         list_prepend(1, CASE WHEN length(norm) >= 9
+           THEN list_filter(range(2, length(norm) - 6),
+                            i -> substr(md5(substr(norm, i, 8)), 1, 1) = '0')
+           ELSE [] END) AS bs
+  FROM d WHERE length(norm) >= 1
+), c AS (
+  SELECT doc_id,
+         unnest(range(1, len(bs) + 1)) AS pos,
+         unnest(list_transform(range(1, len(bs) + 1), j ->
+           substr(norm, bs[j],
+                  CASE WHEN j < len(bs) THEN bs[j + 1] - bs[j]
+                       ELSE length(norm) - bs[j] + 1 END))) AS chunk
+  FROM b
+), g AS (
+  SELECT doc_id, pos, chunk, md5(chunk) AS dg FROM c
+), f AS (
+  SELECT dg, count(DISTINCT doc_id) AS df FROM g GROUP BY dg
+), k AS (
+  SELECT g.doc_id, g.pos, g.chunk, f.df FROM g JOIN f USING (dg)
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN df <= $dfLimit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN df <= $dfLimit THEN chunk END, ''
+                               ORDER BY pos), '')) AS kept_digest,
+       round(CAST(count(*) - sum(CASE WHEN df <= $dfLimit THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) + 0 AS cut_ratio
+FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 retrieval scoring (Robertson/Sparck Jones, the Okapi form with
     * k1 = 1.2, b = 0.75) of the corpus against a fixed query-term set — the
     * ranking step of a retrieval-augmented pipeline over the training corpus.

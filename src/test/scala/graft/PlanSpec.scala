@@ -414,4 +414,41 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("ExistingRDD"),
       s"selection does not read the materialized prefix-sum relation:\n$plan")
   }
+
+  test("q224 leak split: cluster-key join stays keyed; no cartesian, no NLJ") {
+    val df = SparkEntry.queries("q224_leak_safe_split")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"split keying degenerated to a product join:\n$plan")
+  }
+
+  test("q225 mixture budget: segmented prefix sum — no per-source window; budgets broadcast onto the selection") {
+    val df = SparkEntry.queries("q225_mixture_budget_select")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a per-source window serializes the corpus through #sources tasks at
+    // 100 TB — the segmented two-phase prefix sum replaces it
+    assert(!plan.contains("Window"),
+      s"per-source cumsum fell back to a window:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"selection does not read the materialized prefix-sum relation:\n$plan")
+    // the sources-sized budget relation must broadcast into the final join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget join is not broadcast:\n$plan")
+  }
+
+  test("q226 chunk dedup clean: digest-df join stays keyed; no cartesian, no NLJ, no window") {
+    val df = SparkEntry.queries("q226_chunk_dedup_clean")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"digest df join degenerated to a product join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"reassembly fell back to a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"digest df join is not a keyed equi-join:\n$plan")
+  }
 }

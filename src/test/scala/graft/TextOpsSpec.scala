@@ -732,6 +732,104 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one.length == 1 && one.head._1 == scored.head._1 && one.head._4 == 0L)
   }
 
+  test("leakSafeSplitKeyed: cluster members inherit the rep's split, singletons reduce to the q59 per-doc rule, every doc present") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L)).toDF("doc_id", "cluster_rep")
+    val out = TextOps.leakSafeSplitKeyed(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // every cluster member keys on the rep -> one shared split
+    assert(Seq(1L, 2L, 4L).map(byId(_)._2).forall(_ == 1L))
+    assert(Seq(1L, 2L, 4L).map(byId(_)._3).distinct.size == 1)
+    // singletons key on themselves — exactly splitAssign's bucket — and the
+    // cluster's shared split is the q59 rule evaluated AT the rep
+    val q59 = TextOps.splitAssign(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(3L)._3 == q59(3L) && byId(5L)._3 == q59(5L))
+    assert(byId(2L)._3 == q59(1L) && byId(4L)._3 == q59(1L))
+  }
+
+  test("leakSafeSplit end-to-end: no verified near-dup cluster straddles a split boundary") {
+    val splits = TextOps.leakSafeSplit(spark, sf, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clusters = TextOps.nearDupClusters(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture corpus must actually have near-dup clusters")
+    clusters.groupBy(_._2).foreach { case (rep, ms) =>
+      assert(ms.map(m => splits(m._1)).distinct.size == 1,
+        s"cluster rep=$rep straddles splits: ${ms.toSeq}")
+    }
+  }
+
+  test("mixtureBudgetSelect: distributed == local per-source prefix scan; integer budget rule; smaller budget keeps a subset") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val scored = corpus.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0))).cast("long"),
+        coalesce(graft.functions.Fx.rd(TextOps.qualityScore(col("text")), 6), lit(0.0)))
+      .as[(Long, String, Long, Double)].collect()
+    val budget = scored.map(_._3).sum / 2
+    // local model: the q89 weight chain -> integer micro-weight budgets
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = scored.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tot = per.values.sum.toDouble
+    val wr = per.view.mapValues(v => math.sqrt(v / tot)).toMap
+    val z = wr.values.sum
+    val budgets = wr.map { case (s, w) =>
+      s -> math.round(rd6(w / z) * 1e6) * budget / 1000000L
+    }
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, _, q) => (-q, id) }
+      ordered.scanLeft(0L)((acc, r) => acc + r._3).zip(ordered)
+        .filter { case (off, _) => off < budgets(src) }
+        .map { case (off, (id, s2, n, q)) => (id, s2, n, q, off, budgets(s2)) }
+    }.sortBy(_._1)
+    val got = TextOps.mixtureBudgetSelectFrom(corpus, budget)
+      .as[(Long, String, Long, Double, Long, Long)].collect().toSeq
+    assert(got == expected, "distributed selection != local per-source prefix scan")
+    assert(got.nonEmpty && got.size < scored.length, "budgets must actually cut")
+    // floor is monotone in the global budget -> smaller budget keeps a subset
+    val small = TextOps.mixtureBudgetSelectFrom(corpus, budget / 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(small.subsetOf(got.map(_._1).toSet))
+  }
+
+  test("chunkDedupClean: matches a local reference model; identical docs fully cut each other") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // reference chunking: identical boundary rule (1-based positions; md5
+    // nibble-0 on the 8-char window starting at i, i in [2, L-7])
+    def chunksOf(norm: String): Seq[String] = {
+      val L = norm.length
+      val bs = 1 +: (if (L >= 9)
+        (2 to L - 7).filter(i => md5hex(norm.substring(i - 1, i + 7)).startsWith("0"))
+      else Seq.empty[Int])
+      bs.zipWithIndex.map { case (b, j) =>
+        val end = if (j < bs.length - 1) bs(j + 1) else L + 1
+        norm.substring(b - 1, end - 1)
+      }
+    }
+    val norms = docs.select(col("doc_id"), TextOps.normText(col("text")))
+      .as[(Long, String)].collect().toMap
+    val chunkMap = norms.view.mapValues(chunksOf).toMap
+    val dfOf = chunkMap.toSeq.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = chunkMap.map { case (id, cs) =>
+      val kept = cs.filter(c => dfOf(c) <= 1)
+      id -> ((cs.length.toLong, kept.length.toLong, md5hex(kept.mkString(""))))
+    }
+    val out = TextOps.chunkDedupCleanFrom(docs, 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expected, s"operator disagrees with the reference model:\n$out\nvs\n$expected")
+    // the structural guarantee: byte-identical docs 1 and 4 cut each other
+    // completely (every chunk of one exists in the other -> df >= 2)
+    assert(out(1L)._2 == 0L && out(1L)._3 == md5hex(""))
+    assert(out(4L)._2 == 0L && out(4L)._3 == md5hex(""))
+    // and something must actually survive somewhere or the test is vacuous
+    assert(out.values.exists(_._2 > 0L))
+  }
+
   test("bm25: two-term match with the rare term outranks single-term matches; scores positive; ranks dense") {
     val out = TextOps.bm25TopDocsFrom(docs, Seq("fox", "cat"), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
