@@ -2255,7 +2255,29 @@ ORDER BY r.rank DESC, partkey"""
     // in more than dfLimit documents, reassemble the survivors in order
     // (q214's cleaner contract at CDC granularity)
     "q226_chunk_dedup_clean" -> ((s, dir) =>
-      TextOps.chunkDedupClean(s, dir, 1L))
+      TextOps.chunkDedupClean(s, dir, 1L)),
+
+    // STREAMING MIXTURE-BUDGET ADMISSION: q225's per-source token budgets
+    // as keyed streaming state — the admitted set is maintained by
+    // insert-then-retrim (a displaced doc is out FOREVER because exclusive
+    // prefixes only grow), so the final state equals the batch selection
+    // under any arrival order; budgets decided offline, admission online
+    "q227_stream_mixture_budget" -> ((s, dir) =>
+      graft.streaming.StreamingOps.mixtureBudgetStreamParity(s, dir, 8000L)),
+
+    // SHARD NOVELTY CURVE: per ingestion shard, distinct vs FIRST-SEEN
+    // shingles + running vocabulary — the diminishing-returns curve that
+    // tells a crawl when more data stops adding content; two
+    // vocabulary-keyed aggregates, window only over the nShards-row result
+    "q228_novelty_curve" -> ((s, dir) =>
+      TextOps.noveltyCurve(s, dir, 10)),
+
+    // CELL SILHOUETTE: pair-free (centroid-simplified) silhouette over the
+    // q90 k-means cells — the clustering-quality diagnostic for the
+    // SemDeDup/IVF k and nProbe knobs; ranks 1+2 of the assignment's own
+    // broadcast cellRank pass ARE (a, b), one hash aggregate to k rows
+    "q229_cell_silhouette" -> ((s, dir) =>
+      Similarity.cellSilhouette(Tables.embeddings(s, dir), 8, 3))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5302,6 +5324,39 @@ ORDER BY s.u, s.v""",
     "q225_mixture_budget_select" -> TextOps.mixtureBudgetSelectOracleSql(8000L),
 
     // q92's chunking CTE + digest df + ordered kept-chunk reassembly
-    "q226_chunk_dedup_clean" -> TextOps.chunkDedupCleanOracleSql(1L)
+    "q226_chunk_dedup_clean" -> TextOps.chunkDedupCleanOracleSql(1L),
+
+    // the streaming admission ends state-identical to the batch selection,
+    // so the oracle IS q225's batch SQL verbatim
+    "q227_stream_mixture_budget" -> TextOps.mixtureBudgetSelectOracleSql(8000L),
+
+    // q75's shingle CTEs + the q59 md5-bucket shard rule, min-shard
+    // first-occurrence, cumulative window over the 10-row shard axis
+    "q228_novelty_curve" -> TextOps.noveltyCurveOracleSql(10),
+
+    // the q90 Lloyd replay, then per-vector ranks 1+2 of the raw-cosine
+    // centroid order; silhouette arithmetic on 6-decimal ROUNDED sims
+    "q229_cell_silhouette" -> s"""
+$KmeansCellsCtes, r AS (
+  SELECT e.vec_id, c.cell,
+         round(${cosSql("e.v", "c.cvec")}, 6) + 0 AS csim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM e CROSS JOIN cents3 c
+), sil AS (
+  SELECT r1.vec_id, r1.cell,
+         round((r1.csim - r2.csim)
+               / nullif(greatest(1 - r1.csim, 1 - r2.csim), 0), 6) + 0 AS s
+  -- LEFT join: with a single centroid (k = 1) there is no rank-2 row and
+  -- the silhouette is NULL, but the vector still counts — matching the
+  -- engine's element_at(t, 2) → NULL semantics
+  FROM r r1 LEFT JOIN r r2 ON r1.vec_id = r2.vec_id AND r2.crk = 2
+  WHERE r1.crk = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+       round(avg(s), 6) + 0 AS mean_sil,
+       round(min(s), 6) + 0 AS min_sil,
+       round(max(s), 6) + 0 AS max_sil
+FROM sil GROUP BY cell ORDER BY cell"""
   )
 }

@@ -180,6 +180,98 @@ object JaroWinkler {
   }
 }
 
+/** Content-defined-chunk boundary positions as ONE native codegen'd pass —
+  * the hot inner loop of the CDC family (q92 census, q226 cleaner).
+  *
+  * Contract (bit-identical to the declarative form it replaces, which the
+  * DuckDB oracles replay):
+  *
+  *   concat(array(1),
+  *          filter(sequence(2, L - 7),
+  *                 i => md5(substr(norm, i, 8)).startsWith("0")))
+  *
+  * i.e. position 1 plus every 1-based char position i ∈ [2, L−7] whose
+  * 8-char window digest has first hex nibble 0 (P = 1/16 ⇒ ~16-char
+  * expected chunks); L < 9 yields just [1]. The md5-of-window rule itself
+  * is unchanged — this is an EXECUTION rewrite, not a semantics change, so
+  * every gate stays hash-exact.
+  *
+  * Why: the higher-order filter evaluates an interpreted lambda per
+  * CHARACTER POSITION — md5 expression eval, UTF8String slice, 32-char hex
+  * encode, prefix compare, per position, outside whole-stage codegen. At
+  * 100× that is ~5·10⁸ interpreted digests and it DOMINATED q226 (the
+  * round-13 sweep finding). Here the whole scan is one reference-object
+  * call: a thread-local reused MessageDigest, windows fed as raw bytes
+  * straight from the UTF8String buffer on the all-ASCII fast path (norm
+  * text is ASCII by construction; non-ASCII falls back to per-window char
+  * slicing, same semantics), and the nibble test reads digest byte 0 —
+  * no hex string ever exists.
+  */
+case class CdcBounds(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "cdc_bounds"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${dt.simpleString}")
+  }
+
+  /** Hot-path entry, shared by interpreted eval and generated code. */
+  def bounds(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nChars = u.numChars()
+    if (nChars < 9)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1))
+    val md = CdcBounds.digests.get()
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(nChars / 12 + 2)
+    out += 1
+    val last = nChars - 7
+    if (u.numBytes == nChars) {
+      // ASCII: chars == bytes — feed 8-byte windows without slicing
+      val b = u.getBytes
+      var i = 2
+      while (i <= last) {
+        md.reset()
+        md.update(b, i - 1, 8)
+        if ((md.digest()(0) & 0xF0) == 0) out += i
+        i += 1
+      }
+    } else {
+      var i = 2
+      while (i <= last) {
+        md.reset()
+        md.update(u.substringSQL(i, 8).getBytes)
+        if ((md.digest()(0) & 0xF0) == 0) out += i
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bounds(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcBoundsExpr", this, classOf[CdcBounds].getName)
+    defineCodeGen(ctx, ev, c => s"$self.bounds($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBounds {
+  /** MessageDigest is stateful and the referenced expression object is
+    * shared across an executor's concurrently-running tasks — one digest
+    * per thread, reset per window. */
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** Column-API and SQL-registry front doors for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graft.SqlShim.{column, expression}
@@ -191,6 +283,8 @@ object TextFunctions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
+
+  def cdcBounds(c: Column): Column = column(CdcBounds(expression(c)))
 
   /** SQL names mirror DuckDB's `nfc_normalize`; the compatibility forms get
     * the same suffix convention. Runtime + idempotent, like

@@ -672,6 +672,59 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("cc.cell").as("cell"))
   }
 
+  /** CELL SILHOUETTE (q229) — a pair-free clustering-quality score for the
+    * SemDeDup / IVF cell structure the ANN and semantic-dedup family rests
+    * on: the SIMPLIFIED silhouette (Hruschka et al.'s centroid variant of
+    * Rousseeuw 1987), where a vector's cohesion `a` is its cosine DISTANCE
+    * to its own centroid and its separation `b` the distance to the nearest
+    * OTHER centroid — s = (b − a) / max(a, b) ∈ [−1, 1], rolled up per
+    * cell. Low mean-silhouette cells are exactly where q215's boundary
+    * misses live (the probe-curve finding), so this is the knob-tuning
+    * diagnostic for k and nProbe: classical silhouette is O(n²) pairwise
+    * and impossible at corpus scale, while the centroid variant is one
+    * zero-shuffle ranked pass over the same broadcast centroid array the
+    * assignment itself uses (ranks 1 and 2 of [[cellRank]] ARE (a, b)).
+    *
+    * Determinism contract: ranking uses RAW similarities (the assignment's
+    * own order), the silhouette arithmetic uses 6-decimal ROUNDED
+    * similarities, and the per-cell mean/min/max round again at 6 — the
+    * q90/q73 convention, so both engines agree at every boundary.
+    *
+    * Scale shape: one broadcast-centroid projection over the corpus (never
+    * an exchange — the assignCells plan shape), one hash aggregate to k
+    * rows. The Lloyd training cost is [[kmeansCentroids]]'s, shared with
+    * q90 and amortizable via the persisted-centroid discipline (q125).
+    */
+  def cellSilhouette(embeddings: DataFrame, nCells: Int = 8,
+                     iters: Int = 3): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+    val top2 = emb.crossJoin(broadcast(centsArray(cents)))
+      .select(col("vec_id"),
+        slice(cellRank(col("e"), col("cents")), 1, 2).as("t"))
+      .select(col("vec_id"),
+        element_at(col("t"), 1).getField("cell").as("cell"),
+        rd(element_at(col("t"), 1).getField("csim"), 6).as("s1"),
+        // try_: a single-centroid run (k = 1) has no rank-2 entry — NULL
+        // silhouette, not an ANSI out-of-bounds error
+        rd(try_element_at(col("t"), lit(2)).getField("csim"), 6).as("s2"))
+    // a = 1 − s1 (own-centroid distance), b = 1 − s2 (nearest other);
+    // (b − a)/max(a, b) = (s1 − s2)/max(1 − s1, 1 − s2); a vector sitting
+    // exactly ON both centroids (max = 0) has no defined silhouette → NULL,
+    // excluded from the cell mean by both engines' avg semantics
+    val sil = top2.select(col("cell"),
+      rd((col("s1") - col("s2")) /
+        nullIfZero(greatest(lit(1.0) - col("s1"), lit(1.0) - col("s2"))), 6)
+        .as("sil"))
+    sil.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        rd(avg("sil"), 6).as("mean_sil"),
+        rd(min("sil"), 6).as("min_sil"),
+        rd(max("sil"), 6).as("max_sil"))
+      .orderBy("cell")
+  }
+
   /** Product-quantized kNN (q205) — Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search" (TPAMI 2011): the vector is
     * split into `m` subvectors, each quantized against its OWN small

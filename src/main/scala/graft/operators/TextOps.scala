@@ -510,6 +510,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SHARD NOVELTY CURVE (q228) — the diminishing-returns diagnostic of a
+    * crawl: per ingestion shard, how many DISTINCT shingles appear at all
+    * vs how many appear for the FIRST time (no earlier shard contains
+    * them), plus the running vocabulary size. The curve's flattening tail
+    * is the "more crawl stops adding content" signal data-curation teams
+    * read before paying for the next snapshot ([[noveltyProfile]] scores
+    * individual documents; this scores the INGESTION BATCHES). Shards here
+    * are the deterministic [[hashBucket]] assignment standing in for crawl
+    * batch ids — the machinery is identical for any integer batch key, and
+    * the md5 rule keeps both engines and every re-run in agreement.
+    *
+    * Scale shape: two vocabulary-keyed hash aggregates (per-shard distinct
+    * presence, then min-shard per shingle) — work scales with distinct
+    * (shard, shingle) pairs, never corpus²; the cumulative-vocabulary
+    * window runs over the nShards-row result relation, not the corpus.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String, nShards: Int = 10): DataFrame =
+    noveltyCurveFrom(Tables.documents(spark, dir), nShards)
+
+  def noveltyCurveFrom(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val sharded = docs.select(col("doc_id"),
+      hashBucket(col("doc_id"), nShards).as("shard"))
+    // distinct (shard, shingle) presence: a shingle counts once per shard
+    // no matter how many of the shard's documents contain it
+    val ss = shingleSet(docs)
+      .join(sharded, "doc_id")
+      .select(col("shard"), col("sg")).distinct()
+    val first = ss.groupBy("sg").agg(min("shard").as("first_shard"))
+    val perShard = ss.join(first, "sg")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_distinct_shingles"),
+        sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_new_shingles"))
+    val census = sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+    // the census is the base: a shard whose documents are all too short to
+    // shingle still appears, with zero shingle counts and a NULL rate
+    census.join(perShard, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_distinct_shingles"), lit(0L)).as("n_distinct_shingles"),
+        coalesce(col("n_new_shingles"), lit(0L)).as("n_new_shingles"))
+      .withColumn("cum_vocabulary",
+        // nShards rows total — this window sorts a handful of rows on one
+        // task, never the corpus
+        sum("n_new_shingles")
+          .over(org.apache.spark.sql.expressions.Window.orderBy("shard"))
+          .cast("long"))
+      .withColumn("novelty_rate",
+        rd(col("n_new_shingles").cast("double") /
+          nullIfZero(col("n_distinct_shingles").cast("double")), 6))
+      .orderBy("shard")
+  }
+
+  /** The q228 oracle: the q75 shingle CTEs + the q59 md5-bucket shard rule,
+    * min-shard first-occurrence, window cumulative over the shard axis. */
+  def noveltyCurveOracleSql(nShards: Int): String = s"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+  FROM t WHERE len(toks) >= 3
+), sd AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $nShards AS shard
+  FROM documents
+), ss AS (
+  SELECT DISTINCT sd.shard, sh.sg FROM sh JOIN sd ON sh.doc_id = sd.doc_id
+), f AS (
+  SELECT sg, min(shard) AS first_shard FROM ss GROUP BY sg
+), per AS (
+  SELECT ss.shard,
+         count(*) AS n_distinct_shingles,
+         CAST(sum(CASE WHEN f.first_shard = ss.shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_shingles
+  FROM ss JOIN f ON ss.sg = f.sg GROUP BY ss.shard
+), census AS (
+  SELECT shard, count(*) AS n_docs FROM sd GROUP BY shard
+)
+SELECT c.shard, c.n_docs,
+       COALESCE(p.n_distinct_shingles, 0) AS n_distinct_shingles,
+       COALESCE(p.n_new_shingles, 0) AS n_new_shingles,
+       CAST(sum(COALESCE(p.n_new_shingles, 0)) OVER (ORDER BY c.shard) AS BIGINT)
+         AS cum_vocabulary,
+       round(CAST(COALESCE(p.n_new_shingles, 0) AS DOUBLE)
+             / nullif(CAST(COALESCE(p.n_distinct_shingles, 0) AS DOUBLE), 0), 6) + 0
+         AS novelty_rate
+FROM census c LEFT JOIN per p ON c.shard = p.shard
+ORDER BY c.shard"""
+
   /** Incremental dedup: classify each document of a NEW batch against the
     * existing corpus as `exact_dup` (byte-identical text already present),
     * `near_dup` (shares shingles with some corpus doc at Jaccard ≥ threshold,
@@ -1374,14 +1468,11 @@ object TextOps {
   def cdcChunkProfileFrom(docs: DataFrame): DataFrame = {
     val L = length(col("norm"))
     // boundary positions: 1 plus every i in [2, L-7] whose 8-char window
-    // hash starts with nibble '0'. The [2, L-7] range is empty below L = 9
-    // (guarded: Spark's sequence(2, 1) would count DOWN, not stay empty).
-    val bounds = concat(
-      array(lit(1)),
-      when(L >= 9,
-        filter(sequence(lit(2), L - 7),
-          i => md5(col("norm").substr(i, lit(8))).startsWith("0")))
-        .otherwise(array().cast("array<int>")))
+    // hash starts with nibble '0' — ONE native pass per row (CdcBounds;
+    // bit-identical to the declarative concat/filter/md5 form the oracle
+    // replays, spec-pinned in TextExpressionsSpec). The interpreted
+    // per-position lambda this replaces dominated the 100× sweep.
+    val bounds = graft.functions.TextFunctions.cdcBounds(col("norm"))
     docs
       .select(col("source"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= 8)
@@ -2307,15 +2398,10 @@ WHERE c.tokens_before < b.source_budget ORDER BY c.doc_id"""
   def chunkDedupCleanFrom(docs: DataFrame, dfLimit: Long): DataFrame = {
     val L = length(col("norm"))
     // identical boundary rule to [[cdcChunkProfileFrom]] (md5 nibble-0 on
-    // the 8-char window STARTING at i, expected ~16-char chunks); docs
-    // shorter than 9 chars are a single chunk — the cleaner keeps every
-    // doc, unlike the census's >= 8 cut
-    val bounds = concat(
-      array(lit(1)),
-      when(L >= 9,
-        filter(sequence(lit(2), L - 7),
-          i => md5(col("norm").substr(i, lit(8))).startsWith("0")))
-        .otherwise(array().cast("array<int>")))
+    // the 8-char window STARTING at i, expected ~16-char chunks), via the
+    // same native CdcBounds pass; docs shorter than 9 chars are a single
+    // chunk — the cleaner keeps every doc, unlike the census's >= 8 cut
+    val bounds = graft.functions.TextFunctions.cdcBounds(col("norm"))
     val chunks = docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= 1)

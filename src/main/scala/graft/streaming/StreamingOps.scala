@@ -1215,6 +1215,106 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING MIXTURE-BUDGET ADMISSION (q227) — the batch q225 selection
+    * (per-source token budgets executed by the quality-ranked
+    * exclusive-prefix rule) as corpus INGESTION: per source, keyed state
+    * holds exactly the CURRENT admitted set — the prefix of all seen docs
+    * in (score desc, doc_id) order whose exclusive cumulative token count
+    * is under the source's budget — and every arriving doc either inserts
+    * into that prefix (possibly displacing its tail) or is rejected
+    * outright.
+    *
+    * Why bounded state is EXACT here (the q219 monotonicity argument lifted
+    * from a count cap to a token budget): a doc's `tokens_before` is the
+    * token sum of all better-ranked docs, which only GROWS as the corpus
+    * grows — so once a doc's exclusive prefix reaches the budget it is out
+    * FOREVER, and the admitted set can be maintained by insert-then-retrim
+    * alone, never re-admitting a displaced doc. Two cases close the
+    * induction: if the state's inclusive total is under the budget, nothing
+    * was ever displaced (the state IS all seen docs of that source); once
+    * it reaches the budget, any doc ranking below the prefix already has
+    * tokens_before ≥ budget. Hence final state ≡ the batch rule under ANY
+    * arrival order or micro-batch split (spec-pinned).
+    *
+    * Scale shape: state per source = the admitted docs (token sum < budget
+    * + one straddler — bounded by the budget, never by corpus volume) plus
+    * one monotone seen-counter; the per-batch shuffle carries only that
+    * batch's (source, id, n_tokens, score) rows. Zero-token docs ranked
+    * inside the prefix never consume budget and are admitted — state could
+    * only grow corpus-shaped on a pathological all-empty corpus (the batch
+    * rule keeps those docs too; the contract is shared).
+    */
+  def mixtureBudgetStream(rows: Dataset[(String, Long, Long, Double)],
+                          budgets: Map[String, Long])
+      : Dataset[(String, Long, Seq[(Long, Long, Double, Long)])] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (src: String, it: Iterator[(String, Long, Long, Double)],
+         state: GroupState[(Long, List[(Double, Long, Long)])]) =>
+          val budget = budgets.getOrElse(src, 0L)
+          val (n0, kept0) = state.getOption.getOrElse((0L, List.empty[(Double, Long, Long)]))
+          var n = n0
+          var kept = kept0
+          it.foreach { case (_, id, nt, q) =>
+            n += 1
+            // insert by (q desc, doc_id asc), then retrim to the take-while
+            // prefix: O(|kept| log |kept|) per doc with |kept| budget-bounded
+            val inserted = ((q, id, nt) :: kept)
+              .sortBy { case (qq, ii, _) => (-qq, ii) }
+            var acc = 0L
+            kept = inserted.takeWhile { case (_, _, ntt) =>
+              val in = acc < budget; acc += ntt; in
+            }
+          }
+          state.update((n, kept))
+          var acc = 0L
+          val out = kept.map { case (q, id, nt) =>
+            val off = acc; acc += nt; (id, nt, q, off)
+          }
+          (src, n, out)
+      }
+  }
+
+  /** The q227 gate: budgets derived from the standing corpus by the batch
+    * q225 micro-weight chain (sources-sized — a driver map, the realistic
+    * deployment where mixture weights are decided offline and admission
+    * runs online), documents streamed with the batch scoring expressions,
+    * latest emission per source selected by the monotone seen-counter (the
+    * q94/q219 discipline). Oracle = the batch q225 SQL verbatim.
+    */
+  def mixtureBudgetStreamParity(spark: SparkSession, dir: String,
+                                budget: Long = 8000L): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextOps
+    import graft.functions.Fx.rd
+    val budgets = TextOps.mixtureWeightsFrom(
+        graft.sources.Tables.documents(spark, dir))
+      .selectExpr("source",
+        s"CAST((CAST(round(weight * 1000000) AS BIGINT) * CAST($budget AS BIGINT))" +
+          " DIV 1000000 AS BIGINT) AS source_budget")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ds = docStream(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        coalesce(rd(TextOps.qualityScore(col("text")), 6), lit(0.0)).as("q"))
+      .as[(String, Long, Long, Double)]
+    val out = mixtureBudgetStream(ds, budgets)
+    val budgetDf = budgets.toSeq.toDF("source", "source_budget")
+    runMemoryGate(spark, "stream_mixture_budget",
+      out.toDF("source", "n_seen", "kept"), OutputMode.Update())(_
+      .groupBy("source").agg(max(struct(col("n_seen"), col("kept"))).as("r"))
+      .select(col("source"), explode(col("r.kept")).as("k"))
+      .select(col("k._1").as("doc_id"), col("source"),
+        col("k._2").as("n_tokens"), col("k._3").as("quality_score"),
+        col("k._4").as("tokens_before"))
+      .join(broadcast(budgetDf), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("tokens_before"), col("source_budget"))
+      .orderBy("doc_id"))
+  }
+
   def domainQuotaStreamParity(spark: SparkSession, dir: String,
                               cap: Int = 10): DataFrame = {
     import spark.implicits._

@@ -245,6 +245,57 @@ class SimilaritySpec extends SparkSpecBase {
     assert(atAll.forall(_._4 == 1L), s"τ=-1 must keep exactly one per cell: $atAll")
   }
 
+  test("cellSilhouette: census integrity, [-1,1] range, formula parity with a driver-side replay, k=1 NULL contract") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val out = Similarity.cellSilhouette(emb, 4, 2).collect()
+    assert(out.map(_.getLong(1)).sum == total, "cells don't partition the corpus")
+    out.foreach { r =>
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9,
+        s"silhouette outside [-1,1]: $r")
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+        s"min <= mean <= max violated: $r")
+    }
+    // driver-side replay of the formula from the SAME trained centroids:
+    // rank raw cosines (desc, cell asc), round top-2 at 6, silhouette
+    // (s1-s2)/max(1-s1, 1-s2) rounded at 6, per-cell mean/min/max
+    val cents = Similarity.kmeansCentroids(emb, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val expected = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val ranked = cents.map { case (c, cv) => (c, cos(v, cv)) }
+          .sortBy { case (c, s) => (-s, c) }
+        val s1 = r6(ranked(0)._2); val s2 = r6(ranked(1)._2)
+        val den = math.max(1 - s1, 1 - s2)
+        (ranked(0)._1, if (den == 0.0) None else Some(r6((s1 - s2) / den)))
+      }
+      .groupBy(_._1).map { case (cell, xs) =>
+        val sils = xs.flatMap(_._2)
+        cell -> (xs.length.toLong, r6(sils.sum / sils.length), sils.min, sils.max)
+      }
+    out.foreach { r =>
+      val (n, mean, mn, mx) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"cell ${r.getLong(0)} census off")
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6, s"mean ${r.getDouble(2)} vs $mean")
+      assert(r.getDouble(3) == mn && r.getDouble(4) == mx, s"min/max off in $r")
+    }
+    // k = 1: no second centroid — silhouette NULL, vectors still counted
+    val k1 = Similarity.cellSilhouette(emb, 1, 1).collect()
+    assert(k1.length == 1 && k1.head.getLong(1) == total)
+    assert(k1.head.isNullAt(2) && k1.head.isNullAt(3) && k1.head.isNullAt(4),
+      "k=1 silhouettes must be NULL")
+  }
+
   test("hybridRrf: fusion arithmetic — both-list docs score both terms, single-list docs one; k-heap ranks match row_number") {
     import spark.implicits._
     val out = Similarity.hybridRrf(spark, sf, 3, 5)

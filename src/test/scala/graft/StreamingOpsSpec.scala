@@ -366,6 +366,71 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("mixtureBudgetStream: displacement is permanent, straddler kept, zero budget empty, final state = batch rule under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double)] // (source, doc_id, n_tokens, q)
+    val budgets = Map("a" -> 10L, "b" -> 0L)
+    val q = StreamingOps.mixtureBudgetStream(input.toDS(), budgets).writeStream
+      .format("memory").queryName("mixbudget_out").outputMode("update").start()
+    try {
+      // batch 1: doc1 (off 0) + doc2 (off 5 < 10, STRADDLER: inclusive 11 > budget)
+      input.addData(("a", 1L, 5L, 0.5), ("a", 2L, 6L, 0.4), ("b", 9L, 1L, 0.9))
+      q.processAllAvailable()
+      // batch 2: doc3 outranks both -> prefix [3 (off 0), 1 (off 7)]; doc2's
+      // exclusive prefix becomes 12 >= 10 -> DISPLACED forever
+      input.addData(("a", 3L, 7L, 0.6))
+      q.processAllAvailable()
+      // batch 3: doc4 ranks below doc1 -> exclusive prefix 12 >= 10, rejected
+      // outright; doc2 must NOT come back
+      input.addData(("a", 4L, 2L, 0.45))
+      q.processAllAvailable()
+      val emissions = spark.table("mixbudget_out")
+        .as[(String, Long, Seq[(Long, Long, Double, Long)])].collect()
+      val a = emissions.filter(_._1 == "a").maxBy(_._2)
+      assert(a._2 == 4L, s"seen-counter wrong: $a")
+      assert(a._3.map(_._1) == Seq(3L, 1L), s"final admitted set wrong: $a")
+      assert(a._3.map(_._4) == Seq(0L, 7L), s"exclusive prefixes wrong: $a")
+      val b = emissions.filter(_._1 == "b").maxBy(_._2)
+      assert(b._3.isEmpty, s"zero-budget source must keep nothing: $b")
+      // the intermediate emission really held doc2 before its displacement
+      val a1 = emissions.filter(e => e._1 == "a" && e._2 == 2L).head
+      assert(a1._3.map(_._1) == Seq(1L, 2L), s"batch-1 state wrong: $a1")
+    } finally q.stop()
+
+    // property: for a fixed doc population, EVERY arrival order / batch split
+    // ends in the same state == the batch take-while rule
+    val docsA = Seq((11L, 3L, 0.9), (12L, 4L, 0.8), (13L, 5L, 0.7),
+      (14L, 2L, 0.85), (15L, 6L, 0.6), (16L, 1L, 0.95))
+    val budget = 9L
+    def batchRule(ds: Seq[(Long, Long, Double)]): Seq[(Long, Long)] = {
+      var acc = 0L
+      ds.sortBy { case (id, _, q) => (-q, id) }
+        .takeWhile { case (_, nt, _) => val in = acc < budget; acc += nt; in }
+        .map { case (id, nt, _) => (id, nt) }
+    }
+    val rng = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val order = rng.shuffle(docsA)
+      val cut = 1 + rng.nextInt(order.length - 1)
+      val in2 = MemoryStream[(String, Long, Long, Double)]
+      val q2 = StreamingOps.mixtureBudgetStream(in2.toDS(), Map("a" -> budget))
+        .writeStream.format("memory").queryName(s"mixprop_$trial")
+        .outputMode("update").start()
+      try {
+        in2.addData(order.take(cut).map(d => ("a", d._1, d._2, d._3)))
+        q2.processAllAvailable()
+        in2.addData(order.drop(cut).map(d => ("a", d._1, d._2, d._3)))
+        q2.processAllAvailable()
+        val fin = spark.table(s"mixprop_$trial")
+          .as[(String, Long, Seq[(Long, Long, Double, Long)])]
+          .collect().maxBy(_._2)
+        assert(fin._3.map(t => (t._1, t._2)) == batchRule(docsA),
+          s"trial $trial (cut $cut, order ${order.map(_._1)}): " +
+            s"${fin._3.map(_._1)} != ${batchRule(docsA).map(_._1)}")
+      } finally q2.stop()
+    }
+  }
+
   test("spanCutStream: per-batch cleaning against the standing index equals the batch cleaner under a 2-batch split") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps

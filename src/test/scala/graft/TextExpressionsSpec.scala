@@ -176,4 +176,36 @@ class TextExpressionsSpec extends SparkSpecBase {
         assert(s == 1.0)
     }
   }
+
+  test("cdc_bounds == the declarative md5-window filter on random, short, empty and non-ASCII inputs") {
+    val rnd = new scala.util.Random(226)
+    val cases = Seq("", "a", "12345678", "123456789",
+      "the quick brown fox jumps over the lazy dog and keeps running",
+      "ünïcödé window bøundärïés shøuld slice by chars not bytes",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") ++
+      (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(200)).mkString
+        .toLowerCase.replaceAll("[^a-z0-9]", " ")) ++
+      (1 to 10).map(_ => (1 to rnd.nextInt(60))
+        .map(_ => "aé 9ü".charAt(rnd.nextInt(5))).mkString)
+    val df = cases.toDF("norm")
+    val L = length(col("norm"))
+    val declarative = concat(
+      array(lit(1)),
+      when(L >= 9,
+        filter(sequence(lit(2), L - 7),
+          i => md5(col("norm").substr(i, lit(8))).startsWith("0")))
+        .otherwise(array().cast("array<int>")))
+    val out = df.select(col("norm"),
+        TextFunctions.cdcBounds(col("norm")).as("fast"),
+        declarative.as("slow"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"bounds diverge on '${r.getString(0)}': ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+    // NULL propagates
+    val n = Seq[Option[String]](None).toDF("norm")
+      .select(TextFunctions.cdcBounds(col("norm"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }

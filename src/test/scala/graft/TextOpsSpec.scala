@@ -1108,4 +1108,45 @@ class TextOpsSpec extends SparkSpecBase {
     out.sliding(2).foreach { case Array(a, b) => assert(b._3 > a._3); case _ => () }
     assert(out.head._4 > 0.0 && out.head._4 < 1.5, out.head.toString)
   }
+
+  test("noveltyCurve: conservation laws, driver-side first-seen replay, single-shard degenerate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),            // 2 shingles
+      (2L, "alpha beta gamma epsilon zeta"),     // 3 shingles, 1 shared w/ doc 1
+      (3L, "totally different words right here"),
+      (4L, "alpha beta gamma delta"),            // exact dup of doc 1
+      (5L, "hi there")                           // < 3 tokens: no shingles
+    ).map { case (id, t) => (id, "en", "web", t) }
+      .toDF("doc_id", "lang", "source", "text")
+    val nShards = 3
+    val out = TextOps.noveltyCurveFrom(docs, nShards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // conservation: every doc in exactly one shard; each distinct shingle
+    // is NEW in exactly one shard; final cumulative == corpus vocabulary
+    assert(out.map(_._2).sum == 5L, s"doc census off: ${out.toSeq}")
+    val shardOf = docs.select(col("doc_id"),
+        TextOps.hashBucket(col("doc_id"), nShards).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = TextOps.shingleSet(docs)
+      .select("doc_id", "sg").collect()
+      .map(r => (shardOf(r.getLong(0)), r.getString(1))).distinct
+    val vocab = sh.map(_._2).distinct.length.toLong
+    assert(out.map(_._4).sum == vocab, "sum of n_new != vocabulary")
+    assert(out.last._5 == vocab, "final cum_vocabulary != vocabulary")
+    // per-shard replay: distinct presence + min-shard first-occurrence
+    val firstShard = sh.groupBy(_._2).map { case (sg, xs) => sg -> xs.map(_._1).min }
+    out.foreach { case (shard, _, nDistinct, nNew, _) =>
+      val here = sh.filter(_._1 == shard).map(_._2)
+      assert(nDistinct == here.length.toLong, s"shard $shard distinct off")
+      assert(nNew == here.count(sg => firstShard(sg) == shard).toLong,
+        s"shard $shard first-seen off")
+    }
+    // cumulative is the running sum in shard order
+    assert(out.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == out.map(_._5).toSeq)
+    // one shard: everything is first-seen, rate exactly 1.0
+    val one = TextOps.noveltyCurveFrom(docs, 1).collect()
+    assert(one.length == 1 && one.head.getLong(3) == vocab
+      && one.head.getDouble(5) == 1.0, s"degenerate shard wrong: ${one.toSeq}")
+  }
 }
