@@ -2277,7 +2277,26 @@ ORDER BY r.rank DESC, partkey"""
     // SemDeDup/IVF k and nProbe knobs; ranks 1+2 of the assignment's own
     // broadcast cellRank pass ARE (a, b), one hash aggregate to k rows
     "q229_cell_silhouette" -> ((s, dir) =>
-      Similarity.cellSilhouette(Tables.embeddings(s, dir), 8, 3))
+      Similarity.cellSilhouette(Tables.embeddings(s, dir), 8, 3)),
+
+    // STREAMING BENCHMARK DECONTAMINATION: q222's eval-leak removal at
+    // ingestion — per-batch span-cut against the standing benchmark
+    // cut-set MV (q220's probe-the-index shape, benchmark-sized index);
+    // identical to the batch cleaner under any batch split, no state store
+    "q230_stream_decontam" -> ((s, dir) =>
+      graft.streaming.StreamingOps.decontamStreamParity(s, dir)),
+
+    // BUCKETED-BASE SYM MERGE: q217's contract with the standing relation
+    // persisted bucketed+sorted on (u, v) — the layout under which the
+    // join-form merge plans ZERO base-side exchanges (only the delta
+    // shuffles); proves write, catalog read-back, and merge end-to-end
+    "q232_sym_incremental_bucketed" -> ((s, dir) =>
+      GraphOps.symIncrementalParityBucketed(s, dir)),
+
+    // BUCKETED-BASE SHINGLE-DF MERGE: q221's contract with the standing
+    // index persisted bucketed+sorted on sg — base side exchange-free
+    "q233_shingle_df_bucketed" -> ((s, dir) =>
+      TextOps.shingleDfIncrementalParityBucketed(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5278,23 +5297,7 @@ GROUP BY 1 ORDER BY cell"""
     // q217's oracle is the FULL REBUILD of the symmetrized adjacency —
     // hash equality against the engine's base ⊎ delta merge proves the
     // incremental sym-MV maintenance (weights AND degrees additive)
-    "q217_sym_incremental" -> """
-WITH li AS (
-  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-), e AS (
-  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
-  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-  GROUP BY 1, 2
-), sym AS (
-  SELECT src AS u, dst AS v, w FROM e
-  UNION ALL
-  SELECT dst AS u, src AS v, w FROM e
-), deg AS (
-  SELECT u, count(*) AS deg_u FROM sym GROUP BY u
-)
-SELECT s.u, s.v, CAST(s.w AS BIGINT) AS w, CAST(d.deg_u AS BIGINT) AS deg_u
-FROM sym s JOIN deg d ON d.u = s.u
-ORDER BY s.u, s.v""",
+    "q217_sym_incremental" -> SymRebuildOracleSql,
 
     // q219's oracle IS the batch q213 rule: the streaming bounded-heap
     // state must end exactly where the batch ranking ends
@@ -5357,6 +5360,37 @@ SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
        round(avg(s), 6) + 0 AS mean_sil,
        round(min(s), 6) + 0 AS min_sil,
        round(max(s), 6) + 0 AS max_sil
-FROM sil GROUP BY cell ORDER BY cell"""
+FROM sil GROUP BY cell ORDER BY cell""",
+
+    // the streaming decontamination emission is batch-identical given the
+    // standing cut set, so the oracle IS q222's batch SQL verbatim
+    "q230_stream_decontam" -> TextOps.benchmarkDecontamOracleSql(),
+
+    // the bucketed-base merge must end value-identical to the full
+    // rebuild: q217's oracle verbatim
+    "q232_sym_incremental_bucketed" -> SymRebuildOracleSql,
+
+    // q221's full-rebuild oracle verbatim
+    "q233_shingle_df_bucketed" -> TextOps.shingleDfIncrementalOracleSql
   )
+
+  /** The full symmetrized-adjacency rebuild — q217's AND q232's oracle (the
+    * incremental and bucketed-incremental merges both contract to it). */
+  private val SymRebuildOracleSql: String = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS u, dst AS v, w FROM e
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM e
+), deg AS (
+  SELECT u, count(*) AS deg_u FROM sym GROUP BY u
+)
+SELECT s.u, s.v, CAST(s.w AS BIGINT) AS w, CAST(d.deg_u AS BIGINT) AS deg_u
+FROM sym s JOIN deg d ON d.u = s.u
+ORDER BY s.u, s.v"""
 }

@@ -126,20 +126,36 @@ object GraphOps {
     val symDelta = deltaEdges
       .select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(deltaEdges.select(col("dst").as("u"), col("src").as("v"), col("w")))
-    val merged = baseSym.select(col("u"), col("v"), col("w"), lit(1).as("in_base"))
-      .union(symDelta.select(col("u"), col("v"), col("w"), lit(0).as("in_base")))
-      .groupBy("u", "v")
-      .agg(sum(col("w")).as("w"), max(col("in_base")).as("in_base"))
+    val deltaAgg = symDelta.groupBy("u", "v").agg(sum(col("w")).as("dw"))
+    // JOIN-form merge (round-14, VERDICT r13 item 2): the standing relation
+    // is unique by (u, v), so the union-then-reaggregate form — which
+    // shuffled all 239M base rows at 100× and made the merge LOSE to the
+    // rebuild (57 vs 47.8 s) — is equivalent to one LEFT join against the
+    // delta-sized aggregate. With the base persisted in the (u, v)-bucketed
+    // standing layout ([[Tables.bucketedMv]], gate q232) the base side
+    // plans ZERO exchanges end-to-end: only the delta shuffles. An
+    // unbucketed base degrades to one base shuffle — the old cost, never
+    // worse.
+    val grown = baseSym.join(deltaAgg, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+    // pairs ABSENT from the base (delta-sized) — the only rows that can
+    // change a degree, so the degree adjustment reads them, never the base
+    val fresh = deltaAgg.join(baseSym.select("u", "v"), Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("dw").as("w"))
     // base degrees ride the standing relation (deg_u is constant per u);
-    // the adjustment is node-sized: one new row per (u, new neighbor)
+    // under the bucketed layout the distinct collapses map-side to node
+    // cardinality before its exchange
     val baseDeg = baseSym.select(col("u"), col("deg_u")).distinct()
-    val newDeg = baseDeg.select(col("u"), col("deg_u").as("d"))
-      .union(merged.filter(col("in_base") === 0)
-        .groupBy("u").agg(count(lit(1)).as("d")))
-      .groupBy("u").agg(sum(col("d")).as("deg_u"))
-    merged.select(col("u"), col("v"), col("w"))
-      .join(newDeg, "u")
-      .select(col("u"), col("v"), col("w"), col("deg_u"))
+    val freshCnt = fresh.groupBy("u").agg(count(lit(1)).as("d"))
+    val newDeg = baseDeg.join(freshCnt, Seq("u"), "full_outer")
+      .select(col("u"),
+        (coalesce(col("deg_u"), lit(0L)) + coalesce(col("d"), lit(0L))).as("deg_u"))
+    // newDeg is node-sized (the graph-family doctrine: nodes ≪ edges), so a
+    // broadcast keeps the edge-sized branch exchange-free; the two branches
+    // share one broadcast exchange via reuse
+    grown.join(broadcast(newDeg), "u").select("u", "v", "w", "deg_u")
+      .union(fresh.join(broadcast(newDeg), "u").select("u", "v", "w", "deg_u"))
   }
 
   /** Registered q217: q127's deterministic order split (delta = every 10th
@@ -158,6 +174,45 @@ object GraphOps {
         col("deg_u").cast("long").as("deg_u"))
       .orderBy("u", "v")
   }
+
+  /** Registered q232: q217's incremental-maintenance contract with the base
+    * sym relation PERSISTED in the bucketed standing layout
+    * ([[Tables.bucketedMv]], bucketed + sorted on (u, v)) and the merge run
+    * against the catalog read-back — the layout that makes
+    * [[mergeSymDelta]]'s base side exchange-free (only the delta shuffles).
+    * Oracle: the same full rebuild as q217; hash equality proves the whole
+    * bucketed path end-to-end (bucketed write, atomic publish, catalog
+    * read-back, join-form merge).
+    */
+  def symIncrementalParityBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val baseSym = graft.sources.Tables.bucketedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "copurchase_symb90", 32, Seq("u", "v"), Seq("u", "v")) {
+      symmetrizeWithDegrees(copurchaseEdgesOf(li.filter(col("ok") % 10 =!= 0)))
+    }
+    val delta = copurchaseEdgesOf(li.filter(col("ok") % 10 === 0))
+    mergeSymDelta(baseSym, delta)
+      .select(col("u"), col("v"), col("w").cast("long").as("w"),
+        col("deg_u").cast("long").as("deg_u"))
+      .orderBy("u", "v")
+  }
+
+  /** The FULL standing sym relation in the bucketed maintenance layout —
+    * what a deployment that refreshes the adjacency incrementally keeps as
+    * THE standing MV (the plain [[symAdjMV]] remains the iterative-gate
+    * feed; both derive from the same fingerprinted source). `nBuckets`
+    * scales with the cluster (32 matches local[32]; a 1000-executor
+    * deployment buckets wider). */
+  def symAdjBucketedMV(spark: SparkSession, dir: String,
+                       nBuckets: Int = 32,
+                       refresh: Boolean = false): DataFrame =
+    graft.sources.Tables.bucketedMv(spark,
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      "copurchase_sym_bkt", nBuckets, Seq("u", "v"), Seq("u", "v"), refresh) {
+      symAdjMV(spark, dir)
+    }
 
   /** PageRank over an undirected edge list (columns src/dst), in the scaled
     * formulation (sum of ranks = N): r⁰ = 1, rᵗ⁺¹ = (1−d) + d·Σ rᵗ(u)/deg(u)

@@ -1928,9 +1928,21 @@ ORDER BY c.shard"""
     * shape of `nearDupStreamWithGrowingIndex`, stated as a hash-verifiable
     * relation instead of a side-effecting sink).
     */
-  def mergeShingleDfDelta(base: DataFrame, deltaDocs: DataFrame): DataFrame =
-    base.union(shingleDfFrom(deltaDocs))
-      .groupBy("sg").agg(sum(col("df")).as("df"))
+  def mergeShingleDfDelta(base: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    // JOIN-form merge (the q217/mergeSymDelta discipline, round-14): the
+    // standing index is unique by sg, so union-then-reaggregate — which
+    // shuffles the whole vocabulary-sized base every refresh — is
+    // equivalent to one LEFT join plus the delta-only anti-join. With the
+    // base persisted in the sg-bucketed standing layout
+    // ([[Tables.bucketedMv]], gate q233) the base side plans zero
+    // exchanges; unbucketed it degrades to one base shuffle, never worse.
+    val deltaDf = shingleDfFrom(deltaDocs).withColumnRenamed("df", "ddf")
+    val grown = base.join(deltaDf, Seq("sg"), "left")
+      .select(col("sg"), (col("df") + coalesce(col("ddf"), lit(0L))).as("df"))
+    val fresh = deltaDf.join(base.select("sg"), Seq("sg"), "left_anti")
+      .select(col("sg"), col("ddf").as("df"))
+    grown.union(fresh)
+  }
 
   /** Registered q221: deterministic whole-document split (delta = every
     * 10th doc), base index merged with the delta batch; oracle = the df
@@ -1943,6 +1955,34 @@ ORDER BY c.shard"""
       .select(col("sg"), col("df").cast("long").as("df"))
       .orderBy("sg")
   }
+
+  /** Registered q233: q221's incremental-maintenance contract with the base
+    * index PERSISTED in the sg-bucketed standing layout and the merge run
+    * against the catalog read-back — [[mergeShingleDfDelta]]'s base side is
+    * exchange-free under it. Oracle: q221's full rebuild, hash-exact. */
+  def shingleDfIncrementalParityBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = Tables.bucketedMv(spark,
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "shingle_df_b90", 32, Seq("sg"), Seq("sg")) {
+      shingleDfFrom(docs.filter(col("doc_id") % 10 =!= 0))
+    }
+    mergeShingleDfDelta(base, docs.filter(col("doc_id") % 10 === 0))
+      .select(col("sg"), col("df").cast("long").as("df"))
+      .orderBy("sg")
+  }
+
+  /** The FULL standing shingle-df index in the bucketed maintenance layout
+    * — the crawl pipeline's persisted state when the index refreshes
+    * incrementally (q221) instead of rebuilding per corpus fingerprint. */
+  def shingleDfBucketedMV(spark: SparkSession, dir: String,
+                          nBuckets: Int = 32,
+                          refresh: Boolean = false): DataFrame =
+    Tables.bucketedMv(spark,
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      "shingle_df_bkt", nBuckets, Seq("sg"), Seq("sg"), refresh) {
+      shingleDfFrom(Tables.documents(spark, dir))
+    }
 
   /** The q221 oracle: the full rebuild of the shingle-df relation. */
   def shingleDfIncrementalOracleSql: String = """
@@ -2051,7 +2091,30 @@ ORDER BY n.doc_id"""
     */
   def benchmarkDecontam(spark: SparkSession, dir: String,
                         benchSource: String = "src0"): DataFrame =
-    benchmarkDecontamFrom(Tables.documents(spark, dir), benchSource)
+    // probe the FINGERPRINTED benchmark cut-set MV instead of deriving the
+    // benchmark shingles inline per run (round-14, VERDICT r13 item 7 — the
+    // recorded production choice): decontamination re-runs on every corpus
+    // refresh against the SAME eval set, so its shingle set is corpus-level
+    // state exactly like q214's dup-shingle index; the MV also hands the
+    // planner a real parquet sizeInBytes, keeping the probe a broadcast
+    // inside streaming foreachBatch (q230) where AQE is off
+    spanCutCleanAgainst(
+      Tables.documents(spark, dir).filter(col("source") =!= benchSource),
+      benchShinglesMV(spark, dir, benchSource))
+      .orderBy("doc_id")
+
+  /** The benchmark's distinct-shingle cut set persisted via the S6
+    * fingerprinted-MV discipline (benchmark-sized: eval sets are MBs
+    * against a 100 TB corpus). */
+  def benchShinglesMV(spark: SparkSession, dir: String,
+                      benchSource: String = "src0",
+                      refresh: Boolean = false): DataFrame =
+    Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      s"bench_shingles_$benchSource", refresh) {
+      Tables.documents(spark, dir).filter(col("source") === benchSource)
+        .select(explode(shingles(tokens(col("text")))).as("sg")).distinct()
+    }
 
   def benchmarkDecontamFrom(docs: DataFrame, benchSource: String): DataFrame = {
     val benchSgs = docs.filter(col("source") === benchSource)
@@ -2134,7 +2197,15 @@ ORDER BY n.doc_id"""
       // coalesce pins the (degenerate) empty-document score to 0.0 so the
       // ordering never depends on engine NULL-placement conventions
       coalesce(rd(qualityScore(col("text")), 6), lit(0.0)).as("q"))
-    val parted = scored
+    // Pin the NARROW scored projection BEFORE the range exchange:
+    // repartitionByRange SAMPLES its child to pick the range bounds, so an
+    // unpinned child runs the full corpus scoring scan twice (sample pass +
+    // shuffle-map pass). Pinned, the corpus text is scanned and scored
+    // exactly ONCE; the sample, the exchange, and the checkpointed
+    // partitioned relation all carry only the 3 narrow columns — nothing
+    // downstream ever re-reads text (round-14, VERDICT r13 item 4).
+    val scoredPin = scored.localCheckpoint(true)
+    val parted = scoredPin
       .repartitionByRange(col("q").desc, col("doc_id"))
       .sortWithinPartitions(col("q").desc, col("doc_id"))
       .localCheckpoint(true)
@@ -2290,7 +2361,10 @@ FROM bk ORDER BY doc_id"""
       size(regexp_extract_all(col("text"), lit("[^\\s]+"), lit(0)))
         .cast("long").as("n_tokens"),
       coalesce(rd(qualityScore(col("text")), 6), lit(0.0)).as("q"))
-    val parted = scored
+    // narrow pin before the range exchange — one scoring scan, not two
+    // (the q223 range-sampling discipline; see tokenBudgetSelectFrom)
+    val scoredPin = scored.localCheckpoint(true)
+    val parted = scoredPin
       .repartitionByRange(col("source"), col("q").desc, col("doc_id"))
       .sortWithinPartitions(col("source"), col("q").desc, col("doc_id"))
       .localCheckpoint(true)

@@ -1215,6 +1215,51 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING BENCHMARK DECONTAMINATION (q230) — q222's eval-leak removal
+    * as corpus INGESTION (round-14, VERDICT r13 item 6: decontamination
+    * runs where the corpus arrives): each micro-batch of arriving documents
+    * is span-cut against the STANDING benchmark cut-set MV
+    * ([[graft.operators.TextOps.benchShinglesMV]] — benchmark-sized,
+    * fingerprinted on the eval set) with benchmark-source rows dropped at
+    * the batch boundary, the q220 probe-the-standing-index shape with a
+    * different (and much smaller) index. Cleaning is per-document given the
+    * cut set, so the emitted relation is identical to batch q222 under any
+    * arrival order or micro-batch split; the oracle is q222's batch SQL
+    * verbatim.
+    *
+    * Scale shape: per-batch cost linear in the batch's tokens; the cut-set
+    * probe is a broadcast equi-join (the parquet-backed MV carries real
+    * sizeInBytes — the q220 foreachBatch/AQE-off discipline); no state
+    * store — the benchmark MV is the state, refreshed on the eval set's
+    * fingerprint.
+    */
+  def decontamStreamParity(spark: SparkSession, dir: String,
+                           benchSource: String = "src0"): DataFrame = {
+    import graft.operators.TextOps
+    val cut = TextOps.benchShinglesMV(spark, dir, benchSource)
+    val out = java.nio.file.Files.createTempDirectory("graft_decontam_stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_decontam")
+    try {
+      val q = docStream(spark, dir).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextOps.spanCutCleanAgainst(
+            batch.filter(org.apache.spark.sql.functions.col("source") =!= benchSource), cut)
+            .write.mode("append").parquet(out.toString)
+        }
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.read.parquet(out.toString).orderBy("doc_id").localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(out)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   /** STREAMING MIXTURE-BUDGET ADMISSION (q227) — the batch q225 selection
     * (per-source token budgets executed by the quality-ranked
     * exclusive-prefix rule) as corpus INGESTION: per source, keyed state

@@ -51,4 +51,56 @@ class BucketingSpec extends SparkSpecBase {
       spark.sql("DROP DATABASE IF EXISTS graft_b CASCADE")
     }
   }
+
+  test("bucketed standing MV: merge-keyed join plans zero base-side exchange and zero base-side sort") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: at standing-index scale neither side of
+    // the merge join is broadcastable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // report the per-bucket sort order from the scan (one file per bucket —
+    // the layout bucketedMvPath guarantees); off, Spark re-sorts the base
+    // side per task even though the files are sorted
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val src = java.nio.file.Paths.get(sf, "lineitem.parquet")
+      val baseRows = Seq((1L, 2L, 3L, 2L), (1L, 3L, 1L, 2L),
+        (2L, 1L, 3L, 1L), (3L, 1L, 1L, 1L), (5L, 6L, 2L, 1L))
+      // nBuckets = shuffle.partitions so the delta aggregate's own exchange
+      // is already co-partitioned with the buckets (the deployment rule)
+      val base = Tables.bucketedMv(spark, src, "bkt_spec_sym", 4,
+        Seq("u", "v"), Seq("u", "v"), refresh = true) {
+        baseRows.toDF("u", "v", "w", "deg_u")
+      }
+      val delta = Seq((1L, 2L, 5L), (4L, 1L, 1L), (1L, 2L, 2L))
+        .toDF("u", "v", "dw").groupBy("u", "v")
+        .agg(sum(col("dw")).as("dw"))
+      val joined = base.join(delta, Seq("u", "v"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"base scan is not bucket-aware:\n$plan")
+      // exactly ONE hash exchange in the whole plan — the delta
+      // aggregate's; the base is read co-located
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"base side of the merge join shuffles:\n$plan")
+      // and exactly ONE sort — the delta side's; the base buckets are
+      // written one file per bucket, so the scan reports the sort order
+      assert("\\bSort \\[".r.findAllIn(plan).length == 1,
+        s"base side of the merge join re-sorts:\n$plan")
+
+      // value parity: catalog read-back ≡ plain path read, and the join
+      // result matches the unbucketed join
+      val mvPath = Tables.bucketedMvPath(spark, src, "bkt_spec_sym", 4,
+        Seq("u", "v"), Seq("u", "v"))(sys.error("must be published"))
+      val plain = spark.read.parquet(mvPath.toString)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(key(base) == key(plain))
+      assert(key(joined) == key(plain.join(delta, Seq("u", "v"), "left")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
 }
