@@ -2286,6 +2286,14 @@ ORDER BY r.rank DESC, partkey"""
     "q230_stream_decontam" -> ((s, dir) =>
       graft.streaming.StreamingOps.decontamStreamParity(s, dir)),
 
+    // FULL-PSL + IDN DOMAIN QUOTA: q218 upgraded from the 35-line subset
+    // to the complete published ~9.5k-rule Public Suffix List, with hosts
+    // lowercased + punycoded (IdnAscii) before matching — 4-label rules,
+    // two wildcard families with exception carve-outs, Unicode TLDs and
+    // labels, the implicit-* default, and apex-suffix drops all exercised
+    "q231_psl_full_domain_quota" -> ((s, dir) =>
+      TextOps.urlDomainQuotaPslFull(Tables.documents(s, dir))),
+
     // BUCKETED-BASE SYM MERGE: q217's contract with the standing relation
     // persisted bucketed+sorted on (u, v) — the layout under which the
     // join-form merge plans ZERO base-side exchanges (only the delta
@@ -5365,6 +5373,11 @@ FROM sil GROUP BY cell ORDER BY cell""",
     // the streaming decontamination emission is batch-identical given the
     // standing cut set, so the oracle IS q222's batch SQL verbatim
     "q230_stream_decontam" -> TextOps.benchmarkDecontamOracleSql(),
+
+    // identical synthesis with A-label literals pre-converted by the same
+    // IDNA routine, the full rule set as a VALUES relation, PSL precedence
+    // stated relationally (exception ≻ longest effective match ≻ implicit *)
+    "q231_psl_full_domain_quota" -> TextOps.urlDomainQuotaPslFullOracleSql(),
 
     // the bucketed-base merge must end value-identical to the full
     // rebuild: q217's oracle verbatim

@@ -272,6 +272,68 @@ object CdcBounds {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** IDNA ToASCII (punycode) host normalization as a native codegen'd Catalyst
+  * expression — the canonicalization step in front of any host-keyed
+  * operator (per-domain quotas, registrable-domain extraction): the Public
+  * Suffix List's matching is defined over A-labels, so Unicode hosts
+  * (`münchen.de`, `пример.рф`) must be converted before suffix comparison
+  * or every IDN host silently falls through to the implicit-`*` default.
+  *
+  * Semantics are the JDK's RFC 3490 implementation (`java.net.IDN.toASCII`
+  * with ALLOW_UNASSIGNED, applied per-host — the dots segment internally):
+  * ASCII labels pass through unchanged, Unicode labels are nameprepped
+  * (case-folded) and punycode-encoded to their `xn--` A-label. A host the
+  * algorithm rejects (empty labels, oversize) returns UNCHANGED rather than
+  * throwing — a crawl frontier drops garbage hosts downstream; a cleaning
+  * operator must not abort the batch on them.
+  *
+  * Scale fast path: real URL corpora are overwhelmingly ASCII hosts, which
+  * are detected on the raw UTF-8 bytes (numBytes == numChars) and returned
+  * without materializing a String — the conversion only runs on the IDN
+  * minority. Stays inside whole-stage codegen via a reference-object call.
+  */
+case class IdnAscii(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "idn_ascii"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${dt.simpleString}")
+  }
+
+  /** Hot-path entry, shared by interpreted eval and generated code. */
+  def toAscii(u: UTF8String): UTF8String = {
+    // all-ASCII hosts (one byte per code point) are already A-labels;
+    // IDN.toASCII is identity on them — skip the String round-trip
+    if (u.numBytes == u.numChars) return u
+    UTF8String.fromString(IdnAscii.convert(u.toString))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    toAscii(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("idnAsciiExpr", this, classOf[IdnAscii].getName)
+    defineCodeGen(ctx, ev, c => s"$self.toAscii($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IdnAscii {
+  /** Driver-side entry — the SAME conversion the runtime expression applies,
+    * used to normalize PSL rule bases at parse time and oracle literals at
+    * SQL-generation time, so engine and oracle can never disagree on an
+    * A-label. */
+  def convert(host: String): String =
+    try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED)
+    catch { case _: IllegalArgumentException => host }
+}
+
 /** Column-API and SQL-registry front doors for the text expressions. */
 object TextFunctions {
   import org.apache.spark.sql.graft.SqlShim.{column, expression}
@@ -285,6 +347,8 @@ object TextFunctions {
     column(JaroWinkler(expression(a), expression(b)))
 
   def cdcBounds(c: Column): Column = column(CdcBounds(expression(c)))
+
+  def idnAscii(c: Column): Column = column(IdnAscii(expression(c)))
 
   /** SQL names mirror DuckDB's `nfc_normalize`; the compatibility forms get
     * the same suffix convention. Runtime + idempotent, like

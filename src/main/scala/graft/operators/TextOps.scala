@@ -2994,6 +2994,163 @@ SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id
 FROM r WHERE rk <= $cap ORDER BY domain, rk"""
   }
 
+  /** The COMPLETE published Public Suffix List
+    * (`graft/public_suffix_list.dat` on the classpath — the
+    * publicsuffix.org `public_suffix_list.dat` artifact verbatim, ICANN +
+    * private sections, ~9.5k rules), parsed by [[parsePsl]] with every rule
+    * base normalized to its A-label form via the SAME IDNA conversion the
+    * runtime applies to hosts ([[graft.functions.IdnAscii.convert]]): the
+    * list carries Unicode rules (`рф`, `政府.hk`) and PSL matching is
+    * defined over A-labels, so both sides must normalize or every IDN
+    * suffix silently misses. Loaded once per JVM.
+    */
+  lazy val PslFull: Seq[PslRule] = {
+    val in = getClass.getClassLoader.getResourceAsStream("graft/public_suffix_list.dat")
+    require(in != null, "public_suffix_list.dat missing from classpath")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+      .map(r => r.copy(base = graft.functions.IdnAscii.convert(r.base)))
+    finally in.close()
+  }
+
+  /** Per-registrable-domain quota under the COMPLETE published PSL with IDN
+    * host normalization (q231) — q218's full-algorithm quota upgraded from
+    * the 35-line subset to the real ~9.5k-rule list (round-14, VERDICT r13
+    * item 5), plus the punycode step q218 deferred: hosts are lowercased
+    * and IDNA-normalized ([[graft.functions.IdnAscii]]) BEFORE label
+    * splitting, so Unicode hosts match their A-label rules.
+    *
+    * The URL synthesis exercises what the subset could not: a 4-label
+    * normal rule (`pvt.k12.ma.us`), TWO wildcard families (`*.ck`,
+    * `*.kawasaki.jp`) with their exception carve-outs (`!www.ck`,
+    * `!city.kawasaki.jp`), a Unicode TLD (`рф` → `xn--p1ai`), a Unicode
+    * registrable label (`münchen.de` → `xn--mnchen-3ya.de`), an unlisted
+    * TLD (`zz`, the implicit `*` default), and a bare 4-label public
+    * suffix that must be dropped.
+    *
+    * Compiled-matcher size at the full list: the when-chain still has one
+    * branch per (kind, effective-length) group — ~12 branches — because
+    * rule COUNT lands in per-branch `isInCollection` sets, which the
+    * optimizer turns into O(1) InSet lookups referenced (not inlined) by
+    * the generated code; codegen size is independent of the 9.5k rules
+    * (spec-asserted via the codegen-path evaluation in
+    * TextExpressionsSpec). Scale shape is q213/q218's unchanged: staged
+    * host→labels projection, one bounded k-heap aggregate, the
+    * PushdownBarrier fence on the NULL-domain drop.
+    */
+  def urlDomainQuotaPslFull(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val subs = array(lit("www"), lit("news"), lit("blog"), lit("cdn"))
+    val sufs = array(lit("com"), lit("co.uk"), lit("pvt.k12.ma.us"),
+      lit("ck"), lit("kawasaki.jp"), lit("рф"), lit("zz"))
+    val dKey = col("doc_id").cast("string")
+    val d2 = conv(substring(md5(dKey), 3, 2), 16, 10).cast("int")
+    val synth = concat(
+      element_at(subs, (conv(substring(md5(dKey), 1, 2), 16, 10).cast("int") % 4) + 1),
+      lit("."), col("source"), lit("."),
+      element_at(sufs, (conv(substring(md5(col("source")), 1, 2), 16, 10).cast("int") % 7) + 1))
+    val host = when(d2 % 7 === 0, lit("www.ck"))
+      .when(d2 % 11 === 1, lit("city.kawasaki.jp"))
+      .when(d2 % 13 === 2, lit("pvt.k12.ma.us"))
+      .when(d2 % 17 === 3, lit("münchen.de"))
+      .otherwise(synth)
+    val url = concat(lit("https://"), host, lit("/doc/"), dKey)
+    documents
+      // STAGED columns (the q218 codegen discipline): url→host→IDNA→labels
+      // materialize once per row; the when-chain references only the label
+      // attribute
+      .select(col("doc_id"),
+        split(graft.functions.TextFunctions.idnAscii(
+          lower(regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))),
+          "\\.").as("labs"),
+        conv(substring(md5(dKey), 1, 13), 16, 10).cast("long").as("hv"))
+      .select(col("doc_id"),
+        registrableDomainPslOfLabels(col("labs"), PslFull).as("domain"),
+        col("hv"))
+      .groupBy("domain")
+      .agg(graft.functions.TopKByScore.topK(
+        (-col("hv")).cast("double"), col("doc_id"), cap).as("top"))
+      .filter(graft.functions.PushdownBarrier.fence(col("domain").isNotNull))
+      .select(col("domain"), explode(col("top")).as("e"))
+      .select(col("domain"), col("e.rk").as("rk"), col("e.id").as("doc_id"))
+      .orderBy("domain", "rk")
+  }
+
+  /** The q231 oracle: identical synthesis with the A-label literals
+    * pre-converted at SQL-generation time (the same
+    * [[graft.functions.IdnAscii.convert]] the engine runs per row), and the
+    * FULL rule set as an interpolated VALUES relation with the PSL
+    * precedence stated relationally — every (host, k-label-suffix) joined
+    * against the rules, exceptions prevailing, else the longest effective
+    * match, else the implicit `*`. The join form replaces q218's
+    * interpolated when-chain because 9.5k rules belong in a relation, not
+    * a CASE expression; both state the same precedence.
+    */
+  def urlDomainQuotaPslFullOracleSql(cap: Int = 10,
+                                     rules: Seq[PslRule] = PslFull): String = {
+    val idn = graft.functions.IdnAscii.convert _
+    val maxLab = rules.map(_.baseLabels).max
+    val ruleRows = rules.map { r =>
+      val kind = r.kind match {
+        case "exception" => "x"; case "wildcard" => "w"; case _ => "n"
+      }
+      s"('${r.base}','$kind',${r.baseLabels})"
+    }.mkString(",\n    ")
+    s"""
+WITH rules(base, kind, blab) AS (
+  VALUES
+    $ruleRows
+), u AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS INT) % 7 = 0 THEN 'www.ck'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS INT) % 11 = 1 THEN 'city.kawasaki.jp'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS INT) % 13 = 2 THEN 'pvt.k12.ma.us'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS INT) % 17 = 3 THEN '${idn("münchen.de")}'
+              ELSE (['www', 'news', 'blog', 'cdn'])[(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4) + 1] ||
+                   '.' || source || '.' ||
+                   (['com', 'co.uk', 'pvt.k12.ma.us', 'ck', 'kawasaki.jp', '${idn("рф")}', 'zz'])[(CAST(('0x' || substr(md5(source), 1, 2)) AS INT) % 7) + 1]
+         END AS host
+  FROM documents
+), lab AS (
+  SELECT doc_id, string_split(host, '.') AS l FROM u
+), cand AS (
+  SELECT doc_id, len(l) AS n, k,
+         array_to_string(l[len(l) - k + 1 : len(l)], '.') AS suf
+  FROM lab, unnest(range(1, least(len(l), $maxLab) + 1)) AS t(k)
+), m AS (
+  -- a rule matches when the host's blab-label suffix equals its base; a
+  -- wildcard additionally needs one more host label (the PSL "domain must
+  -- contain at least as many labels as the rule" clause — the '*' is a
+  -- label). eff = the public-suffix length the rule implies.
+  SELECT c.doc_id,
+         CASE WHEN r.kind = 'x' THEN r.blab - 1 END AS exc_eff,
+         CASE WHEN r.kind = 'w' AND c.n > r.blab THEN r.blab + 1
+              WHEN r.kind = 'n' THEN r.blab END AS nor_eff
+  FROM cand c JOIN rules r ON c.suf = r.base AND c.k = r.blab
+), agg AS (
+  SELECT doc_id, max(exc_eff) AS exc_eff, max(nor_eff) AS nor_eff
+  FROM m GROUP BY doc_id
+), ps AS (
+  SELECT lab.doc_id, lab.l,
+         COALESCE(agg.exc_eff, agg.nor_eff, 1) AS ps_len
+  FROM lab LEFT JOIN agg USING (doc_id)
+), dom AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= ps_len + 1
+              THEN array_to_string(l[len(l) - ps_len : len(l)], '.')
+              ELSE NULL END AS domain
+  FROM ps
+), k AS (
+  SELECT domain, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+  FROM dom WHERE domain IS NOT NULL
+), r AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rk
+  FROM k
+)
+SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id
+FROM r WHERE rk <= $cap ORDER BY domain, rk"""
+  }
+
   /** Fixed-size overlapping RAG chunks: documents sliced into `size`-token
     * windows every `stride` tokens (stride < size ⇒ overlap, the standard
     * retrieval-chunking scheme), each chunk materialized as

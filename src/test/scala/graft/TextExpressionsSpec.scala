@@ -208,4 +208,34 @@ class TextExpressionsSpec extends SparkSpecBase {
       .select(TextFunctions.cdcBounds(col("norm"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  // ---------------------------------------------------------------------------
+  // IdnAscii (q231)
+  // ---------------------------------------------------------------------------
+
+  test("idn_ascii: known punycode pairs, ASCII pass-through, codegen == interpreted, NULL propagates") {
+    // reference pairs verified against java.net.IDN (RFC 3490 ToASCII)
+    val pairs = Seq(
+      "münchen.de" -> "xn--mnchen-3ya.de",
+      "news.src0.рф" -> "news.src0.xn--p1ai",
+      "www.пример.рф" -> "www.xn--e1afmkfd.xn--p1ai",
+      "city.kawasaki.jp" -> "city.kawasaki.jp", // ASCII: identity, no rewrite
+      "example.com" -> "example.com",
+      "" -> "")
+    def run(wholestage: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholestage.toString)
+      try pairs.map(_._1).toDF("h")
+        .select(TextFunctions.idnAscii(col("h"))).as[String].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(run(wholestage = true) == pairs.map(_._2))
+    assert(run(wholestage = true) == run(wholestage = false))
+    // driver-side helper (PSL rule normalization) agrees with the runtime
+    pairs.foreach { case (in, out) =>
+      assert(graft.functions.IdnAscii.convert(in) == out)
+    }
+    val n = Seq[Option[String]](None).toDF("h")
+      .select(TextFunctions.idnAscii(col("h"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }

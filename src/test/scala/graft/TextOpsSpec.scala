@@ -664,6 +664,38 @@ class TextOpsSpec extends SparkSpecBase {
       "apex public suffixes must be dropped")
   }
 
+  test("PslFull: the complete published list drives the matcher — 4-label rules, wildcard-apex label-count clause, IDN rules and hosts") {
+    // the shipped artifact is the real publicsuffix.org list: ~9.5k rules,
+    // every kind, up to 5-label bases, IDN bases normalized to A-labels
+    assert(TextOps.PslFull.size > 9000, s"got ${TextOps.PslFull.size}")
+    assert(TextOps.PslFull.count(_.kind == "wildcard") > 50)
+    assert(TextOps.PslFull.count(_.kind == "exception") >= 5)
+    assert(TextOps.PslFull.map(_.baseLabels).max == 5)
+    assert(TextOps.PslFull.contains(TextOps.PslRule("pvt.k12.ma.us", "normal", 4)))
+    assert(TextOps.PslFull.contains(TextOps.PslRule("xn--p1ai", "normal", 1)),
+      "Unicode rule 'рф' must be A-label-normalized at parse")
+    val cases = Seq(
+      // 4-label normal rule
+      ("https://foo.example.pvt.k12.ma.us/x", "example.pvt.k12.ma.us"),
+      ("https://pvt.k12.ma.us/x", null),                  // its apex drops
+      // wildcard *.kawasaki.jp with exception !city.kawasaki.jp
+      ("https://blog.example.kawasaki.jp/x", "blog.example.kawasaki.jp"),
+      ("https://sub.city.kawasaki.jp/x", "city.kawasaki.jp"),
+      // the PSL label-count clause: *.kawasaki.jp (3 rule labels) does NOT
+      // match the 2-label host, which falls to the 'jp' rule
+      ("https://kawasaki.jp/x", "kawasaki.jp"),
+      // IDN host against an IDN rule, via the staged lower+idnAscii pipe
+      ("https://www.пример.рф/x", "xn--e1afmkfd.xn--p1ai"),
+      ("https://münchen.de/x", "xn--mnchen-3ya.de"),
+      ("https://a.b.github.io/x", "b.github.io"))         // private-section rule
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.registrableDomainPslOfLabels(
+        split(graft.functions.TextFunctions.idnAscii(lower(
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))), "\\."),
+        TextOps.PslFull)).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("mergeShingleDfDelta: incremental index refresh equals the full rebuild for every whole-doc split; df>1 cut matches the q220 index") {
     val docs = graft.sources.Tables.documents(spark, sf)
     def key(df: org.apache.spark.sql.DataFrame) =
