@@ -2304,7 +2304,15 @@ ORDER BY r.rank DESC, partkey"""
     // BUCKETED-BASE SHINGLE-DF MERGE: q221's contract with the standing
     // index persisted bucketed+sorted on sg — base side exchange-free
     "q233_shingle_df_bucketed" -> ((s, dir) =>
-      TextOps.shingleDfIncrementalParityBucketed(s, dir))
+      TextOps.shingleDfIncrementalParityBucketed(s, dir)),
+
+    // EMBEDDING-DRIFT MONITOR: q196's PSI discipline in embedding space —
+    // per label, centroid cosine across deterministic ref/current windows
+    // (first-moment drift) + PSI over each vector's cosine to the rounded
+    // reference centroid (shape drift); everything past two scans lives on
+    // the bounded labels×bins relation
+    "q234_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDriftMonitor(Tables.embeddings(s, dir)))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5384,7 +5392,67 @@ FROM sil GROUP BY cell ORDER BY cell""",
     "q232_sym_incremental_bucketed" -> SymRebuildOracleSql,
 
     // q221's full-rebuild oracle verbatim
-    "q233_shingle_df_bucketed" -> TextOps.shingleDfIncrementalOracleSql
+    "q233_shingle_df_bucketed" -> TextOps.shingleDfIncrementalOracleSql,
+
+    // identical split, rounded centroids, bin grid, Laplace smoothing, and
+    // q196's exact ln/fold rounding contract — keyed by label
+    "q234_centroid_drift" -> s"""
+WITH t AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS e,
+         vec_id % 10 <> 0 AS is_ref
+  FROM embeddings
+), x AS (
+  SELECT label, is_ref, unnest(e) AS v, unnest(range(1, len(e) + 1)) AS pos
+  FROM t
+), cm AS (
+  SELECT label, is_ref, pos, round(avg(v), 6) + 0 AS c FROM x GROUP BY 1, 2, 3
+), cv AS (
+  SELECT label, is_ref, list(c ORDER BY pos) AS cvec FROM cm GROUP BY 1, 2
+), cr AS (
+  SELECT label, cvec AS cref FROM cv WHERE is_ref
+), cc AS (
+  SELECT label, cvec AS ccur FROM cv WHERE NOT is_ref
+), drift AS (
+  SELECT cr.label, round(${cosSql("cr.cref", "cc.ccur")}, 6) + 0 AS centroid_cos
+  FROM cr JOIN cc ON cc.label = cr.label
+), b AS (
+  SELECT t.label, t.is_ref,
+         greatest(least(CAST(floor((round(${cosSql("t.e", "cr.cref")}, 6) + 1.0) * 10.0) AS BIGINT), 19), 0) AS bin
+  FROM t JOIN cr ON cr.label = t.label
+), counts AS (
+  SELECT label, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT l.label, g.bin
+  FROM (SELECT DISTINCT label FROM b) l
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) g
+), dense AS (
+  SELECT g.label, g.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN counts c ON c.label = g.label AND c.bin = g.bin
+), shares AS (
+  SELECT label, n_ref, n_cur,
+         sum(n_ref) OVER (PARTITION BY label) AS t_ref,
+         sum(n_cur) OVER (PARTITION BY label) AS t_cur
+  FROM dense
+), terms AS (
+  SELECT label, t_ref, t_cur,
+         (n_ref + 0.5) / (t_ref + 10.0) AS p,
+         (n_cur + 0.5) / (t_cur + 10.0) AS q
+  FROM shares
+), psi AS (
+  SELECT label,
+         CAST(max(t_ref) AS BIGINT) AS n_ref,
+         CAST(max(t_cur) AS BIGINT) AS n_cur,
+         round(CAST(sum(CAST(round((p - q) * (round(ln(p / q), 6) + 0), 9)
+           AS DECIMAL(30,12))) AS DOUBLE), 6) + 0 AS psi
+  FROM terms GROUP BY label
+)
+SELECT p.label, p.n_ref, p.n_cur, d.centroid_cos, p.psi
+FROM psi p JOIN drift d ON d.label = p.label
+ORDER BY p.label"""
   )
 
   /** The full symmetrized-adjacency rebuild — q217's AND q232's oracle (the

@@ -725,6 +725,82 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** EMBEDDING-DRIFT / CENTROID-STABILITY MONITOR (q234) — the q196 PSI
+    * discipline applied to embedding space (round-14, VERDICT r13 item 8:
+    * the remaining observability corner): a deployment re-embedding its
+    * corpus (new encoder version, new crawl slice) needs to know whether a
+    * label's embedding DISTRIBUTION moved before any downstream index
+    * (IVF cells, SemDeDup centroids, kNN graphs) is trusted. Reference vs
+    * current windows split deterministically on vec_id (the CDC-grain
+    * stand-in for "the previous snapshot vs this one"); per label the
+    * monitor reports
+    *   - `centroid_cos`: cosine between the windows' 6-decimal-rounded
+    *     centroids — the first-moment drift;
+    *   - `psi`: the q196 Population Stability Index over each vector's
+    *     cosine to the ROUNDED reference centroid, binned fixed-width on
+    *     [-1, 1] (q163 discipline — no cross-engine quantile cut points),
+    *     Laplace-smoothed, with q196's exact ln/fold rounding contract —
+    *     the distribution-shape drift the centroid alone cannot see (a
+    *     variance blow-up has centroid_cos ≈ 1 and a hot PSI).
+    *
+    * Scale shape: one scan → (label, pos) centroid aggregate (labels×dims
+    * rows) + one scan → per-vector cosine against the BROADCAST label
+    * centroids → (label, bin) hash aggregate; the grid, shares, and fold
+    * live on the bounded labels×bins relation. Nothing downstream of the
+    * first aggregates scales with corpus size — the exact q196 shape with
+    * labels for event types and cosine for value.
+    */
+  def centroidDriftMonitor(emb: DataFrame, splitMod: Long = 10,
+                           nBins: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val tagged = emb.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"),
+      (col("vec_id") % splitMod =!= 0).as("is_ref"))
+    val cents = tagged
+      .select(col("label"), col("is_ref"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "is_ref", "pos").agg(rd(avg(col("v")), 6).as("c"))
+      .groupBy("label", "is_ref")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), col("is_ref"),
+        transform(col("pc"), x => x.getField("c")).as("cvec"))
+    val centRef = cents.filter(col("is_ref"))
+      .select(col("label"), col("cvec").as("cref"))
+    val centCur = cents.filter(!col("is_ref"))
+      .select(col("label"), col("cvec").as("ccur"))
+    val drift = centRef.join(centCur, "label")
+      .select(col("label"), rd(cosineSim(col("cref"), col("ccur")), 6).as("centroid_cos"))
+    // per-vector first-moment coordinate: cosine to the label's ROUNDED
+    // reference centroid (rounded so the bin assignment is engine-portable)
+    val binned = tagged.join(broadcast(centRef), "label")
+      .select(col("label"), col("is_ref"),
+        greatest(least(floor((rd(cosineSim(col("e"), col("cref")), 6) + 1.0)
+          * (nBins / 2.0)), lit(nBins - 1L)), lit(0L)).cast("long").as("bin"))
+    val counts = binned.groupBy("label", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val grid = binned.select("label").distinct()
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+    val dense = grid.join(counts, Seq("label", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wL = Window.partitionBy("label")
+    val half = nBins / 2.0
+    val psi = dense
+      .withColumn("t_ref", sum(col("n_ref")).over(wL))
+      .withColumn("t_cur", sum(col("n_cur")).over(wL))
+      .withColumn("p", (col("n_ref") + lit(0.5)) / (col("t_ref") + lit(half)))
+      .withColumn("q", (col("n_cur") + lit(0.5)) / (col("t_cur") + lit(half)))
+      .withColumn("term",
+        round((col("p") - col("q")) * rd(log(col("p") / col("q")), 6), 9).cast(dec))
+      .groupBy("label")
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        rd(sum(col("term")).cast("double"), 6).as("psi"))
+    psi.join(drift, "label")
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        col("centroid_cos"), col("psi"))
+      .orderBy("label")
+  }
+
   /** Product-quantized kNN (q205) — Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search" (TPAMI 2011): the vector is
     * split into `m` subvectors, each quantized against its OWN small
