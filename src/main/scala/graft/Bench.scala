@@ -125,12 +125,32 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => f(n) }).toSeq.sortBy(_._1)
     require(ordered.nonEmpty, "no queries registered in SparkEntry.queries — refusing to emit an empty bench")
 
+    // SINK-MEASURED queries (round-14, VERDICT r13 item 1): the cleaner
+    // family's result joins a per-doc aggregate back to the unique-keyed
+    // base relation, so a bare count() lets Catalyst eliminate the entire
+    // clean through the left join (q214 timed 0.20 s as a doc census while
+    // the real clean costs 38.8 s at 100× — the r13 measurement lie, proven
+    // in SCALING.md). These queries are timed TO A PARQUET SINK, which
+    // materializes every column; the artifact records the set so the
+    // committed numbers are self-describing.
+    val sinkMeasured: Set[String] = Set(
+      "q214_span_cut", "q220_stream_span_cut", "q222_benchmark_decontam",
+      "q226_chunk_dedup_clean", "q228_novelty_curve", "q230_stream_decontam")
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bench_sink")
+    def timeAction(name: String,
+                   df: org.apache.spark.sql.DataFrame): Unit =
+      if (sinkMeasured(name))
+        df.write.mode("overwrite").parquet(sinkDir.resolve(name).toString)
+      else { df.count(); () }
+
     // warmup: one full pass at the TARGET SF so the timed pass measures
     // steady-state throughput — warming at a smaller SF leaves janino
     // recompiles in the timed run because AQE picks different plan shapes
-    // (broadcast vs shuffle) at different input sizes
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // (broadcast vs shuffle) at different input sizes. The warmup runs the
+    // SAME action as the timed pass (a count-warmed write plan would leave
+    // the write path's codegen cold).
+    ordered.foreach { case (name, fn) =>
+      try timeAction(name, fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     // HOST-SPEED CANARY (round-12, VERDICT r11 item 5): a fixed,
@@ -169,7 +189,7 @@ object Bench {
     def timedPass(): Seq[(String, Double, Option[String])] =
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
+        val err = try { timeAction(name, fn(spark, sfDir)); None }
                   catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
@@ -225,10 +245,36 @@ object Bench {
     // (ADVICE r11) — a lingering export can no longer masquerade as the
     // full surface
     val filterField = only.fold("none")(f => f.toSeq.sorted.mkString(","))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha","host_canary_sec":$hostCanary,"filter":"$filterField"}"""
+    val sinkField = ordered.map(_._1).filter(sinkMeasured)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha","host_canary_sec":$hostCanary,"sink_measured":$sinkField,"filter":"$filterField"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // COMPACT summary line, printed LAST (round-14, VERDICT r13 item 1):
+    // the driver records only the final ~2000 chars of output, and the
+    // full per-query line outgrew that window at 229 queries — its r13
+    // artifact carried an unparseable mid-line tail. The last line is a
+    // complete, small JSON object: totals + distribution + provenance +
+    // the reference-parity queries (the BASELINE.md anchor family,
+    // q01–q24/q41–q48/q121–q123) at 3-decimal precision. The FULL
+    // per-query artifact is the line above, in the out-file and committed
+    // as bench/full_rN.json.
+    val sortedVals = finalQueries.values.toSeq.sorted
+    def pct(p: Double): Double =
+      if (sortedVals.isEmpty) 0.0
+      else sortedVals(math.min(sortedVals.size - 1, (p * sortedVals.size).toInt))
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val parityNum = "^q(\\d+)_".r
+    val parity = results.map(_._1).filter { n =>
+      parityNum.findFirstMatchIn(n).map(_.group(1).toInt).exists(i =>
+        i <= 24 || (i >= 41 && i <= 48) || (i >= 121 && i <= 123))
+    }
+    val parityQs = parity.map(k => s"\"" + k + "\":" + r3(finalQueries(k)))
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_sec":${r3(pct(0.5))},"p90_sec":${r3(pct(0.9))},"max_sec":${r3(sortedVals.lastOption.getOrElse(0.0))},"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","host_canary_sec":${r3(hostCanary)},"full_artifact":"$outFile","queries":$parityQs}"""
+    println(compact)
     require(results.forall(_._3.isEmpty),
       s"bench had failing queries: ${results.collect { case (k, _, Some(_)) => k }.mkString(", ")}")
     spark.stop()

@@ -73,6 +73,11 @@ res = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
 canaries = [d["host_canary_sec"] for d in ds if "host_canary_sec" in d]
 if canaries:
     res["host_canary_sec"] = min(canaries)
+# sink-measured set (round-14): the cleaner family is timed to a parquet
+# sink, not a count — carry the self-description into the merged artifact
+sinks = {tuple(d.get("sink_measured", [])) for d in ds}
+assert len(sinks) == 1, f"passes disagree on sink_measured {sinks}"
+res["sink_measured"] = list(sinks.pop())
 line = json.dumps(res, separators=(",", ":"))
 print(line)
 for path in (out, merged_path):
