@@ -44,7 +44,10 @@ val picks = Seq(
   ("q214_span_cut", "span-cut cleaner: vocabulary-sized df aggregate, covered positions via left-anti join, per-doc re-collect — no pair space"),
   ("q215_semdedup_multiprobe", "multi-probe SemDeDup: ONE broadcast probed-assignment pass (checkpointed), cell-equi-join pair space, primary-cell census"),
   ("q216_url_domain_quota", "eTLD+1 quota: pure string expressions (host extract + suffix rule) feeding the same k-heap aggregate as q213"),
-  ("q217_sym_incremental", "incremental sym maintenance: indicator-carrying merge aggregate (one (u,v) shuffle of base ∪ sym-delta), node-sized degree adjustment, node-keyed join — no source self-join"),
+  ("q217_sym_incremental", "incremental sym maintenance (join-form, r14): base LEFT-joins the delta-sized aggregate on (u,v), anti-join isolates fresh pairs, node-sized degrees broadcast back — the base shuffles at most once (zero times under the q232 bucketed layout)"),
+  ("q232_sym_incremental_bucketed", "bucketed-base sym merge: the standing relation reads as a catalog bucketed scan — NO exchange over the base anywhere in the merge; only the delta aggregate shuffles"),
+  ("q231_psl_full_domain_quota", "full published PSL (9.5k rules) + IDN: staged url→lower→idn_ascii→labels projection, ~12-branch when-chain with InSet lookups (codegen size independent of rule count), fenced NULL drop, q213 k-heap"),
+  ("q234_centroid_drift", "embedding-drift monitor: two scans (centroid aggregate + broadcast-centroid cosine binning), PSI fold on the bounded labels×bins relation"),
   ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
   ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"),
   ("q221_shingle_df_incremental", "incremental shingle-df: base ∪ delta-df merged by ONE vocabulary-keyed sum aggregate — delta tokenize only, no corpus-history re-scan"),
