@@ -696,6 +696,45 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("PslFull property: engine matcher equals an independent driver-side PSL reference over hosts built from real rules") {
+    import spark.implicits._
+    // the publicsuffix.org algorithm restated INDEPENDENTLY of the engine's
+    // when-chain: a rule matches when the host's suffix equals its base and
+    // the host has at least as many labels as the rule (the '*' is a
+    // label); exceptions prevail (ps = base labels - 1), else the most
+    // labels win (wildcard counts its '*'), else the implicit '*' (ps = 1);
+    // no registrable domain when the host IS the public suffix
+    def refRegistrable(host: String): Option[String] = {
+      val labs = host.split('.')
+      val n = labs.length
+      def suffix(k: Int) = labs.takeRight(k).mkString(".")
+      val matching = TextOps.PslFull.filter { r =>
+        val minLabs = if (r.kind == "wildcard") r.baseLabels + 1 else r.baseLabels
+        n >= minLabs && suffix(r.baseLabels) == r.base
+      }
+      val exc = matching.filter(_.kind == "exception")
+      val psLen =
+        if (exc.nonEmpty) exc.map(_.baseLabels).max - 1
+        else if (matching.isEmpty) 1
+        else matching.map(r => r.baseLabels + (if (r.kind == "wildcard") 1 else 0)).max
+      if (n >= psLen + 1) Some(labs.takeRight(psLen + 1).mkString(".")) else None
+    }
+    // deterministic host pool straight off the real list: each sampled
+    // rule's base bare, one level under it, and two levels under it —
+    // bare wildcard bases and bare exceptions are exactly the corner cases
+    val rnd = new scala.util.Random(42)
+    val sample = rnd.shuffle(TextOps.PslFull).take(400)
+    val hosts = sample.flatMap(r =>
+      Seq(r.base, "alpha." + r.base, "beta.alpha." + r.base)).distinct
+    val got = hosts.toDF("h")
+      .select(col("h"), TextOps.registrableDomainPslOfLabels(
+        split(col("h"), "\\."), TextOps.PslFull).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    hosts.foreach { h =>
+      assert(got(h) == refRegistrable(h), s"host '$h': engine ${got(h)} vs reference ${refRegistrable(h)}")
+    }
+  }
+
   test("mergeShingleDfDelta: incremental index refresh equals the full rebuild for every whole-doc split; df>1 cut matches the q220 index") {
     val docs = graft.sources.Tables.documents(spark, sf)
     def key(df: org.apache.spark.sql.DataFrame) =
