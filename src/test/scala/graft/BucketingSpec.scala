@@ -103,4 +103,21 @@ class BucketingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
+
+  test("bucketed MV refresh: republish under the SAME fingerprint drops the stale catalog entry; later reads serve the fresh publish without rebuilding") {
+    import spark.implicits._
+    val src = java.nio.file.Paths.get(sf, "orders.parquet")
+    val a = Tables.bucketedMv(spark, src, "bkt_spec_refresh", 4,
+      Seq("k"), Seq("k"), refresh = true) { Seq((1L, "a")).toDF("k", "v") }
+    assert(a.as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // refresh with the same source fingerprint replaces the files in place;
+    // the session catalog entry over the OLD file listing must not survive
+    val b = Tables.bucketedMv(spark, src, "bkt_spec_refresh", 4,
+      Seq("k"), Seq("k"), refresh = true) { Seq((1L, "b"), (2L, "c")).toDF("k", "v") }
+    assert(b.as[(Long, String)].collect().toSet == Set((1L, "b"), (2L, "c")))
+    // a plain read is a cache hit: the build closure must never run
+    val c = Tables.bucketedMv(spark, src, "bkt_spec_refresh", 4,
+      Seq("k"), Seq("k")) { sys.error("must not rebuild on a published MV") }
+    assert(c.as[(Long, String)].collect().toSet == Set((1L, "b"), (2L, "c")))
+  }
 }
