@@ -194,6 +194,17 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
     val passes = Seq(timedPass(), timedPass(), timedPass())
+    // the sink dir holds one cleaner-family result set per pass — delete it
+    // now that the timed passes are done (ADVICE r14: it leaked a full
+    // result set into java.io.tmpdir per bench invocation)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(sinkDir)
+      try {
+        val all = w.iterator().asScala.toSeq.reverse
+        all.foreach { p => java.nio.file.Files.deleteIfExists(p); () }
+      } finally w.close()
+    }
     val results = ordered.indices.map { i =>
       val samples = passes.map(_(i))
       (samples.head._1, samples.map(_._2).min,

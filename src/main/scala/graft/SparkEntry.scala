@@ -2312,7 +2312,21 @@ ORDER BY r.rank DESC, partkey"""
     // reference centroid (shape drift); everything past two scans lives on
     // the bounded labels×bins relation
     "q234_centroid_drift" -> ((s, dir) =>
-      Similarity.centroidDriftMonitor(Tables.embeddings(s, dir)))
+      Similarity.centroidDriftMonitor(Tables.embeddings(s, dir))),
+
+    // MULTI-BENCHMARK DECONTAMINATION: q222's span cut with the cut set
+    // widened to a TAGGED union of N benchmark sources probed in one pass,
+    // each doc's cut attributed per benchmark (benches_hit audit column)
+    "q235_multibench_decontam" -> ((s, dir) =>
+      TextOps.multiBenchDecontam(s, dir)),
+
+    // STREAMING INCREMENTAL INDEX MAINTENANCE: the bucketed standing sym
+    // MV maintained by a stream of CDC edge batches — per micro-batch,
+    // join-form merge against the current publish + atomic bucketed
+    // republish (no state store; the MV is the state); final publish must
+    // equal the full rebuild, whatever the batching
+    "q236_sym_merge_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.symMergeStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5395,12 +5409,16 @@ FROM sil GROUP BY cell ORDER BY cell""",
     "q233_shingle_df_bucketed" -> TextOps.shingleDfIncrementalOracleSql,
 
     // identical split, rounded centroids, bin grid, Laplace smoothing, and
-    // q196's exact ln/fold rounding contract — keyed by label
+    // q196's exact ln/fold rounding contract — keyed by label. The split
+    // modulus, bin scale (nBins/2), bin ceiling, grid size, and Laplace
+    // denominator (nBins/2) are INTERPOLATED from the same constants the
+    // engine call uses (Similarity.DriftSplitMod/DriftNBins, ADVICE r14) so
+    // the two sides cannot drift apart.
     "q234_centroid_drift" -> s"""
 WITH t AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          CAST(embedding AS DOUBLE[]) AS e,
-         vec_id % 10 <> 0 AS is_ref
+         vec_id % ${Similarity.DriftSplitMod} <> 0 AS is_ref
   FROM embeddings
 ), x AS (
   SELECT label, is_ref, unnest(e) AS v, unnest(range(1, len(e) + 1)) AS pos
@@ -5418,7 +5436,7 @@ WITH t AS (
   FROM cr JOIN cc ON cc.label = cr.label
 ), b AS (
   SELECT t.label, t.is_ref,
-         greatest(least(CAST(floor((round(${cosSql("t.e", "cr.cref")}, 6) + 1.0) * 10.0) AS BIGINT), 19), 0) AS bin
+         greatest(least(CAST(floor((round(${cosSql("t.e", "cr.cref")}, 6) + 1.0) * ${Similarity.DriftNBins / 2.0}) AS BIGINT), ${Similarity.DriftNBins - 1}), 0) AS bin
   FROM t JOIN cr ON cr.label = t.label
 ), counts AS (
   SELECT label, bin,
@@ -5428,7 +5446,7 @@ WITH t AS (
 ), grid AS (
   SELECT l.label, g.bin
   FROM (SELECT DISTINCT label FROM b) l
-  CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) g
+  CROSS JOIN (SELECT unnest(range(0, ${Similarity.DriftNBins})) AS bin) g
 ), dense AS (
   SELECT g.label, g.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
   FROM grid g LEFT JOIN counts c ON c.label = g.label AND c.bin = g.bin
@@ -5439,8 +5457,8 @@ WITH t AS (
   FROM dense
 ), terms AS (
   SELECT label, t_ref, t_cur,
-         (n_ref + 0.5) / (t_ref + 10.0) AS p,
-         (n_cur + 0.5) / (t_cur + 10.0) AS q
+         (n_ref + 0.5) / (t_ref + ${Similarity.DriftNBins / 2.0}) AS p,
+         (n_cur + 0.5) / (t_cur + ${Similarity.DriftNBins / 2.0}) AS q
   FROM shares
 ), psi AS (
   SELECT label,
@@ -5452,7 +5470,17 @@ WITH t AS (
 )
 SELECT p.label, p.n_ref, p.n_cur, d.centroid_cos, p.psi
 FROM psi p JOIN drift d ON d.label = p.label
-ORDER BY p.label"""
+ORDER BY p.label""",
+
+    // q222's derivation widened to the tagged multi-benchmark cut set,
+    // plus the per-benchmark covered-position audit — the benchmark list
+    // is interpolated from the same pinned constant the engine call uses
+    "q235_multibench_decontam" -> TextOps.multiBenchDecontamOracleSql(),
+
+    // sequential CDC merges are exact (additive per-order weights, exact
+    // degrees per merge), so the streamed final publish must equal the
+    // full rebuild: q217's oracle verbatim
+    "q236_sym_merge_stream" -> SymRebuildOracleSql
   )
 
   /** The full symmetrized-adjacency rebuild — q217's AND q232's oracle (the

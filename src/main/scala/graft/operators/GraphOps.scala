@@ -126,7 +126,18 @@ object GraphOps {
     val symDelta = deltaEdges
       .select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(deltaEdges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+    // MATERIALIZE the delta-sized aggregate (round-15, VERDICT r14 item 1 /
+    // the SCALING.md "materialize-the-merge-delta residual"): it is
+    // referenced from the grown-join, the anti-join, and (via `fresh`) the
+    // degree census, and Catalyst re-derives an unmaterialized subtree per
+    // reference (exchange reuse only sometimes recovers it at runtime).
+    // A localCheckpoint pins the single derivation for EVERY caller —
+    // production feeds a CDC batch (already materialized; the checkpoint of
+    // a materialized batch's aggregate is delta-cost), and gate-shaped
+    // callers now get the same plan. Delta-sized by contract, never base-
+    // shaped, so the block-manager footprint is the batch's, not the MV's.
     val deltaAgg = symDelta.groupBy("u", "v").agg(sum(col("w")).as("dw"))
+      .localCheckpoint(true)
     // JOIN-form merge (round-14, VERDICT r13 item 2): the standing relation
     // is unique by (u, v), so the union-then-reaggregate form — which
     // shuffled all 239M base rows at 100× and made the merge LOSE to the
@@ -140,22 +151,33 @@ object GraphOps {
       .select(col("u"), col("v"),
         (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
     // pairs ABSENT from the base (delta-sized) — the only rows that can
-    // change a degree, so the degree adjustment reads them, never the base
+    // change a degree, so the degree adjustment reads them, never the base.
+    // Checkpointed for the same reason as deltaAgg: it feeds both the degree
+    // census and a union arm, and materializing it means the anti-join scans
+    // the base exactly once.
     val fresh = deltaAgg.join(baseSym.select("u", "v"), Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"), col("dw").as("w"))
+      .localCheckpoint(true)
     // base degrees ride the standing relation (deg_u is constant per u);
     // under the bucketed layout the distinct collapses map-side to node
     // cardinality before its exchange
     val baseDeg = baseSym.select(col("u"), col("deg_u")).distinct()
     val freshCnt = fresh.groupBy("u").agg(count(lit(1)).as("d"))
+    // node-sized; checkpointed so the base-degree distinct runs once even
+    // when the relation is too big to broadcast and feeds both union arms
     val newDeg = baseDeg.join(freshCnt, Seq("u"), "full_outer")
       .select(col("u"),
         (coalesce(col("deg_u"), lit(0L)) + coalesce(col("d"), lit(0L))).as("deg_u"))
+      .localCheckpoint(true)
     // newDeg is node-sized (the graph-family doctrine: nodes ≪ edges), so a
-    // broadcast keeps the edge-sized branch exchange-free; the two branches
-    // share one broadcast exchange via reuse
-    grown.join(broadcast(newDeg), "u").select("u", "v", "w", "deg_u")
-      .union(fresh.join(broadcast(newDeg), "u").select("u", "v", "w", "deg_u"))
+    // broadcast keeps the edge-sized branch exchange-free — but a forced
+    // hint is honored regardless of size, so it is GATED on the family's
+    // BroadcastNodeLimit (cheap: the relation is already checkpointed);
+    // beyond it the merge falls back to the shuffled join, which is safe at
+    // any node count (ADVICE r14)
+    val bcast = newDeg.count() <= BroadcastNodeLimit
+    grown.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u")
+      .union(fresh.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u"))
   }
 
   /** Registered q217: q127's deterministic order split (delta = every 10th
@@ -167,7 +189,13 @@ object GraphOps {
   def symIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // the standing relation is MATERIALIZED by definition (production holds
+    // it as an MV — q232 scans the bucketed publish); checkpointing the
+    // gate's in-memory stand-in mirrors that, so the merge's internal
+    // materialization jobs (deltaAgg/fresh/newDeg) scan it instead of
+    // re-running the base self-join once per job
     val baseSym = symmetrizeWithDegrees(copurchaseEdgesOf(li.filter(col("ok") % 10 =!= 0)))
+      .localCheckpoint(true)
     val delta = copurchaseEdgesOf(li.filter(col("ok") % 10 === 0))
     mergeSymDelta(baseSym, delta)
       .select(col("u"), col("v"), col("w").cast("long").as("w"),
@@ -888,10 +916,16 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     val byBucket: Map[Int, Seq[String]] = {
       val l = java.nio.file.Files.list(path)
       try {
+        // matched against the file NAME only (ADVICE r14): an MV root whose
+        // directory path happens to contain a `_NNNNN.` segment must not
+        // leak into the bucket id
         val re = "_(\\d{5})\\.".r
-        l.iterator().asScala.map(_.toString)
-          .filter(_.contains("part-"))
-          .flatMap(f => re.findFirstMatchIn(f).map(m => m.group(1).toInt -> f))
+        l.iterator().asScala
+          .map(p => p.getFileName.toString -> p.toString)
+          .filter(_._1.startsWith("part-"))
+          .flatMap { case (fn, f) =>
+            re.findFirstMatchIn(fn).map(m => m.group(1).toInt -> f)
+          }
           .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       } finally l.close()
     }

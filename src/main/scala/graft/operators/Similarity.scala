@@ -750,8 +750,14 @@ object Similarity {
     * first aggregates scales with corpus size — the exact q196 shape with
     * labels for event types and cosine for value.
     */
-  def centroidDriftMonitor(emb: DataFrame, splitMod: Long = 10,
-                           nBins: Int = 20): DataFrame = {
+  /** The q234 knobs, pinned ONCE (ADVICE r14): the registered gate and its
+    * oracle SQL both interpolate these, so a knob change can never silently
+    * break engine/oracle parity. */
+  val DriftSplitMod: Long = 10L
+  val DriftNBins: Int = 20
+
+  def centroidDriftMonitor(emb: DataFrame, splitMod: Long = DriftSplitMod,
+                           nBins: Int = DriftNBins): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val tagged = emb.select(col("vec_id"),
       col("label").cast("long").as("label"),

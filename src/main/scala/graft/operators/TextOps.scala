@@ -1936,7 +1936,13 @@ ORDER BY c.shard"""
     // base persisted in the sg-bucketed standing layout
     // ([[Tables.bucketedMv]], gate q233) the base side plans zero
     // exchanges; unbucketed it degrades to one base shuffle, never worse.
+    // The delta's df aggregate is MATERIALIZED (round-15, VERDICT r14
+    // item 1): it feeds both the grown-join and the anti-join, and an
+    // unmaterialized derivation tokenizes the delta batch once per
+    // reference; the checkpoint pins the single derivation. Batch-
+    // vocabulary-sized, never corpus-shaped.
     val deltaDf = shingleDfFrom(deltaDocs).withColumnRenamed("df", "ddf")
+      .localCheckpoint(true)
     val grown = base.join(deltaDf, Seq("sg"), "left")
       .select(col("sg"), (col("df") + coalesce(col("ddf"), lit(0L))).as("df"))
     val fresh = deltaDf.join(base.select("sg"), Seq("sg"), "left_anti")
@@ -1950,7 +1956,12 @@ ORDER BY c.shard"""
     * additive maintenance. */
   def shingleDfIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // materialized to mirror production (the standing index is an MV — q233
+    // scans the bucketed publish); the merge references the base twice
+    // (grown-join + anti-join), so an in-memory stand-in would tokenize the
+    // 90% corpus once per reference
     val base = shingleDfFrom(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(true)
     mergeShingleDfDelta(base, docs.filter(col("doc_id") % 10 === 0))
       .select(col("sg"), col("df").cast("long").as("df"))
       .orderBy("sg")
@@ -2165,6 +2176,156 @@ SELECT n.doc_id, n.n_tokens,
        round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio
 FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
 ORDER BY n.doc_id"""
+
+  /** The TAGGED multi-benchmark cut set: every benchmark source's distinct
+    * shingles as (bench, sg) rows, persisted under the S6 fingerprinted-MV
+    * discipline. (Σ benchmark sizes)-shaped — eval sets are MBs against a
+    * 100 TB corpus — so the probe side stays broadcast-able at any
+    * benchmark COUNT; adding the 41st benchmark changes this MV build, not
+    * the probe count downstream. */
+  def multiBenchShinglesMV(spark: SparkSession, dir: String,
+                           benchSources: Seq[String],
+                           refresh: Boolean = false): DataFrame =
+    Tables.fingerprintedMv(spark,
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      s"bench_shingles_multi_${benchSources.sorted.mkString("_")}", refresh) {
+      Tables.documents(spark, dir)
+        .filter(col("source").isin(benchSources: _*))
+        .select(col("source").as("bench"),
+          explode(shingles(tokens(col("text")))).as("sg"))
+        .distinct()
+    }
+
+  /** MULTI-BENCHMARK SPAN DECONTAMINATION (q235, round-15 — VERDICT r14
+    * item 5) — production pipelines decontaminate against DOZENS of eval
+    * benchmarks, not one: the cut set is the tagged union of every
+    * benchmark's distinct shingles ([[multiBenchShinglesMV]]), probed in
+    * ONE pass, and each document's cut is ATTRIBUTED per benchmark for
+    * auditability — `benches_hit` lists, per benchmark that leaked into
+    * the doc, how many token positions its shingles cover ("src0:12,src2:3",
+    * sorted by benchmark). A position covered by several benchmarks counts
+    * under each (the audit answers "how much of MY eval is in this doc",
+    * per eval), so the per-benchmark counts can sum past `n_removed` by
+    * design; the cleaned text itself cuts each position once — q222's
+    * clean columns stay byte-identical in semantics.
+    *
+    * Scale shape: ONE probe join of the corpus shingle stream against the
+    * benchmark-sized tagged set; the probe result (covered positions ×
+    * covering benchmark — leak-sized, not corpus-sized) is materialized
+    * once and feeds both the span cut and the audit aggregate; everything
+    * downstream is q214's linear per-document machinery (anti-join +
+    * per-doc re-collect, doc_id shuffles, no pair space).
+    */
+  def multiBenchDecontam(spark: SparkSession, dir: String,
+                         benchSources: Seq[String] = DefaultBenchSources)
+      : DataFrame =
+    multiBenchDecontamAgainst(
+      Tables.documents(spark, dir)
+        .filter(!col("source").isin(benchSources: _*)),
+      multiBenchShinglesMV(spark, dir, benchSources))
+
+  /** The q235 gate's benchmark set, pinned once — the registered query and
+    * its oracle SQL both interpolate it (the q234 knob discipline). */
+  val DefaultBenchSources: Seq[String] = Seq("src0", "src1", "src2")
+
+  def multiBenchDecontamAgainst(docs: DataFrame,
+                                taggedSgs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val pos = tok
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
+    // the ONE probe join; hits = (doc, covered position, covering
+    // benchmark) — leak-sized — materialized because it feeds two branches
+    // (the cut's covered-position set and the per-benchmark audit)
+    val hits = pos.join(taggedSgs.select("bench", "sg"), Seq("sg"))
+      .select(col("doc_id"), col("bench"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val coveredPos = hits.select("doc_id", "p").distinct()
+    val audit = hits.groupBy("doc_id", "bench").agg(count(lit(1)).as("n_cov"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("bench"), col("n_cov")))).as("ba"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("ba"),
+          x => concat(x.getField("bench"), lit(":"), x.getField("n_cov"))))
+          .as("benches_hit"))
+    val kept = tok
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
+      .join(coveredPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("p"), col("tk")))).as("pt"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("pt"), x => x.getField("tk"))).as("kept_text"))
+    base.join(kept, Seq("doc_id"), "left")
+      .join(audit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_digest"),
+        rd((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
+          / col("n_tokens"), 6).as("cut_ratio"),
+        coalesce(col("benches_hit"), lit("")).as("benches_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** The q235 oracle: q222's covered-position derivation with the cut set
+    * widened to the tagged multi-benchmark union and the per-benchmark
+    * audit aggregated exactly as the engine does. */
+  def multiBenchDecontamOracleSql(benchSources: Seq[String] = DefaultBenchSources)
+      : String = {
+    val inList = benchSources.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH d AS (
+  SELECT doc_id, source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, source, string_split(norm, ' ') AS toks FROM d
+), bsh AS (
+  SELECT DISTINCT source AS bench, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE source IN ($inList) AND len(toks) >= 3)
+), tt AS (
+  SELECT doc_id, toks FROM t WHERE source NOT IN ($inList)
+), n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tt
+), sh AS (
+  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM tt WHERE len(toks) >= 3)
+), hits AS (
+  SELECT DISTINCT doc_id, bench, cp
+  FROM (SELECT s.doc_id, b.bench, unnest(range(s.i, s.i + 3)) AS cp
+        FROM sh s JOIN bsh b USING (sg))
+), cov AS (
+  SELECT DISTINCT doc_id, cp FROM hits
+), audit AS (
+  SELECT doc_id, string_agg(bench || ':' || n_cov, ',' ORDER BY bench) AS benches_hit
+  FROM (SELECT doc_id, bench, count(*) AS n_cov FROM hits GROUP BY doc_id, bench)
+  GROUP BY doc_id
+), tp AS (
+  SELECT doc_id, i, toks[i] AS tk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tt)
+), kept AS (
+  SELECT tp.doc_id, count(*) AS n_kept,
+         string_agg(tp.tk, ' ' ORDER BY tp.i) AS kept_text
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.i
+  WHERE cov.cp IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.kept_text, '')) AS kept_digest,
+       round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio,
+       COALESCE(a.benches_hit, '') AS benches_hit
+FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
+LEFT JOIN audit a ON a.doc_id = n.doc_id
+ORDER BY n.doc_id"""
+  }
 
   /** TOKEN-BUDGET CORPUS SELECTION (q223) — "take the best documents until
     * the budget is spent": every document ranked by the q31 composite

@@ -349,6 +349,33 @@ object Tables {
     deleted.toSeq
   }
 
+  /** Publish a built MV temp directory to its final path. ATOMIC_MOVE is the
+    * happy path; the catch discriminates (ADVICE r14 — the old blanket
+    * FileSystemException catch discarded a good build on ANY move failure):
+    *   - target-exists failures mean another JVM published between our check
+    *     and the move — theirs wins (both built the same deterministic
+    *     relation), ours is discarded;
+    *   - a filesystem without atomic rename falls back to a plain move (the
+    *     lock + `_SUCCESS` re-check still guard readers on such a host);
+    *   - anything else (transient IO, permissions) PROPAGATES instead of
+    *     masquerading as a lost race with a misleading "publish failed".
+    */
+  private def publishMv(tmp: java.nio.file.Path, mv: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption, FileAlreadyExistsException,
+      DirectoryNotEmptyException, AtomicMoveNotSupportedException}
+    try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+        deleteRecursively(tmp)
+      case _: AtomicMoveNotSupportedException =>
+        try Files.move(tmp, mv)
+        catch {
+          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            deleteRecursively(tmp)
+        }
+    }
+  }
+
   /** Source-fingerprinted materialized view: `build` runs once per distinct
     * (source file set, name) and lands under [[mvRoot]]; later calls —
     * including across JVMs — read the parquet back. A regenerated dataset
@@ -387,12 +414,12 @@ object Tables {
         // era or crashed cleanup) is swept rather than blocking the publish
         if (Files.exists(mv) && (refresh || !Files.exists(mv.resolve("_SUCCESS"))))
           deleteRecursively(mv)
-        try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // another JVM published between our check and move: theirs wins
-          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
-        }
+        publishMv(tmp, mv)
         require(Files.exists(mv.resolve("_SUCCESS")), s"MV publish failed: $mv")
+        // same JVM-shared listing-cache hazard as the bucketed refresh: a
+        // republish under the SAME path must invalidate the FileStatusCache
+        // or later scans serve the stale file list
+        spark.catalog.refreshByPath(mv.toString)
         vacuumMvs(name, fp)
       }
     }
@@ -462,15 +489,17 @@ object Tables {
         spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
         if (Files.exists(mv) && (refresh || !Files.exists(mv.resolve("_SUCCESS"))))
           deleteRecursively(mv)
-        try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // another JVM published between our check and move: theirs wins
-          case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
-        }
+        publishMv(tmp, mv)
         require(Files.exists(mv.resolve("_SUCCESS")), s"bucketed MV publish failed: $mv")
         // a refresh re-publishes under the SAME fingerprint — drop the
-        // session catalog entry so the next read re-lists the fresh files
+        // session catalog entry so the next read re-lists the fresh files,
+        // AND invalidate the JVM-shared FileStatusCache for the path: the
+        // listing cache is keyed by path with no TTL, so without this a
+        // later scan (even through a freshly created catalog entry) serves
+        // the pre-refresh file list and dies FILE_NOT_EXIST — the q236
+        // per-batch republish loop hit exactly this
         spark.sql(s"DROP TABLE IF EXISTS `${bucketedTableName(name, fp)}`")
+        spark.catalog.refreshByPath(mv.toString)
         vacuumMvs(name, fp)
       }
     }
@@ -514,6 +543,14 @@ object Tables {
              |LOCATION '${mv.toUri}'""".stripMargin)
       }
     }
+    // the resolved-relation cache (file listing included) is PER SESSION,
+    // and a refresh may have been published by a DIFFERENT session — e.g.
+    // the q236 maintenance loop republishes from the streaming clone, whose
+    // DROP TABLE/refreshByPath can't reach this session's cache, leaving a
+    // deleted file list live here (measured: FILE_NOT_EXIST on the gate's
+    // final read). Re-listing ≤nBuckets files per read-back is noise next
+    // to any scan, so validate unconditionally.
+    spark.catalog.refreshTable(s"`$tbl`")
     spark.table(tbl)
   }
 }

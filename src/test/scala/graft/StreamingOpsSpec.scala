@@ -399,8 +399,12 @@ class StreamingOpsSpec extends SparkSpecBase {
 
     // property: for a fixed doc population, EVERY arrival order / batch split
     // ends in the same state == the batch take-while rule
+    // 17/18 tie 12's score and 18 > 12 > 17 by id — the ordered-insert
+    // tie-break (insert strictly after smaller ids, before larger) must
+    // match the batch sort's (-q, id) order for every arrival order
     val docsA = Seq((11L, 3L, 0.9), (12L, 4L, 0.8), (13L, 5L, 0.7),
-      (14L, 2L, 0.85), (15L, 6L, 0.6), (16L, 1L, 0.95))
+      (14L, 2L, 0.85), (15L, 6L, 0.6), (16L, 1L, 0.95),
+      (17L, 2L, 0.8), (18L, 1L, 0.8))
     val budget = 9L
     def batchRule(ds: Seq[(Long, Long, Double)]): Seq[(Long, Long)] = {
       var acc = 0L

@@ -16,17 +16,49 @@ by canary_new/canary_old before suspecting a code regression), and reports:
   - a reminder of the next escalation step (same-day worktree replay) when
     drifts survive normalization.
 
-Exit code: 0 when no query survives the drift filter, 1 otherwise — usable
-as a regression tripwire in a round's closing checklist.
+Replay adjudication (VERDICT r14 item 2): when the worktree-replay protocol
+has adjudicated this round's surviving flags, the evidence lives in
+bench/replay_rN.json (committed, one entry per flagged query: old-jar and
+new-jar times from the SAME session, per-leg canaries, and a verdict).
+This script auto-discovers replay_rN.json next to a NEW artifact named
+full_rN.json (or takes --replay PATH) and SILENCES flags the replay
+adjudicated as host drift — a silenced flag is still printed, marked
+"adjudicated", with the replay's own numbers. A replay verdict of
+"code_regression" keeps the flag (and the exit code) alive.
+
+Exit code: 0 when no query survives the drift filter after replay
+adjudication, 1 otherwise — usable as a regression tripwire in a round's
+closing checklist.
 """
 import argparse
 import json
+import os
+import re
 import sys
 
 
 def load(path):
     with open(path) as f:
         return json.loads(f.readline())
+
+
+def load_replay(args):
+    """Replay evidence: explicit --replay wins; else bench/replay_rN.json
+    sibling of a NEW artifact named full_rN.json. Returns (path, dict) or
+    (None, {})."""
+    path = args.replay
+    if not path:
+        m = re.match(r"full_(r\d+)\.json$", os.path.basename(args.new))
+        if m:
+            cand = os.path.join(os.path.dirname(args.new) or ".",
+                                f"replay_{m.group(1)}.json")
+            if os.path.exists(cand):
+                path = cand
+    if not path:
+        return None, {}
+    with open(path) as f:
+        doc = json.load(f)
+    return path, doc.get("queries", {})
 
 
 def main():
@@ -37,7 +69,13 @@ def main():
                     help="normalized ratio beyond which a drift is flagged (default 1.25, both directions)")
     ap.add_argument("--abs-floor", type=float, default=0.15,
                     help="minimum absolute delta in seconds for a flag (default 0.15)")
+    ap.add_argument("--replay", default=None,
+                    help="replay-adjudication artifact (default: auto-discover "
+                         "bench/replay_rN.json next to a NEW artifact named full_rN.json)")
     args = ap.parse_args()
+    replay_path, replay = load_replay(args)
+    if replay_path:
+        print(f"replay adjudication: {replay_path} ({len(replay)} quer{'y' if len(replay) == 1 else 'ies'})")
 
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
@@ -79,15 +117,33 @@ def main():
     if flagged:
         print(f"\n{len(flagged)} drift(s) beyond x{args.threshold} "
               f"(normalized, abs floor {args.abs_floor}s), largest absolute first:")
+        live_flags = live_regressions = 0
         for k, o, n, r in flagged:
+            adj = replay.get(k)
+            if adj is not None and adj.get("verdict") != "code_regression":
+                print(f"  adjudicated {k}: {o:.2f}s -> {n:.2f}s (x{r:.2f} normalized) — "
+                      f"replay verdict '{adj.get('verdict')}': old jar {adj.get('old_jar_sec')}s "
+                      f"vs new jar {adj.get('new_jar_sec')}s same-session"
+                      + (f" ({adj.get('note')})" if adj.get("note") else ""))
+                continue
+            live_flags += 1
+            if r > 1:
+                live_regressions += 1
             print(f"  {'REGRESSED' if r > 1 else 'improved '} {k}: "
                   f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s)")
-        if any(r > 1 for _, _, _, r in flagged):
-            print("\nregressions survived canary normalization — next step per the "
-                  "drift protocol: same-day worktree replay of the old tree "
-                  "(git worktree add, sbt package, time the flagged queries in "
-                  "one spark-shell session against both jars).")
-        return 1
+        if live_regressions:
+            print("\nregressions survived canary normalization"
+                  + (" and replay adjudication" if replay_path else "")
+                  + " — next step per the drift protocol: same-day worktree replay "
+                  "of the old tree (git worktree add, sbt package, time the flagged "
+                  "queries in one spark-shell session against both jars), then commit "
+                  "the per-query evidence as bench/replay_rN.json so this compare "
+                  "can adjudicate.")
+            return 1
+        if live_flags:
+            return 1
+        print("\nevery flag adjudicated by the replay artifact.")
+        return 0
     print("\nno per-query drift beyond the threshold after normalization.")
     return 0
 
