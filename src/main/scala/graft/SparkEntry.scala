@@ -276,6 +276,43 @@ FROM scored GROUP BY lang ORDER BY lang"""
 )"""
   }
 
+  /** [[KmeansCellsCtes]] with TRAINING restricted to the standing split
+    * (vec_id % 10 <> 0) while `fin` assigns EVERY vector — the q237
+    * incremental-IVF contract: centroids are trained once on the base,
+    * arriving vectors are assigned against those fixed centroids. */
+  private lazy val KmeansCellsSplitCtes: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = s"cents${i - 1}"
+      s""", asg$i AS (
+  SELECT e.vec_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM eb e CROSS JOIN $prev c
+), cp$i AS (
+  SELECT cell, pos, round(avg(val), 6) + 0 AS c
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+        FROM asg$i WHERE crk = 1)
+  GROUP BY 1, 2
+), cents$i AS (
+  SELECT cell, list(c ORDER BY pos) AS cvec FROM cp$i GROUP BY cell
+)"""
+    }.mkString
+    s"""WITH ea AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), eb AS (
+  SELECT vec_id, v FROM ea WHERE vec_id % 10 <> 0
+), sd AS (
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM eb ORDER BY h LIMIT 8
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM sd
+)$iters, fin AS (
+  SELECT ea.vec_id, c.cell, ea.v,
+         row_number() OVER (PARTITION BY ea.vec_id
+                            ORDER BY ${cosSql("ea.v", "c.cvec")} DESC, c.cell) AS crk
+  FROM ea CROSS JOIN cents3 c
+)"""
+  }
+
   /** q205 oracle: per-subspace Lloyd replays (the [[KmeansCellsCtes]]
     * technique, parameterized over the m vector slices), the code
     * assignment, the ADC lookup tables, and the left-associated m-term
@@ -2326,7 +2363,14 @@ ORDER BY r.rank DESC, partkey"""
     // republish (no state store; the MV is the state); final publish must
     // equal the full rebuild, whatever the batching
     "q236_sym_merge_stream" -> ((s, dir) =>
-      graft.streaming.StreamingOps.symMergeStreamParity(s, dir))
+      graft.streaming.StreamingOps.symMergeStreamParity(s, dir)),
+
+    // INCREMENTAL IVF INDEX, BUCKETED: centroid MV trained once on the
+    // standing split, assignment MV bucketed by cell, delta vectors
+    // assigned by one broadcast pass, probe bucket-pruned to the probed
+    // cell set — the ANN index refreshing at delta cost (q232's discipline)
+    "q237_ivf_incremental_bucketed" -> ((s, dir) =>
+      Similarity.ivfIncrementalParityBucketed(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5480,7 +5524,27 @@ ORDER BY p.label""",
     // sequential CDC merges are exact (additive per-order weights, exact
     // degrees per merge), so the streamed final publish must equal the
     // full rebuild: q217's oracle verbatim
-    "q236_sym_merge_stream" -> SymRebuildOracleSql
+    "q236_sym_merge_stream" -> SymRebuildOracleSql,
+
+    // q73's probe over the split-trained Lloyd replay: centroids from the
+    // standing split only, every vector assigned against them (standing ∪
+    // delta ≡ assign-everything, since assignment is per-row under fixed
+    // centroids), probes vec_id < 5 at nProbe = 3, top-3
+    "q237_ivf_incremental_bucketed" -> s"""
+$KmeansCellsSplitCtes, assigned AS (
+  SELECT vec_id AS neighbor_id, cell, v AS ce FROM fin WHERE crk = 1
+), probes AS (
+  SELECT vec_id AS q_id, cell, v AS qe FROM fin WHERE crk <= 3 AND vec_id < 5
+), s AS (
+  SELECT p.q_id, a.neighbor_id, ${cosSql("p.qe", "a.ce")} AS sim
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.neighbor_id
+), r AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
+FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
   )
 
   /** The full symmetrized-adjacency rebuild — q217's AND q232's oracle (the

@@ -461,7 +461,8 @@ object Tables {
   def bucketedMvPath(spark: SparkSession, srcPath: java.nio.file.Path,
                      name: String, nBuckets: Int,
                      bucketCols: Seq[String], sortCols: Seq[String],
-                     refresh: Boolean = false)
+                     refresh: Boolean = false,
+                     oneFilePerBucket: Boolean = true)
                     (build: => DataFrame): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption}
     import org.apache.spark.sql.functions.col
@@ -479,8 +480,17 @@ object Tables {
         // bucket writer assigns by, so each task holds exactly one bucket
         // and each bucket lands in ONE file — the single-file property is
         // what lets a later scan report the per-bucket sort order
-        // (multi-file buckets forfeit it and every merge re-sorts)
-        build.repartition(nBuckets, bucketCols.map(col): _*)
+        // (multi-file buckets forfeit it and every merge re-sorts).
+        // oneFilePerBucket=false skips the pre-shuffle entirely: the bucket
+        // writer splits each UPSTREAM partition into per-bucket files (k
+        // files per bucket, k = upstream partitions touching it), trading
+        // the scan-reported sort for writing at the plan's own parallelism
+        // with ZERO extra exchange — the write-back-tail lever for standing
+        // merges whose output is already delta-merged (VERDICT r14 item 3);
+        // readers keep bucket pruning + co-partitioning either way, and a
+        // merge downstream pays one partition-local sort, never an exchange
+        (if (oneFilePerBucket) build.repartition(nBuckets, bucketCols.map(col): _*)
+         else build)
           .write.format("parquet")
           .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(sortCols.head, sortCols.tail: _*)
@@ -507,6 +517,47 @@ object Tables {
     mv
   }
 
+  /** Per-bucket data files of a bucketed-MV publish, keyed by bucket id
+    * (parsed from the file NAME — `part-…_BBBBB.c000…`). Buckets with no
+    * rows have no file and map to nothing; multi-file buckets
+    * (oneFilePerBucket = false) map to all their files. This is the
+    * conf-independent probe-pruning surface: Spark's own bucket-filter
+    * pruning only engages when the planner keeps the bucketed scan
+    * (autoBucketedScan disables it for filter-only queries), whereas
+    * reading the listed files by path prunes unconditionally — the
+    * labelPropagationBucketed / q237 probe pattern. */
+  def bucketFiles(path: java.nio.file.Path): Map[Int, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val re = "_(\\d{5})\\.".r
+    val l = java.nio.file.Files.list(path)
+    try l.iterator().asScala
+      .map(p => p.getFileName.toString -> p.toString)
+      .filter(_._1.startsWith("part-"))
+      .flatMap { case (fn, f) =>
+        re.findFirstMatchIn(fn).map(m => m.group(1).toInt -> f)
+      }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    finally l.close()
+  }
+
+  /** Remove a bucketed MV's publish and catalog entry for this source's
+    * CURRENT fingerprint — the reset a maintenance-chain gate (q236) needs
+    * before replaying its refresh sequence from the pristine base. No-op if
+    * never published. */
+  def dropBucketedMv(spark: SparkSession, srcPath: java.nio.file.Path,
+                     name: String): Unit = {
+    val fp = mvFingerprint(srcPath)
+    val mv = mvRoot().resolve(s"${name}_$fp")
+    val lock = mvLocks.computeIfAbsent(s"${name}_$fp", _ => new Object)
+    lock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketedTableName(name, fp)}`")
+      if (java.nio.file.Files.exists(mv)) {
+        deleteRecursively(mv)
+        spark.catalog.refreshByPath(mv.toString)
+      }
+    }
+  }
+
   /** [[bucketedMvPath]] + catalog read-back: the returned DataFrame scans
     * with the bucket spec attached, so joins/aggregates keyed on (a superset
     * of) `bucketCols` see HashPartitioning and plan no exchange on this
@@ -525,10 +576,11 @@ object Tables {
   def bucketedMv(spark: SparkSession, srcPath: java.nio.file.Path,
                  name: String, nBuckets: Int,
                  bucketCols: Seq[String], sortCols: Seq[String],
-                 refresh: Boolean = false)
+                 refresh: Boolean = false,
+                 oneFilePerBucket: Boolean = true)
                 (build: => DataFrame): DataFrame = {
     val mv = bucketedMvPath(spark, srcPath, name, nBuckets, bucketCols,
-      sortCols, refresh)(build)
+      sortCols, refresh, oneFilePerBucket)(build)
     val fp = mv.getFileName.toString.takeRight(16)
     val tbl = bucketedTableName(name, fp)
     val lock = mvLocks.computeIfAbsent(s"${name}_$fp", _ => new Object)

@@ -1303,23 +1303,34 @@ object StreamingOps {
       }
     }
     val srcPath = Paths.get(dir, "lineitem.parquet")
-    val mvName = "copurchase_symb90s"
+    // NOTE "p" (pristine), not the retired "copurchase_symb90s": an earlier
+    // q236 shape republished merged state under that name, so reusing it
+    // would treat a mutated publish as the pristine base
+    val baseName = "copurchase_symb90p"
+    val outName = "copurchase_symb90p_out"
     val bkt = Seq("u", "v")
-    // pristine 90% standing MV, REBUILT at gate start (refresh = true)
-    // because the stream below mutates it by republishing per batch
-    Tables.bucketedMv(spark, srcPath, mvName, 32, bkt, bkt, refresh = true) {
+    // pristine 90% standing MV — fingerprint-cached corpus-level state,
+    // built ONCE per corpus and never mutated: the maintenance chain
+    // publishes each refresh under `outName` instead, so replaying the
+    // gate costs merges + write-backs, never a base rebuild
+    Tables.bucketedMv(spark, srcPath, baseName, 32, bkt, bkt) {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       GraphOps.symmetrizeWithDegrees(
         GraphOps.copurchaseEdgesOf(li.filter(col("ok") % 10 =!= 0)))
     }
+    // reset any prior run's refresh chain
+    Tables.dropBucketedMv(spark, srcPath, outName)
     // read-backs below must NEVER rebuild — a vanished MV mid-stream is a
-    // bug, not a rebuild trigger (a silent rebuild from the 90% split would
-    // drop every previously merged batch)
-    def standing(s: SparkSession): DataFrame =
-      Tables.bucketedMv(s, srcPath, mvName, 32, bkt, bkt)(
-        sys.error(s"standing MV $mvName vanished mid-stream"))
+    // bug, not a rebuild trigger (a silent rebuild would drop merged state)
+    def standing(s: SparkSession, name: String): DataFrame =
+      Tables.bucketedMv(s, srcPath, name, 32, bkt, bkt)(
+        sys.error(s"standing MV $name vanished mid-stream"))
     val ckpt = Files.createTempDirectory("graft_symmerge_ckpt")
+    // batch 1 merges against the pristine base; every later batch against
+    // the chain's own last publish (driver-side flag: foreachBatch bodies
+    // run sequentially on the driver)
+    var first = true
     try {
       val schema = spark.read.parquet(split).schema
       val src = spark.readStream.schema(schema)
@@ -1328,20 +1339,22 @@ object StreamingOps {
         .foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
             val s = b.sparkSession
-            val merged = GraphOps.mergeSymDelta(standing(s),
+            val cur = standing(s, if (first) baseName else outName)
+            val merged = GraphOps.mergeSymDelta(cur,
               GraphOps.copurchaseEdgesOf(b))
             // the bucketed build fully materializes into a private temp
             // BEFORE the old publish is swapped out, so the merge's base
             // scan and the republish never race
-            Tables.bucketedMv(s, srcPath, mvName, 32, bkt, bkt,
+            Tables.bucketedMv(s, srcPath, outName, 32, bkt, bkt,
               refresh = true)(merged): Unit
+            first = false
           }
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(); q.stop()
-      standing(spark)
+      standing(spark, outName)
         .select(col("u"), col("v"), col("w").cast("long").as("w"),
           col("deg_u").cast("long").as("deg_u"))
         .orderBy("u", "v")

@@ -180,6 +180,87 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("q237 probe shape: file-level bucket pruning (Tables.bucketFiles) reads only the probed buckets' files and returns exactly their rows") {
+    import spark.implicits._
+    val src = java.nio.file.Paths.get(sf, "part.parquet")
+    val path = Tables.bucketedMvPath(spark, src, "bkt_spec_ivf", 8,
+      Seq("cell"), Seq("cell", "vec_id"), refresh = true) {
+      (0L until 64L).map(i => (i % 8, i)).toDF("cell", "vec_id")
+    }
+    val byBucket = Tables.bucketFiles(path)
+    assert(byBucket.keySet.subsetOf((0 until 8).toSet) && byBucket.nonEmpty)
+    // the writer's murmur3+pmod rule, replayed the way the q237 probe does
+    val cells = Seq(1L, 3L)
+    val bIds = cells.toDF("cell")
+      .select(pmod(hash(col("cell")), lit(8)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val files = bIds.toSeq.sorted.flatMap(byBucket.getOrElse(_, Nil))
+    assert(files.nonEmpty && files.size <= 2,
+      s"2 probed cells must map to <= 2 bucket files, got $files")
+    val schema = spark.read.parquet(path.toString).schema
+    val probed = spark.read.schema(schema).parquet(files: _*)
+      .filter(col("cell").isin(cells: _*))
+    // only the selected files are touched (inputFiles are file:// URIs)
+    assert(probed.inputFiles.map(_.split('/').last).toSet ==
+      files.map(_.split('/').last).toSet)
+    // ...and the rows are exactly the probed cells'
+    assert(probed.select("vec_id").as[Long].collect().toSet ==
+      (0L until 64L).filter(i => i % 8 == 1 || i % 8 == 3).toSet)
+  }
+
+  test("oneFilePerBucket=false: the bucketed write keeps bucket pruning and row parity, writes at the plan's own parallelism (no pre-shuffle), and the merge-side read degrades to a sort, never an exchange") {
+    import spark.implicits._
+    val src = java.nio.file.Paths.get(sf, "part.parquet")
+    val rows = (0L until 96L).map(i => (i % 8, i))
+    val mv = Tables.bucketedMv(spark, src, "bkt_spec_kfiles", 8,
+      Seq("cell"), Seq("cell", "vec_id"), refresh = true,
+      oneFilePerBucket = false) {
+      // 4 upstream partitions, each holding every cell -> k files per bucket
+      rows.toDF("cell", "vec_id").repartition(4)
+    }
+    // row parity through the multi-file-bucket publish + read-back
+    assert(mv.select("cell", "vec_id").as[(Long, Long)].collect().toSet ==
+      rows.toSet)
+    // multiple files for at least one bucket (the property traded away);
+    // the path accessor returns the published dir without rebuilding
+    val mvPath = Tables.bucketedMvPath(spark, src, "bkt_spec_kfiles", 8,
+      Seq("cell"), Seq("cell", "vec_id"), refresh = false,
+      oneFilePerBucket = false)(sys.error("already published"))
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(mvPath)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSeq
+      finally l.close()
+    }
+    val perBucket = files.groupBy(f =>
+      "_(\\d{5})\\.".r.findFirstMatchIn(f).map(_.group(1).toInt).getOrElse(-1))
+    assert(perBucket.exists(_._2.size > 1),
+      s"expected multi-file buckets from a 4-partition build, got $files")
+    // file-level bucket pruning survives the multi-file layout: the
+    // bucketFiles map hands back ALL of a bucket's files, and reading just
+    // one bucket's files returns exactly its rows
+    val byBucket = Tables.bucketFiles(mvPath)
+    val b2 = spark.range(1).select(pmod(hash(lit(2L)), lit(8)).cast("int"))
+      .head().getInt(0)
+    val schema = spark.read.parquet(mvPath.toString).schema
+    val pruned = spark.read.schema(schema).parquet(byBucket(b2): _*)
+      .filter(col("cell") === 2L)
+    assert(pruned.select("vec_id").as[Long].collect().toSet ==
+      rows.filter(_._1 == 2L).map(_._2).toSet,
+      "multi-file bucket prune returned wrong rows")
+    // an aggregate keyed on the bucket column still plans ZERO exchange —
+    // only the scan-reported SORT is forfeited
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = mv.groupBy("cell").agg(count(lit(1)).as("n"))
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("Exchange"),
+        s"bucket-keyed aggregate over multi-file buckets still shuffles:\n$aplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("bucketed MV refresh: republish under the SAME fingerprint drops the stale catalog entry; later reads serve the fresh publish without rebuilding") {
     import spark.implicits._
     val src = java.nio.file.Paths.get(sf, "orders.parquet")
