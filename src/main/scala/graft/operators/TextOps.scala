@@ -286,6 +286,91 @@ object TextOps {
     lshNearDupPairs(spark, dir, "md5", md5AB,
       cols => md5(concat_ws("|", cols.map(_.cast("string")): _*)), threshold)
 
+  /** MEASURED LSH candidate quality (round-15 — VERDICT r14 item 7a): the
+    * approximate-duplicate RANKING property pinned numerically. For the
+    * registered 32-perm / 8-band / 4-row xxhash64 family, per threshold τ:
+    *   - ground truth = ALL rep pairs with exact Jaccard ≥ τ (computed
+    *     all-pairs via the shingle equi-join — no banding, no blocking);
+    *   - candidates = the raw band-collision pair set (PRE-verify: the
+    *     pipeline's exact-Jaccard verify stage makes final precision 1.0
+    *     by construction, so the quality question is candidate recall);
+    *   - expected_recall = mean over true pairs of 1 − (1 − J^rows)^bands —
+    *     the S-curve the banding theory promises at each pair's exact J.
+    * Emits one row per τ: (tau, n_true, n_hit, n_candidates, recall,
+    * candidate_precision, expected_recall). Committed as the measured
+    * curve in DEDUP_QUALITY.md; bounds spec-pinned in TextOpsSpec.
+    *
+    * Scale shape: truth is gate-tool machinery (all-pairs over the shingle
+    * join is rep-bounded at gate SF and exists to MEASURE the index, not
+    * to run in production — production runs the banded path this measures);
+    * the candidate set and per-τ aggregates are the production-shaped side.
+    */
+  def lshCandidateQuality(spark: SparkSession, dir: String,
+                          taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    val base = dedupBase(spark, dir)
+    val sh = base.repSh
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("sg"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("sg"), col("doc_id").as("doc_b")), Seq("sg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
+    val cand = bandCandidates(
+      bandsFromWide(minHashWide(xxhashAB(sh)), cols => xxhash64(cols: _*)))
+      .withColumn("hit", lit(1L))
+    // truth ⋈ candidates, materialized once and re-aggregated per τ
+    val joined = truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(col("j"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .localCheckpoint(true)
+    val nCand = cand.count()
+    val rows = taus.sorted.map { tau =>
+      val agg = joined.filter(col("j") >= tau)
+        .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"),
+          avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(BandRows.toDouble)),
+            lit(NumBands.toDouble))).as("e_rec"))
+        .head()
+      val nTrue = agg.getLong(0)
+      val nHit = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val eRec = if (agg.isNullAt(2)) 0.0 else agg.getDouble(2)
+      (tau, nTrue, nHit, nCand,
+        if (nTrue == 0) 1.0 else nHit.toDouble / nTrue,
+        if (nCand == 0) 1.0 else nHit.toDouble / nCand,
+        eRec)
+    }
+    import spark.implicits._
+    rows.toDF("tau", "n_true", "n_hit", "n_candidates", "recall",
+      "candidate_precision", "expected_recall")
+  }
+
+  /** The true pairs (exact Jaccard ≥ τ) MISSED by the banding — pair-level,
+    * with set sizes, so the DEDUP_QUALITY.md contract is spec-checkable:
+    * under the K-M double-hashing family every systematic miss is a
+    * CONTAINMENT pair (inter = min(na, nb)); a non-containment miss would
+    * mean the family is broken, not merely correlated. */
+  def lshMissedPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val sh = dedupBase(spark, dir).repSh
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("sg"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("sg"), col("doc_id").as("doc_b")), Seq("sg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .filter(col("j") >= tau)
+    val cand = bandCandidates(
+      bandsFromWide(minHashWide(xxhashAB(sh)), cols => xxhash64(cols: _*)))
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .filter(col("hit").isNull).drop("hit")
+      .orderBy(col("j").desc, col("doc_a"))
+  }
+
   /** Verified rep-level near-dup pairs, memoized per (session, dir, hash
     * family, threshold): the signature → band → candidate → exact-verify
     * pipeline is deterministic and idempotent for a given corpus, so a

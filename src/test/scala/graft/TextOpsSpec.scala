@@ -1220,4 +1220,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one.length == 1 && one.head.getLong(3) == vocab
       && one.head.getDouble(5) == 1.0, s"degenerate shard wrong: ${one.toSeq}")
   }
+
+  test("lshCandidateQuality: the DEDUP_QUALITY.md contract — internal consistency, recall floor, and every banding miss containment-shaped") {
+    val rows = TextOps.lshCandidateQuality(spark, sf, Seq(0.5, 0.8, 0.9))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, nHit, nCand) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nHit <= nTrue && nHit <= nCand, s"impossible counts: $r")
+      assert(r.getDouble(4) >= 0.85,
+        s"candidate recall collapsed below the committed floor: $r")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // any miss the K-M family ever produces must be a CONTAINMENT pair
+    // (inter = min(na, nb)) — the correlated-permutation failure mode
+    // anatomized in DEDUP_QUALITY.md; a non-containment miss means the
+    // family is broken, not merely correlated
+    TextOps.lshMissedPairs(spark, sf, 0.5).collect().foreach { m =>
+      val (inter, na, nb) = (m.getLong(2), m.getLong(3), m.getLong(4))
+      assert(inter == math.min(na, nb),
+        s"non-containment banding miss — the LSH family is broken: $m")
+    }
+  }
 }
