@@ -481,14 +481,21 @@ object Tables {
         // and each bucket lands in ONE file — the single-file property is
         // what lets a later scan report the per-bucket sort order
         // (multi-file buckets forfeit it and every merge re-sorts).
-        // oneFilePerBucket=false skips the pre-shuffle entirely: the bucket
-        // writer splits each UPSTREAM partition into per-bucket files (k
-        // files per bucket, k = upstream partitions touching it), trading
-        // the scan-reported sort for writing at the plan's own parallelism
-        // with ZERO extra exchange — the write-back-tail lever for standing
-        // merges whose output is already delta-merged (VERDICT r14 item 3);
-        // readers keep bucket pruning + co-partitioning either way, and a
-        // merge downstream pays one partition-local sort, never an exchange
+        // oneFilePerBucket=false skips the explicit pre-shuffle. MEASURED
+        // at 100× (r15a2, isolated writes from identical block-manager
+        // input): for merge-shaped inputs — already partitioned compatibly
+        // with the bucket spec — Spark 4's planned write enforces the
+        // bucket distribution itself, so the explicit repartition DOUBLE-
+        // pays the 239M-row exchange (2–3× slower write-back) and both
+        // paths land the identical one-file-per-bucket layout; merge
+        // write-backs (q236's republish) therefore pass false. For inputs
+        // NOT already bucket-partitioned, false can yield k files per
+        // bucket (spec-pinned), forfeiting the scan-reported sort that the
+        // zero-sort merge plan needs — standing-MV builds keep true until
+        // the planned-write distribution interaction is fully pinned down
+        // (the r15 SCALING.md residual); readers keep bucket pruning and
+        // co-partitioning either way, and a merge over multi-file buckets
+        // pays one partition-local sort, never an exchange
         (if (oneFilePerBucket) build.repartition(nBuckets, bucketCols.map(col): _*)
          else build)
           .write.format("parquet")

@@ -1344,9 +1344,14 @@ object StreamingOps {
               GraphOps.copurchaseEdgesOf(b))
             // the bucketed build fully materializes into a private temp
             // BEFORE the old publish is swapped out, so the merge's base
-            // scan and the republish never race
+            // scan and the republish never race. oneFilePerBucket = false:
+            // the merge output is already (u,v)-partitioned, and the r15a2
+            // isolated-write A/B measured the explicit pre-shuffle DOUBLE-
+            // paying the exchange under Spark 4's planned write (2-3x
+            // slower) while producing the identical one-file-per-bucket
+            // layout either way for merge-shaped inputs
             Tables.bucketedMv(s, srcPath, outName, 32, bkt, bkt,
-              refresh = true)(merged): Unit
+              refresh = true, oneFilePerBucket = false)(merged): Unit
             first = false
           }
         }

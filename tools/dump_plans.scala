@@ -48,6 +48,8 @@ val picks = Seq(
   ("q232_sym_incremental_bucketed", "bucketed-base sym merge: the standing relation reads as a catalog bucketed scan — NO exchange over the base anywhere in the merge; only the delta aggregate shuffles"),
   ("q231_psl_full_domain_quota", "full published PSL (9.5k rules) + IDN: staged url→lower→idn_ascii→labels projection, ~12-branch when-chain with InSet lookups (codegen size independent of rule count), fenced NULL drop, q213 k-heap"),
   ("q234_centroid_drift", "embedding-drift monitor: two scans (centroid aggregate + broadcast-centroid cosine binning), PSI fold on the bounded labels×bins relation"),
+  ("q235_multibench_decontam", "multi-benchmark decontam: ONE probe join against the tagged (bench, sg) cut-set MV; leak-sized hits checkpointed once, feeding the span cut AND the per-benchmark audit aggregate"),
+  ("q237_ivf_incremental_bucketed", "incremental IVF: fixed centroid MV broadcast into delta assignment (zero shuffles), standing assignment read as ONLY the probed buckets' files (file-level pruning), k-heap top-k"),
   ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
   ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"),
   ("q221_shingle_df_incremental", "incremental shingle-df: base ∪ delta-df merged by ONE vocabulary-keyed sum aggregate — delta tokenize only, no corpus-history re-scan"),
