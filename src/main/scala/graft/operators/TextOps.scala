@@ -2041,12 +2041,13 @@ ORDER BY c.shard"""
     * additive maintenance. */
   def shingleDfIncrementalParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // materialized to mirror production (the standing index is an MV — q233
-    // scans the bucketed publish); the merge references the base twice
-    // (grown-join + anti-join), so an in-memory stand-in would tokenize the
-    // 90% corpus once per reference
+    // NOT checkpointed: the merge references the base twice (grown-join +
+    // anti-join), but the lazy double-derivation pipelines inside one job,
+    // while a checkpoint serializes the base tokenization as its own job —
+    // measured ×1.44 SLOWER at sf0.1 (replay_r15.json: 1.16 → 1.67 s, the
+    // one surviving r14→r15 bench flag). Production's materialized base is
+    // q233's bucketed MV scan, not an in-memory checkpoint.
     val base = shingleDfFrom(docs.filter(col("doc_id") % 10 =!= 0))
-      .localCheckpoint(true)
     mergeShingleDfDelta(base, docs.filter(col("doc_id") % 10 === 0))
       .select(col("sg"), col("df").cast("long").as("df"))
       .orderBy("sg")
