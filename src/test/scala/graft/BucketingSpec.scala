@@ -258,6 +258,31 @@ class BucketingSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dropBucketedMv: the q236 chain reset — publish gone, catalog entry gone, next touch rebuilds; no-op when never published") {
+    import spark.implicits._
+    val src = java.nio.file.Paths.get(sf, "nation.parquet")
+    var builds = 0
+    def make() = Tables.bucketedMv(spark, src, "bkt_spec_drop", 4,
+      Seq("k"), Seq("k")) {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    }
+    // dropping before any publish is a no-op
+    Tables.dropBucketedMv(spark, src, "bkt_spec_drop")
+    assert(make().count() == 2 && builds == 1)
+    // cached: a second touch serves the publish without rebuilding
+    assert(make().count() == 2 && builds == 1)
+    val path = Tables.bucketedMvPath(spark, src, "bkt_spec_drop", 4,
+      Seq("k"), Seq("k"))(sys.error("published above"))
+    Tables.dropBucketedMv(spark, src, "bkt_spec_drop")
+    assert(!java.nio.file.Files.exists(path), "publish survived the drop")
+    assert(!spark.catalog.tableExists(
+      s"graft_mv_bkt_spec_drop_${path.getFileName.toString.takeRight(16)}"),
+      "catalog entry survived the drop")
+    // next touch rebuilds from scratch
+    assert(make().count() == 2 && builds == 2, "drop did not force a rebuild")
+  }
+
   test("bucketed MV refresh: republish under the SAME fingerprint drops the stale catalog entry; later reads serve the fresh publish without rebuilding") {
     import spark.implicits._
     val src = java.nio.file.Paths.get(sf, "orders.parquet")
