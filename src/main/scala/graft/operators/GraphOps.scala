@@ -914,23 +914,11 @@ FROM ranked WHERE rk <= $k ORDER BY p_partkey, rk"""
     }
     val schema = spark.read.parquet(path.toString).schema
     // bucket id rides the file NAME (part-…_BBBBB.c000…); a bucket with no
-    // rows has no file and prunes to empty
-    val byBucket: Map[Int, Seq[String]] = {
-      val l = java.nio.file.Files.list(path)
-      try {
-        // matched against the file NAME only (ADVICE r14): an MV root whose
-        // directory path happens to contain a `_NNNNN.` segment must not
-        // leak into the bucket id
-        val re = "_(\\d{5})\\.".r
-        l.iterator().asScala
-          .map(p => p.getFileName.toString -> p.toString)
-          .filter(_._1.startsWith("part-"))
-          .flatMap { case (fn, f) =>
-            re.findFirstMatchIn(fn).map(m => m.group(1).toInt -> f)
-          }
-          .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      } finally l.close()
-    }
+    // rows has no file and prunes to empty. Single parsing implementation
+    // (ADVICE r15): Tables.bucketFiles is the one place the name format
+    // lives — the r14 name-vs-path fix must not be re-fixable here
+    val byBucket: Map[Int, Seq[String]] =
+      graft.sources.Tables.bucketFiles(path)
     def symFor(bIds: Set[Int]): DataFrame =
       if (bIds.size >= byBucket.size)
         spark.read.schema(schema).parquet(path.toString).select(col("u"), col("v"))

@@ -2271,16 +2271,24 @@ ORDER BY n.doc_id"""
     * the probe count downstream. */
   def multiBenchShinglesMV(spark: SparkSession, dir: String,
                            benchSources: Seq[String],
-                           refresh: Boolean = false): DataFrame =
+                           refresh: Boolean = false): DataFrame = {
+    // the MV name keys on an md5 of the NUL-joined sorted source list
+    // (ADVICE r15): raw concatenation made Seq("a_b") and Seq("a","b")
+    // collide to one publish, and a path-hostile source string would flow
+    // straight into the MV directory name
+    val srcKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(benchSources.sorted.mkString("\u0000").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     Tables.fingerprintedMv(spark,
       java.nio.file.Paths.get(dir, "documents.parquet"),
-      s"bench_shingles_multi_${benchSources.sorted.mkString("_")}", refresh) {
+      s"bench_shingles_multi_$srcKey", refresh) {
       Tables.documents(spark, dir)
         .filter(col("source").isin(benchSources: _*))
         .select(col("source").as("bench"),
           explode(shingles(tokens(col("text")))).as("sg"))
         .distinct()
     }
+  }
 
   /** MULTI-BENCHMARK SPAN DECONTAMINATION (q235, round-15 — VERDICT r14
     * item 5) — production pipelines decontaminate against DOZENS of eval
