@@ -50,4 +50,55 @@ class IncrementalRefreshSpec extends SparkSpecBase {
     Tables.overwrite(Seq((2024, 2L)).toDF("ano", "v"), out, Seq("ano"))
     assert(spark.read.parquet(out).select("ano").distinct().count() == 1)
   }
+
+  // --- q236 maintenance-chain replay idempotence (round-16, VERDICT r15
+  // item 1): foreachBatch is at-least-once, so the per-batch merge body must
+  // tolerate REPLAYED batchIds without double-applying the delta. The spec
+  // drives the factored body directly through every replay window the
+  // verdict names: replay before offset commit, and replay AFTER retention
+  // has dropped the predecessor publish (the window where only the
+  // published-skip path can save the chain).
+
+  test("sym-merge chain: replayed batches skip the merge — final MV == full rebuild") {
+    import graft.operators.GraphOps
+    import graft.streaming.StreamingOps
+    val srcPath = java.nio.file.Paths.get(sf, "lineitem.parquet")
+    val baseName = "test_replay_base"
+    val chain = "test_replay_chain"
+    val bkt = Seq("u", "v")
+    def li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    Tables.dropBucketedMv(spark, srcPath, baseName)
+    Tables.resetChain(spark, srcPath, chain)
+    try {
+      Tables.bucketedMv(spark, srcPath, baseName, 32, bkt, bkt)(
+        GraphOps.symmetrizeWithDegrees(
+          GraphOps.copurchaseEdgesOf(li.filter(col("ok") % 10 =!= 0)))): Unit
+      val b0 = li.filter(col("ok") % 20 === 0)
+      val b1 = li.filter(col("ok") % 10 === 0 && col("ok") % 20 =!= 0)
+      def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+        df.select(col("u").cast("long"), col("v").cast("long"),
+            col("w").cast("long"), col("deg_u").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sorted
+      StreamingOps.applySymMergeBatch(spark, srcPath, baseName, chain, 0L, b0)
+      val afterFirst = snap(Tables.chainLatest(spark, srcPath, chain, 32, bkt, bkt).get)
+      // replay of batch 0: failure landed between republish and offset commit
+      StreamingOps.applySymMergeBatch(spark, srcPath, baseName, chain, 0L, b0)
+      assert(snap(Tables.chainLatest(spark, srcPath, chain, 32, bkt, bkt).get) == afterFirst,
+        "replayed batch 0 double-applied its delta")
+      StreamingOps.applySymMergeBatch(spark, srcPath, baseName, chain, 1L, b1)
+      // retention has now dropped step 0 — replay batch 1 into that window
+      assert(Tables.chainPublishedIds(srcPath, chain) == Seq(1L),
+        "retention should keep exactly the newest publish")
+      StreamingOps.applySymMergeBatch(spark, srcPath, baseName, chain, 1L, b1)
+      val got = snap(Tables.chainLatest(spark, srcPath, chain, 32, bkt, bkt).get)
+      val want = snap(GraphOps.symmetrizeWithDegrees(GraphOps.copurchaseEdgesOf(li)))
+      assert(got == want, "chain after replays != full rebuild")
+      assert(Tables.chainPublishedIds(srcPath, chain) == Seq(1L))
+    } finally {
+      Tables.resetChain(spark, srcPath, chain)
+      Tables.dropBucketedMv(spark, srcPath, baseName)
+    }
+  }
 }
