@@ -277,11 +277,13 @@ FROM scored GROUP BY lang ORDER BY lang"""
   }
 
   /** [[KmeansCellsCtes]] with TRAINING restricted to the standing split
-    * (vec_id % 10 <> 0) while `fin` assigns EVERY vector — the q237
+    * (vec_id % 10 <> 0) while `fin` assigns EVERY vector — the q237/q238
     * incremental-IVF contract: centroids are trained once on the base,
-    * arriving vectors are assigned against those fixed centroids. */
+    * arriving vectors are assigned against those fixed centroids. Knobs
+    * interpolate `Similarity.Ivf*` (ADVICE r15 — the q234 discipline), so
+    * the engine defaults and this replay cannot drift apart silently. */
   private lazy val KmeansCellsSplitCtes: String = {
-    val iters = (1 to 3).map { i =>
+    val iters = (1 to Similarity.IvfIters).map { i =>
       val prev = s"cents${i - 1}"
       s""", asg$i AS (
   SELECT e.vec_id, c.cell, e.v,
@@ -302,14 +304,15 @@ FROM scored GROUP BY lang ORDER BY lang"""
 ), eb AS (
   SELECT vec_id, v FROM ea WHERE vec_id % 10 <> 0
 ), sd AS (
-  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM eb ORDER BY h LIMIT 8
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM eb
+  ORDER BY h LIMIT ${Similarity.IvfNCells}
 ), cents0 AS (
   SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM sd
 )$iters, fin AS (
   SELECT ea.vec_id, c.cell, ea.v,
          row_number() OVER (PARTITION BY ea.vec_id
                             ORDER BY ${cosSql("ea.v", "c.cvec")} DESC, c.cell) AS crk
-  FROM ea CROSS JOIN cents3 c
+  FROM ea CROSS JOIN cents${Similarity.IvfIters} c
 )"""
   }
 
@@ -2370,7 +2373,15 @@ ORDER BY r.rank DESC, partkey"""
     // assigned by one broadcast pass, probe bucket-pruned to the probed
     // cell set — the ANN index refreshing at delta cost (q232's discipline)
     "q237_ivf_incremental_bucketed" -> ((s, dir) =>
-      Similarity.ivfIncrementalParityBucketed(s, dir))
+      Similarity.ivfIncrementalParityBucketed(s, dir)),
+
+    // DURABLE INCREMENTAL IVF: the q237 assignment MV grown through the
+    // replay-idempotent republish chain (q236's discipline) — two delta
+    // batches land in the standing MV exactly once each, and the probe
+    // reads ONLY the latest publish's probed bucket files, with no
+    // per-call delta job
+    "q238_ivf_durable_refresh" -> ((s, dir) =>
+      Similarity.ivfDurableRefreshBucketed(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5529,12 +5540,25 @@ ORDER BY p.label""",
     // q73's probe over the split-trained Lloyd replay: centroids from the
     // standing split only, every vector assigned against them (standing ∪
     // delta ≡ assign-everything, since assignment is per-row under fixed
-    // centroids), probes vec_id < 5 at nProbe = 3, top-3
-    "q237_ivf_incremental_bucketed" -> s"""
+    // centroids), probes/nProbe/k interpolated from the pinned knobs
+    "q237_ivf_incremental_bucketed" -> IvfSplitProbeOracleSql,
+
+    // the DURABLE variant contracts to the SAME assign-everything replay:
+    // after both chain republishes every vector sits in the standing MV
+    // exactly once, so the pruned probe must reproduce it — a replayed
+    // (double-applied) batch would duplicate neighbors and shift ranks
+    "q238_ivf_durable_refresh" -> IvfSplitProbeOracleSql
+  )
+
+  /** Shared q237/q238 oracle: the split-trained Lloyd replay probed at the
+    * pinned knobs ([[Similarity.IvfNQueries]]/[[Similarity.IvfNProbe]]/
+    * [[Similarity.IvfK]] — ADVICE r15). */
+  private lazy val IvfSplitProbeOracleSql: String = s"""
 $KmeansCellsSplitCtes, assigned AS (
   SELECT vec_id AS neighbor_id, cell, v AS ce FROM fin WHERE crk = 1
 ), probes AS (
-  SELECT vec_id AS q_id, cell, v AS qe FROM fin WHERE crk <= 3 AND vec_id < 5
+  SELECT vec_id AS q_id, cell, v AS qe FROM fin
+  WHERE crk <= ${Similarity.IvfNProbe} AND vec_id < ${Similarity.IvfNQueries}
 ), s AS (
   SELECT p.q_id, a.neighbor_id, ${cosSql("p.qe", "a.ce")} AS sim
   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.neighbor_id
@@ -5544,8 +5568,7 @@ $KmeansCellsSplitCtes, assigned AS (
   FROM s
 )
 SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
-FROM r WHERE rk <= 3 ORDER BY q_id, rk"""
-  )
+FROM r WHERE rk <= ${Similarity.IvfK} ORDER BY q_id, rk"""
 
   /** The full symmetrized-adjacency rebuild — q217's AND q232's oracle (the
     * incremental and bucketed-incremental merges both contract to it). */

@@ -447,57 +447,167 @@ object Similarity {
     * probe end-to-end.
     */
   def ivfIncrementalParityBucketed(spark: SparkSession, dir: String,
-                                   nQueries: Int = 5, k: Int = 3,
-                                   nCells: Int = 8, nProbe: Int = 3,
-                                   iters: Int = 3): DataFrame = {
+                                   nQueries: Int = IvfNQueries, k: Int = IvfK,
+                                   nCells: Int = IvfNCells,
+                                   nProbe: Int = IvfNProbe,
+                                   iters: Int = IvfIters): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = ivfCentsMv(spark, dir, nCells, iters)
+    val standingPath = ivfStandingAssignPath(spark, dir, cents, nCells, iters)
+    // DELTA refresh: one broadcast pass over the arriving batch
+    val delta = assignCells(embAll.filter(col("vec_id") % 10 === 0), cents)
+      .select(col("cell"), col("vec_id"), col("e"))
+    val probes = cellProbes(embAll, cents, nQueries, nProbe)
+    // the probed cell set is (nQueries × nProbe)-bounded — a driver-side
+    // list is the doctrine-legal way to turn it into file-level bucket
+    // pruning on the standing scan (a join could never prune buckets)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val standingProbed = prunedCellScan(spark, standingPath, probedCells, nCells)
+    val index = standingProbed.select(col("cell"), col("vec_id"), col("e"))
+      .union(delta.filter(col("cell").isin(probedCells: _*)))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("cell"))
+    rankTopK(
+      probes.join(index, "cell")
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosineSim(col("qe"), col("ce"))),
+      k)
+  }
+
+  /** q237/q238 knobs pinned ONCE (ADVICE r15 — the q234 `DriftSplitMod`
+    * discipline): the engine defaults and the DuckDB oracle CTEs
+    * (`SparkEntry.KmeansCellsSplitCtes` + the q237/q238 oracle SQL)
+    * interpolate these same vals, so a knob change cannot silently break
+    * parity — both sides move together or the diff shows the tie. */
+  val IvfNQueries = 5
+  val IvfK = 3
+  val IvfNCells = 8
+  val IvfNProbe = 3
+  val IvfIters = 3
+
+  /** The base-split-trained centroid MV shared by q237/q238 (quantized
+    * means round-trip parquet bit-exactly — kmeansCentroids contract). */
+  private def ivfCentsMv(spark: SparkSession, dir: String,
+                         nCells: Int, iters: Int): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val base = Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0)
-    // centroid MV: trained once on the standing split (quantized means
-    // round-trip parquet bit-exactly — kmeansCentroids contract)
-    val cents = graft.sources.Tables.fingerprintedMv(spark, src,
+    graft.sources.Tables.fingerprintedMv(spark, src,
       s"ivf_cents_b90_${nCells}_$iters")(kmeansCentroids(base, nCells, iters))
       .select(col("cell"), col("cvec"))
-    // standing assignment MV, bucketed by cell (one file per cell bucket)
-    val standingPath = graft.sources.Tables.bucketedMvPath(spark, src,
+  }
+
+  /** The standing (base-split) cell-assignment MV, bucketed by cell —
+    * shared by q237 (probes it ∪ a per-call delta) and q238 (grows it
+    * durably through the republish chain). */
+  private def ivfStandingAssignPath(spark: SparkSession, dir: String,
+                                    cents: DataFrame, nCells: Int,
+                                    iters: Int): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val base = Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0)
+    graft.sources.Tables.bucketedMvPath(spark, src,
       s"ivf_assign_b90_${nCells}_$iters", nCells, Seq("cell"),
       Seq("cell", "vec_id")) {
       assignCells(base.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e")), cents)
         .select(col("cell"), col("vec_id"), col("e"))
     }
-    // DELTA refresh: one broadcast pass over the arriving batch
-    val delta = assignCells(embAll.filter(col("vec_id") % 10 === 0), cents)
-      .select(col("cell"), col("vec_id"), col("e"))
-    // probes: nProbe nearest cells per query vector, same fixed centroids
-    val probes = embAll.filter(col("vec_id") < nQueries)
+  }
+
+  /** nProbe nearest cells per query vector under fixed centroids,
+    * localCheckpointed once (referenced twice: probed-cell set + the probe
+    * join). */
+  private def cellProbes(embAll: DataFrame, cents: DataFrame,
+                         nQueries: Int, nProbe: Int): DataFrame =
+    embAll.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(centsArray(cents)))
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         explode(slice(cellRank(col("e"), col("cents")), 1, nProbe)).as("cc"))
       .select(col("q_id"), col("qe"), col("cc.cell").as("cell"))
-      .localCheckpoint(true) // referenced twice: probed-cell set + the join
-    // the probed cell set is (nQueries × nProbe)-bounded — a driver-side
-    // list is the doctrine-legal way to turn it into file-level bucket
-    // pruning on the standing scan (a join could never prune buckets)
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted
+      .localCheckpoint(true)
+
+  /** File-level bucket-pruned scan of a cell-bucketed assignment publish:
+    * the probed cells' bucket FILES selected by name
+    * ([[graft.sources.Tables.bucketFiles]] — conf-independent, multi-file
+    * buckets included), then the exact-cell filter on top. */
+  private def prunedCellScan(spark: SparkSession, path: java.nio.file.Path,
+                             probedCells: Seq[Long], nCells: Int): DataFrame = {
     // bucket ids via the writer's own murmur3+pmod rule
     val probedBuckets = spark.createDataset(probedCells.toSeq)(
         org.apache.spark.sql.Encoders.scalaLong).toDF("cell")
       .select(pmod(hash(col("cell")), lit(nCells)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val schema = spark.read.parquet(standingPath.toString).schema
-    val byBucket = graft.sources.Tables.bucketFiles(standingPath)
+    val schema = spark.read.parquet(path.toString).schema
+    val byBucket = graft.sources.Tables.bucketFiles(path)
     val files = probedBuckets.toSeq.sorted.flatMap(byBucket.getOrElse(_, Nil))
-    val standingProbed =
-      (if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*))
-        .filter(col("cell").isin(probedCells: _*))
-    val index = standingProbed.select(col("cell"), col("vec_id"), col("e"))
-      .union(delta.filter(col("cell").isin(probedCells: _*)))
+    (if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*))
+      .filter(col("cell").isin(probedCells: _*))
+  }
+
+  /** DURABLE INCREMENTAL IVF (q238, round-16 — VERDICT r15 item 3): q237
+    * proves delta-assign parity within a session but recomputes the delta
+    * per CALL — the index never durably grows, and after N batches a probe
+    * unions N recomputed deltas. Here each arriving batch is
+    * broadcast-assigned against the FIXED centroids and REPUBLISHED into
+    * the standing cell-bucketed assignment MV through the replay-idempotent
+    * chain ([[graft.sources.Tables.chainStep]] — the q236 discipline
+    * applied to the assignment MV, batchId-guarded so an at-least-once
+    * redelivery can never land a vector twice). The final probe reads ONE
+    * standing relation — the latest chain publish's probed bucket FILES —
+    * with NO per-call delta job and no union; the plan is the q237 pruned
+    * probe with the delta leg gone.
+    *
+    * The per-step merge is base-scan ∪ broadcast-assigned batch — no join,
+    * no corpus-shaped shuffle; the write-back skips the explicit
+    * pre-shuffle (chainStep default — multi-file buckets are fine here:
+    * the only consumer is the file-pruned probe, which needs neither the
+    * one-file layout nor the scan-reported sort). Oracle: identical to
+    * q237's assign-everything replay — hash equality proves both delta
+    * cycles landed exactly once (a double-applied replay would duplicate
+    * neighbor rows and shift every rank).
+    */
+  def ivfDurableRefreshBucketed(spark: SparkSession, dir: String,
+                                nQueries: Int = IvfNQueries, k: Int = IvfK,
+                                nCells: Int = IvfNCells,
+                                nProbe: Int = IvfNProbe,
+                                iters: Int = IvfIters): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = ivfCentsMv(spark, dir, nCells, iters)
+    val standingPath = ivfStandingAssignPath(spark, dir, cents, nCells, iters)
+    val chain = s"ivf_assign_d90_${nCells}_$iters"
+    val bkt = Seq("cell")
+    val srt = Seq("cell", "vec_id")
+    // gate reset: replay the delta cycles from the pristine standing MV
+    graft.sources.Tables.resetChain(spark, src, chain)
+    // two arriving delta batches (the held-out decile split in two): each
+    // chainStep is one broadcast assignment over the batch + the bucketed
+    // write-back — a replayed batchId skips both
+    Seq(0L, 1L).foreach { b =>
+      // the held-out decile's even tens (vec_id % 20 == 0) arrive as batch
+      // 0, the odd tens (% 20 == 10) as batch 1
+      val batch = embAll.filter(col("vec_id") % 20 === lit(b * 10))
+      graft.sources.Tables.chainStep(spark, src, chain, b, nCells, bkt, srt) {
+        prev =>
+          val standing = prev.getOrElse(
+            spark.read.parquet(standingPath.toString))
+          standing.select(col("cell"), col("vec_id"), col("e"))
+            .union(assignCells(batch, cents)
+              .select(col("cell"), col("vec_id"), col("e")))
+      }
+    }
+    val latestPath = graft.sources.Tables
+      .publishedMvPath(src, s"${chain}_b1")
+      .getOrElse(sys.error("durable IVF chain published nothing"))
+    val probes = cellProbes(embAll, cents, nQueries, nProbe)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = prunedCellScan(spark, latestPath, probedCells, nCells)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("cell"))
     rankTopK(
       probes.join(index, "cell")
