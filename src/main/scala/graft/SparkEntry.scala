@@ -89,15 +89,18 @@ object SparkEntry {
     })
 
   /** Shared oracle CTE chain for the portable MinHash pair graph (q49, q74):
-    * the raw per-doc algorithm — md5 double-hashing signatures (one md5 per
-    * shingle, permutation i = a + (i+1)*b with a = 60 bits, b = 32 bits),
-    * 8×4 banding, candidate generation, exact-Jaccard verification. Ends
-    * with a `pairs(doc_a, doc_b, jaccard)` CTE; callers prepend `WITH ` (or
+    * the raw per-doc algorithm — md5 double-hashing signatures over TWO
+    * independent base-hash families (round-16: permutations 0–15 from
+    * md5(sg), 16–31 from the salted md5('~' || sg); permutation j within a
+    * family = a + (j+1)*b with a = 60 bits, b = 32 bits), 8×4 banding,
+    * candidate generation, exact-Jaccard verification. Ends with a
+    * `pairs(doc_a, doc_b, jaccard)` CTE; callers prepend `WITH ` (or
     * `WITH RECURSIVE `) and append their final SELECT.
     */
   private lazy val MinhashPairsCtes: String = {
     val minCols = (0 until 32).map(i =>
-      s"min(a + ${i + 1} * b) AS mh_$i").mkString(",\n         ")
+      if (i < 16) s"min(a + ${i + 1} * b) AS mh_$i"
+      else s"min(a2 + ${i - 15} * b2) AS mh_$i").mkString(",\n         ")
     val bandSelects = (0 until 8).map { b =>
       val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
@@ -116,7 +119,9 @@ object SparkEntry {
 ), ab AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS a,
-         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b
+         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b,
+         CAST(('0x' || substr(md5('~' || sg), 1, 15)) AS BIGINT) AS a2,
+         CAST(('0x' || substr(md5('~' || sg), 16, 8)) AS BIGINT) AS b2
   FROM sh
 ), mins AS (
   SELECT doc_id,
