@@ -2365,6 +2365,13 @@ ORDER BY r.rank DESC, partkey"""
     "q235_multibench_decontam" -> ((s, dir) =>
       TextOps.multiBenchDecontam(s, dir)),
 
+    // STREAMING MULTI-BENCHMARK DECONTAMINATION: q235's tagged one-pass
+    // probe + per-benchmark audit run per arriving micro-batch against the
+    // standing tagged cut-set MV — emitted relation ≡ batch q235 under any
+    // batching (per-document cleaning), oracle verbatim
+    "q239_stream_multibench_decontam" -> ((s, dir) =>
+      graft.streaming.StreamingOps.multiBenchDecontamStreamParity(s, dir)),
+
     // STREAMING INCREMENTAL INDEX MAINTENANCE: the bucketed standing sym
     // MV maintained by a stream of CDC edge batches — per micro-batch,
     // join-form merge against the current publish + atomic bucketed
@@ -5536,6 +5543,10 @@ ORDER BY p.label""",
     // plus the per-benchmark covered-position audit — the benchmark list
     // is interpolated from the same pinned constant the engine call uses
     "q235_multibench_decontam" -> TextOps.multiBenchDecontamOracleSql(),
+
+    // the stream twin contracts to the identical batch relation: cleaning
+    // and audit are per-document given the standing tagged cut set
+    "q239_stream_multibench_decontam" -> TextOps.multiBenchDecontamOracleSql(),
 
     // sequential CDC merges are exact (additive per-order weights, exact
     // degrees per merge), so the streamed final publish must equal the

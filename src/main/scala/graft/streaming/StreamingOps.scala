@@ -1260,6 +1260,55 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING MULTI-BENCHMARK DECONTAMINATION (q239, round-16 — VERDICT
+    * r15 item 7a): q235's TAGGED multi-benchmark span cut run where the
+    * corpus arrives. q230 probes a SINGLE benchmark's cut set; production
+    * ingestion decontaminates against dozens at once, and q235 already
+    * built the tagged union MV — this gate wires the stream twin: each
+    * micro-batch of arriving documents runs the ONE-pass tagged probe
+    * ([[graft.operators.TextOps.multiBenchDecontamAgainst]]) against the
+    * standing [[graft.operators.TextOps.multiBenchShinglesMV]] and emits
+    * cleaned rows WITH per-benchmark cut attribution. Cleaning + audit are
+    * per-document given the cut set, so the emitted relation is identical
+    * to batch q235 under any arrival order or micro-batch split; the
+    * oracle is q235's SQL verbatim.
+    *
+    * Scale shape: q230's — per-batch cost linear in the batch's tokens,
+    * the (Σ benchmark sizes)-shaped tagged MV broadcast into the probe
+    * join (parquet-backed real sizeInBytes, AQE-off foreachBatch
+    * discipline), no state store: the benchmark MV is the state,
+    * refreshed on the eval sets' fingerprint.
+    */
+  def multiBenchDecontamStreamParity(spark: SparkSession, dir: String,
+                                     benchSources: Seq[String] =
+                                       graft.operators.TextOps.DefaultBenchSources)
+      : DataFrame = {
+    import graft.operators.TextOps
+    val cut = TextOps.multiBenchShinglesMV(spark, dir, benchSources)
+    val out = java.nio.file.Files.createTempDirectory("graft_mbdecontam_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_mbdecontam")
+    try {
+      val q = docStream(spark, dir).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextOps.multiBenchDecontamAgainst(
+            batch.filter(!org.apache.spark.sql.functions.col("source")
+              .isin(benchSources: _*)), cut)
+            .write.mode("append").parquet(out.toString)
+        }
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.read.parquet(out.toString).orderBy("doc_id").localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(out)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   /** STREAMING INCREMENTAL INDEX MAINTENANCE (q236, round-15 — VERDICT r14
     * item 4): the bucketed standing sym-adjacency MV (q232's layout)
     * maintained by a STREAM of CDC edge batches — each micro-batch derives
