@@ -22,9 +22,23 @@ bench/replay_rN.json (committed, one entry per flagged query: old-jar and
 new-jar times from the SAME session, per-leg canaries, and a verdict).
 This script auto-discovers replay_rN.json next to a NEW artifact named
 full_rN.json (or takes --replay PATH) and SILENCES flags the replay
-adjudicated as host drift — a silenced flag is still printed, marked
-"adjudicated", with the replay's own numbers. A replay verdict of
-"code_regression" keeps the flag (and the exit code) alive.
+adjudicated with a WHITELISTED benign verdict ('host_drift',
+'measurement_change', 'unverified_improvement', 'confirmed_improvement')
+— a silenced flag is still printed, marked "adjudicated", with the
+replay's own numbers. A replay verdict of "code_regression" keeps the
+flag (and the exit code) alive, and so does ANY unrecognized verdict
+(ADVICE r15: a typo'd or novel verdict must not silently clear the
+tripwire).
+
+Improvement flags (VERDICT r15 item 6): an improvement with no replay
+confirmation is PROVISIONAL — silently adopting it as the next round's
+baseline absorbs host luck into the cross-round ledger. Provisional
+improvements are labeled as such, and --emit-baseline PATH writes a copy
+of the NEW artifact in which each provisional improvement carries the OLD
+time forward (converted into the new artifact's canary units), plus a
+`provisional_improvements` list naming them. Use that file as the OLD
+side of the next round's compare until a replay confirms the speedup
+(verdict 'confirmed_improvement') or it reproduces.
 
 Exit code: 0 when no query survives the drift filter after replay
 adjudication, 1 otherwise — usable as a regression tripwire in a round's
@@ -72,6 +86,10 @@ def main():
     ap.add_argument("--replay", default=None,
                     help="replay-adjudication artifact (default: auto-discover "
                          "bench/replay_rN.json next to a NEW artifact named full_rN.json)")
+    ap.add_argument("--emit-baseline", default=None, metavar="PATH",
+                    help="write a copy of NEW with provisional (unconfirmed) "
+                         "improvements carrying the OLD time forward — the "
+                         "honest OLD side for the next round's compare")
     args = ap.parse_args()
     replay_path, replay = load_replay(args)
     if replay_path:
@@ -114,23 +132,42 @@ def main():
             flagged.append((k, o, n, r))
     flagged.sort(key=lambda t: -abs(t[2] - t[1]))
 
+    # benign replay verdicts silence a flag; 'code_regression' and anything
+    # unrecognized keep it live (whitelist, not blacklist — ADVICE r15)
+    benign = {"host_drift", "measurement_change",
+              "unverified_improvement", "confirmed_improvement"}
+    provisional = []
     if flagged:
         print(f"\n{len(flagged)} drift(s) beyond x{args.threshold} "
               f"(normalized, abs floor {args.abs_floor}s), largest absolute first:")
         live_flags = live_regressions = 0
         for k, o, n, r in flagged:
             adj = replay.get(k)
-            if adj is not None and adj.get("verdict") != "code_regression":
+            verdict = adj.get("verdict") if adj is not None else None
+            if verdict in benign:
+                if verdict == "unverified_improvement":
+                    provisional.append(k)
                 print(f"  adjudicated {k}: {o:.2f}s -> {n:.2f}s (x{r:.2f} normalized) — "
-                      f"replay verdict '{adj.get('verdict')}': old jar {adj.get('old_jar_sec')}s "
+                      f"replay verdict '{verdict}': old jar {adj.get('old_jar_sec')}s "
                       f"vs new jar {adj.get('new_jar_sec')}s same-session"
                       + (f" ({adj.get('note')})" if adj.get("note") else ""))
                 continue
+            if adj is not None and verdict != "code_regression":
+                print(f"  UNRECOGNIZED replay verdict '{verdict}' for {k} — "
+                      f"treating the flag as live (benign verdicts: "
+                      f"{', '.join(sorted(benign))})")
             live_flags += 1
             if r > 1:
                 live_regressions += 1
-            print(f"  {'REGRESSED' if r > 1 else 'improved '} {k}: "
-                  f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s)")
+                print(f"  REGRESSED {k}: "
+                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s)")
+            else:
+                provisional.append(k)
+                print(f"  improved  {k} [PROVISIONAL — unconfirmed]: "
+                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s) — "
+                      f"confirm with a replay leg or carry the old time forward "
+                      f"(--emit-baseline)")
+        emit_baseline(args, new, oq, ratio, provisional)
         if live_regressions:
             print("\nregressions survived canary normalization"
                   + (" and replay adjudication" if replay_path else "")
@@ -144,8 +181,27 @@ def main():
             return 1
         print("\nevery flag adjudicated by the replay artifact.")
         return 0
+    emit_baseline(args, new, oq, ratio, provisional)
     print("\nno per-query drift beyond the threshold after normalization.")
     return 0
+
+
+def emit_baseline(args, new, oq, ratio, provisional):
+    """Write NEW with provisional improvements reset to the OLD time
+    (denormalized into the new artifact's canary units) so the next round
+    compares against the honest pre-improvement base until confirmed."""
+    if not args.emit_baseline:
+        return
+    doc = dict(new)
+    doc["queries"] = dict(new["queries"])
+    for k in provisional:
+        doc["queries"][k] = oq[k] * ratio
+    doc["provisional_improvements"] = sorted(provisional)
+    with open(args.emit_baseline, "w") as f:
+        json.dump(doc, f)
+        f.write("\n")
+    print(f"baseline emitted to {args.emit_baseline} "
+          f"({len(provisional)} provisional improvement(s) carried at the old time)")
 
 
 if __name__ == "__main__":
