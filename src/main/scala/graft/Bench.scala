@@ -136,7 +136,7 @@ object Bench {
     val sinkMeasured: Set[String] = Set(
       "q214_span_cut", "q220_stream_span_cut", "q222_benchmark_decontam",
       "q226_chunk_dedup_clean", "q228_novelty_curve", "q230_stream_decontam",
-      "q235_multibench_decontam")
+      "q235_multibench_decontam", "q239_stream_multibench_decontam")
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_bench_sink")
     def timeAction(name: String,
                    df: org.apache.spark.sql.DataFrame): Unit =
