@@ -101,4 +101,35 @@ class IncrementalRefreshSpec extends SparkSpecBase {
       Tables.dropBucketedMv(spark, srcPath, baseName)
     }
   }
+
+  test("chainStep: batchId gaps (skipped empty batches) resolve the predecessor from the durable listing") {
+    import spark.implicits._
+    val srcPath = java.nio.file.Paths.get(sf, "part.parquet")
+    val chain = "test_gap_chain"
+    val bkt = Seq("k")
+    val srt = Seq("k", "v")
+    Tables.resetChain(spark, srcPath, chain)
+    try {
+      // batch 0 publishes; batch 1 was EMPTY and never stepped; batch 2
+      // must merge against b0 (greatest published id < 2), not a
+      // nonexistent b1
+      Tables.chainStep(spark, srcPath, chain, 0L, 4, bkt, srt) { prev =>
+        assert(prev.isEmpty, "first step must see no predecessor")
+        Seq((1L, 10L)).toDF("k", "v")
+      }
+      Tables.chainStep(spark, srcPath, chain, 2L, 4, bkt, srt) { prev =>
+        assert(prev.isDefined, "gap step must find the b0 publish")
+        prev.get.union(Seq((2L, 20L)).toDF("k", "v"))
+      }
+      assert(Tables.chainPublishedIds(srcPath, chain) == Seq(2L),
+        "retention should drop b0 once b2 is durable")
+      val rows = Tables.chainLatest(spark, srcPath, chain, 4, bkt, srt).get
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L), (2L, 20L)))
+      // replay of the gap step after retention: published-skip, no rebuild
+      Tables.chainStep(spark, srcPath, chain, 2L, 4, bkt, srt) { _ =>
+        fail("replayed step must not rebuild"); null
+      }
+    } finally Tables.resetChain(spark, srcPath, chain)
+  }
 }

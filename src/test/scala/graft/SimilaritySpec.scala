@@ -316,4 +316,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall(r => legal.contains(r._4)),
       s"scores outside the RRF lattice: ${out.filterNot(r => legal.contains(r._4)).take(3).mkString(",")}")
   }
+
+  test("q238 durable probe shape: one pruned standing scan, no delta leg, result == q237") {
+    val durable = Similarity.ivfDurableRefreshBucketed(spark, sf)
+    // the probe plan must read ONE parquet relation (the latest chain
+    // publish's probed bucket files) and contain NO union with a per-call
+    // delta leg — q237's plan with the delta gone (the q238 contract)
+    val plan = durable.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"durable probe must scan exactly the standing publish:\n$plan")
+    assert(!plan.contains("Union"), s"durable probe still unions a delta leg:\n$plan")
+    // the scanned files all come from the latest chain publish directory
+    val chainDirs = durable.inputFiles.filter(_.contains("ivf_assign_d90"))
+    assert(chainDirs.nonEmpty && chainDirs.length == durable.inputFiles
+      .count(_.endsWith(".parquet")),
+      s"probe reads outside the chain publish: ${durable.inputFiles.toSeq}")
+    // and the answer equals q237's (same knobs, same oracle relation)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(snap(durable) == snap(Similarity.ivfIncrementalParityBucketed(spark, sf)))
+  }
 }

@@ -25,7 +25,9 @@ full_rN.json (or takes --replay PATH) and SILENCES flags the replay
 adjudicated with a WHITELISTED benign verdict ('host_drift',
 'measurement_change', 'unverified_improvement', 'confirmed_improvement')
 — a silenced flag is still printed, marked "adjudicated", with the
-replay's own numbers. A replay verdict of "code_regression" keeps the
+replay's own numbers. 'accepted_tradeoff' records an INTENTIONAL,
+documented cost (the note must name the change and the doc that accepts
+it) so a deliberate trade does not read as an unexplained regression. A replay verdict of "code_regression" keeps the
 flag (and the exit code) alive, and so does ANY unrecognized verdict
 (ADVICE r15: a typo'd or novel verdict must not silently clear the
 tripwire).
@@ -134,7 +136,7 @@ def main():
 
     # benign replay verdicts silence a flag; 'code_regression' and anything
     # unrecognized keep it live (whitelist, not blacklist — ADVICE r15)
-    benign = {"host_drift", "measurement_change",
+    benign = {"host_drift", "measurement_change", "accepted_tradeoff",
               "unverified_improvement", "confirmed_improvement"}
     provisional = []
     if flagged:
