@@ -2393,7 +2393,14 @@ ORDER BY r.rank DESC, partkey"""
     // reads ONLY the latest publish's probed bucket files, with no
     // per-call delta job
     "q238_ivf_durable_refresh" -> ((s, dir) =>
-      Similarity.ivfDurableRefreshBucketed(s, dir))
+      Similarity.ivfDurableRefreshBucketed(s, dir)),
+
+    // INT8-QUANTIZED DURABLE IVF: the refresh chain applied to the index
+    // production actually refreshes — the standing MV stores int8 codes +
+    // scale (no floats), deltas land quantized exactly once, the probe is
+    // coarse-int8-then-float-rescore over the probed bucket files only
+    "q240_int8_ivf_durable" -> ((s, dir) =>
+      Similarity.int8IvfDurableRefresh(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5563,7 +5570,51 @@ ORDER BY p.label""",
     // after both chain republishes every vector sits in the standing MV
     // exactly once, so the pruned probe must reproduce it — a replayed
     // (double-applied) batch would duplicate neighbors and shift ranks
-    "q238_ivf_durable_refresh" -> IvfSplitProbeOracleSql
+    "q238_ivf_durable_refresh" -> IvfSplitProbeOracleSql,
+
+    // q240: the split-trained Lloyd replay + the q125 int8 discipline —
+    // half-up quantization of every vector, coarse int8 cosine inside the
+    // probed cells cut at rescoreFactor·k (ties on neighbor_id, the
+    // TopKByScore contract), float rescore of the survivors, final top-k;
+    // every knob interpolated from the pinned Similarity vals
+    "q240_int8_ivf_durable" -> s"""
+$KmeansCellsSplitCtes, qz AS (
+  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM ea
+), qv AS (
+  SELECT ea.vec_id,
+         CASE WHEN qz.scale > 0
+              THEN list_transform(ea.v, x -> CAST(floor(x / qz.scale + 0.5) AS DOUBLE))
+              ELSE list_transform(ea.v, x -> 0.0) END AS qv
+  FROM ea JOIN qz ON ea.vec_id = qz.vec_id
+), assigned AS (
+  SELECT f.vec_id AS neighbor_id, f.cell, q.qv AS cq
+  FROM fin f JOIN qv q ON f.vec_id = q.vec_id WHERE f.crk = 1
+), probes AS (
+  SELECT f.vec_id AS q_id, f.cell, q.qv AS pq
+  FROM fin f JOIN qv q ON f.vec_id = q.vec_id
+  WHERE f.crk <= ${Similarity.IvfNProbe} AND f.vec_id < ${Similarity.IvfNQueries}
+), s8 AS (
+  SELECT p.q_id, a.neighbor_id,
+         list_dot_product(p.pq, a.cq)
+           / nullif(sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(a.cq, a.cq)), 0) AS sim8
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.neighbor_id
+), c8 AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim8 DESC, neighbor_id) AS rk8
+  FROM s8
+), s AS (
+  SELECT c8.q_id, c8.neighbor_id,
+         list_dot_product(a.v, b.v)
+           / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
+  FROM c8 JOIN ea a ON c8.q_id = a.vec_id JOIN ea b ON c8.neighbor_id = b.vec_id
+  WHERE c8.rk8 <= ${Similarity.IvfRescoreFactor * Similarity.IvfK}
+), r AS (
+  SELECT q_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
+FROM r WHERE rk <= ${Similarity.IvfK} ORDER BY q_id, rk"""
   )
 
   /** Shared q237/q238 oracle: the split-trained Lloyd replay probed at the

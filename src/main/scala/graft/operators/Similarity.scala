@@ -228,6 +228,107 @@ object Similarity {
       k)
   }
 
+  /** INT8-QUANTIZED DURABLE IVF (q240, round-16 — VERDICT r15 item 7b):
+    * the q238 refresh chain applied to the index production actually
+    * refreshes — the QUANTIZED one. The standing assignment MV stores
+    * (cell, vec_id, q tinyint[], scale) and NO float vectors: the resident
+    * index is the 4× int8 form ([[int8QuantizeFrom]]'s storage claim), and
+    * the float corpus is touched only to rescore ~rescoreFactor·k
+    * survivors per query. Each arriving batch is float-assigned against
+    * the FIXED centroids (assignment fidelity is not quantized away),
+    * quantized, and landed in the standing MV exactly once through the
+    * batchId-guarded chain; the probe is two-stage over the probed cells'
+    * bucket files only — coarse int8 cosine (scales cancel; the integer
+    * dot is exact in double, so coarse ranking is deterministic across
+    * engines), k-heap cut at rescoreFactor·k, float rescore, final top-k.
+    *
+    * Fully oracled: split-trained Lloyd replay (cells), half-up
+    * quantization, coarse + rescore ranking — all portable SQL; hash
+    * equality proves quantization round-trip through the bucketed publish,
+    * exactly-once chain landing, AND the two-stage ranking end-to-end.
+    *
+    * Scale shape: refresh cost ∝ batch (one broadcast assign + quantize)
+    * + the int8-sized write-back (4× cheaper than a float republish);
+    * probe scans |probed cells|/|cells| of an index already 4× smaller
+    * than q238's, and the only float reads are survivor-sized.
+    */
+  def int8IvfDurableRefresh(spark: SparkSession, dir: String,
+                            nQueries: Int = IvfNQueries, k: Int = IvfK,
+                            nCells: Int = IvfNCells, nProbe: Int = IvfNProbe,
+                            iters: Int = IvfIters,
+                            rescoreFactor: Int = IvfRescoreFactor): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = ivfCentsMv(spark, dir, nCells, iters)
+    def quantized(assigned: DataFrame): DataFrame = assigned
+      .withColumn("scale",
+        aggregate(transform(col("e"), x => abs(x)), lit(0.0),
+          (a, x) => greatest(a, x)) / 127.0)
+      .select(col("cell"), col("vec_id"),
+        when(col("scale") > 0,
+          transform(col("e"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
+          .otherwise(transform(col("e"), x => lit(0).cast("tinyint"))).as("q"),
+        col("scale"))
+    // standing INT8 assignment MV: float-assigned, int8-stored
+    val standingPath = graft.sources.Tables.bucketedMvPath(spark, src,
+      s"ivf_q8_b90_${nCells}_$iters", nCells, Seq("cell"),
+      Seq("cell", "vec_id")) {
+      quantized(assignCells(embAll.filter(col("vec_id") % 10 =!= 0), cents))
+    }
+    val chain = s"ivf_q8_d90_${nCells}_$iters"
+    val bkt = Seq("cell")
+    val srt = Seq("cell", "vec_id")
+    graft.sources.Tables.resetChain(spark, src, chain)
+    Seq(0L, 1L).foreach { b =>
+      val batch = embAll.filter(col("vec_id") % 20 === lit(b * 10))
+      graft.sources.Tables.chainStep(spark, src, chain, b, nCells, bkt, srt) {
+        prev =>
+          val standing = prev.getOrElse(
+            spark.read.parquet(standingPath.toString))
+          standing.select(col("cell"), col("vec_id"), col("q"), col("scale"))
+            .union(quantized(assignCells(batch, cents)))
+      }
+    }
+    val latestPath = graft.sources.Tables
+      .publishedMvPath(src, s"${chain}_b1")
+      .getOrElse(sys.error("int8 IVF chain published nothing"))
+    val probes = cellProbes(embAll, cents, nQueries, nProbe)
+      .withColumn("scale",
+        aggregate(transform(col("qe"), x => abs(x)), lit(0.0),
+          (a, x) => greatest(a, x)) / 127.0)
+      .select(col("q_id"), col("cell"),
+        when(col("scale") > 0,
+          transform(col("qe"), x => floor(x / col("scale") + 0.5)))
+          .otherwise(transform(col("qe"), x => lit(0.0))).as("pq"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // coarse: int8 cosine inside the probed cells only — the index side is
+    // the pruned standing scan, cast tinyint→double at the projection
+    val index8 = prunedCellScan(spark, latestPath, probedCells, nCells)
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("q"), x => x.cast("double")).as("cq"), col("cell"))
+    val coarse = probes.join(index8, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim8", cosineSim(col("pq"), col("cq")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKByScore.topK(col("sim8"), col("neighbor_id"),
+        rescoreFactor * k).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("x"))
+      .select(col("q_id"), col("x.id").as("neighbor_id"))
+    // rescore: the ONLY float reads — survivor-sized joins back to the corpus
+    rankTopK(
+      coarse
+        .join(embAll.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+        .join(embAll.select(col("vec_id").as("neighbor_id"), col("e").as("ce")),
+          "neighbor_id")
+        .withColumn("sim", cosineSim(col("qe"), col("ce"))),
+      k)
+  }
+
+  /** q240's coarse-cut knob, pinned with the other IVF knobs. */
+  val IvfRescoreFactor = 4
+
   /** HYBRID retrieval with reciprocal-rank fusion (q128): the standard
     * two-tower retrieval stack — a LEXICAL ranking (3-shingle Jaccard
     * between query documents and the corpus, candidates from the shingle
