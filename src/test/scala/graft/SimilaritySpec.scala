@@ -336,4 +336,25 @@ class SimilaritySpec extends SparkSpecBase {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(snap(durable) == snap(Similarity.ivfIncrementalParityBucketed(spark, sf)))
   }
+
+  test("q240 int8 index shape: the standing MV stores tinyint codes and no floats; the chain holds one publish") {
+    val out = Similarity.int8IvfDurableRefresh(spark, sf)
+    assert(out.collect().nonEmpty)
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val chainIds = graft.sources.Tables.chainPublishedIds(src,
+      s"ivf_q8_d90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
+    assert(chainIds == Seq(1L), s"retention should keep one publish: $chainIds")
+    val mv = graft.sources.Tables.publishedMvPath(src,
+      s"ivf_q8_d90_${Similarity.IvfNCells}_${Similarity.IvfIters}_b1").get
+    val schema = spark.read.parquet(mv.toString).schema
+    // the 4x resident-index claim: int8 codes + one double scale, no
+    // float vector column survives into the standing index
+    assert(schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true)
+      || schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false),
+      s"codes are not tinyint: ${schema("q").dataType}")
+    assert(!schema.fieldNames.contains("e") && !schema.fieldNames.contains("embedding"),
+      s"float vectors leaked into the int8 index: ${schema.fieldNames.toSeq}")
+  }
 }
