@@ -89,18 +89,27 @@ object SparkEntry {
     })
 
   /** Shared oracle CTE chain for the portable MinHash pair graph (q49, q74):
-    * the raw per-doc algorithm — md5 double-hashing signatures over TWO
-    * independent base-hash families (round-16: permutations 0–15 from
-    * md5(sg), 16–31 from the salted md5('~' || sg); permutation j within a
-    * family = a + (j+1)*b with a = 60 bits, b = 32 bits), 8×4 banding,
-    * candidate generation, exact-Jaccard verification. Ends with a
-    * `pairs(doc_a, doc_b, jaccard)` CTE; callers prepend `WITH ` (or
-    * `WITH RECURSIVE `) and append their final SELECT.
+    * the raw per-doc algorithm — md5 double-hashing signatures over FOUR
+    * independent base-hash families (round-16: permutation i derives from
+    * family i/8, whose hash pair comes from the salted md5('~'·(i/8) ||
+    * sg); permutation j within a family = a + (j+1)*b with a = 60 bits,
+    * b = 32 bits), 8×4 banding, candidate generation, exact-Jaccard
+    * verification. Ends with a `pairs(doc_a, doc_b, jaccard)` CTE; callers
+    * prepend `WITH ` (or `WITH RECURSIVE `) and append their final SELECT.
     */
   private lazy val MinhashPairsCtes: String = {
-    val minCols = (0 until 32).map(i =>
-      if (i < 16) s"min(a + ${i + 1} * b) AS mh_$i"
-      else s"min(a2 + ${i - 15} * b2) AS mh_$i").mkString(",\n         ")
+    def ab(f: Int): (String, String) =
+      (if (f == 0) "a" else s"a${f + 1}", if (f == 0) "b" else s"b${f + 1}")
+    val minCols = (0 until 32).map { i =>
+      val (a, b) = ab(i / 8)
+      s"min($a + ${i % 8 + 1} * $b) AS mh_$i"
+    }.mkString(",\n         ")
+    val abCols = (0 until 4).map { f =>
+      val (a, b) = ab(f)
+      val h = if (f == 0) "md5(sg)" else s"md5('${"~" * f}' || sg)"
+      s"""CAST(('0x' || substr($h, 1, 15)) AS BIGINT) AS $a,
+         CAST(('0x' || substr($h, 16, 8)) AS BIGINT) AS $b"""
+    }.mkString(",\n         ")
     val bandSelects = (0 until 8).map { b =>
       val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
@@ -118,10 +127,7 @@ object SparkEntry {
   FROM t
 ), ab AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS a,
-         CAST(('0x' || substr(md5(sg), 16, 8)) AS BIGINT) AS b,
-         CAST(('0x' || substr(md5('~' || sg), 1, 15)) AS BIGINT) AS a2,
-         CAST(('0x' || substr(md5('~' || sg), 16, 8)) AS BIGINT) AS b2
+         $abCols
   FROM sh
 ), mins AS (
   SELECT doc_id,

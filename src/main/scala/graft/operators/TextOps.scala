@@ -153,24 +153,29 @@ object TextOps {
     * any SQL engine. One wide hash-aggregation (32 long min-buffers, map-side
     * combined); no row explosion, no second shuffle.
     *
-    * TWO independent base-hash pairs (round-16 — VERDICT r15 item 2): under
-    * a single (a, b) pair every permutation is affine in the SAME hash, so
-    * one "super-winner" shingle (smallest a with small b) tends to win ALL
-    * 32 minima at once — measured at r15 as a 3.7% candidate-recall gap vs
-    * the independence expectation, every miss a containment pair
-    * (DEDUP_QUALITY.md). Permutations 0–15 (bands 0–3) now derive from
-    * (a, b) and permutations 16–31 (bands 4–7) from an independent
-    * (a2, b2): a containment miss must now win both families independently,
-    * which restores the measured recall to ≈ the S-curve expectation while
-    * still paying 2 base hashes per shingle, not 32.
+    * FOUR independent base-hash pairs (round-16 — VERDICT r15 item 2):
+    * under a single (a, b) pair every permutation is affine in the SAME
+    * hash, so one "super-winner" shingle (smallest a with small b) wins
+    * ALL 32 minima at once — measured at r15 as a 3.7% candidate-recall
+    * gap vs the independence expectation, every miss a containment pair
+    * (DEDUP_QUALITY.md). The 32 permutations now split across 4
+    * independent (a, b) families of 8 (2 bands each): a containment miss
+    * must win every family independently, P ≈ 1/|A|⁴ — BELOW the
+    * independence-expectation miss floor for any |A| ≥ 6 (a 2-family
+    * interim build measured 0.996; the residual tail was still the
+    * systematic containment mode, so the split went to 4) — at 4 base
+    * hashes per shingle, still ≪ 32.
     */
-  private val HalfPerms = NumPerms / 2 // 16 per base-hash family
+  private val NumFamilies = 4
+  private val PermsPerFamily = NumPerms / NumFamilies // 8 (2 bands each)
+  /** Column names of family f's base-hash pair ("a"/"b", "a2"/"b2", ...). */
+  private def famCols(f: Int): (String, String) =
+    (if (f == 0) "a" else s"a${f + 1}", if (f == 0) "b" else s"b${f + 1}")
   private def minHashWide(ab: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map { i =>
-      val (ac, bc, j) =
-        if (i < HalfPerms) (col("a"), col("b"), i)
-        else (col("a2"), col("b2"), i - HalfPerms)
-      min(ac + lit((j + 1).toLong) * bc).as(s"mh_$i")
+      val (an, bn) = famCols(i / PermsPerFamily)
+      val j = i % PermsPerFamily
+      min(col(an) + lit((j + 1).toLong) * col(bn)).as(s"mh_$i")
     }
     ab.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -184,31 +189,34 @@ object TextOps {
         hashFn((0 until BandRows).map(r => col(s"mh_${bnd * BandRows + r}")))
       }: _*)).as(Seq("band", "bucket")))
 
-  /** Fast-path per-shingle hash pairs: four seeded xxhash64 calls (two
-    * independent K-M families), masked to the overflow-safe ranges of the
-    * double-hashing scheme.
+  /** Fast-path per-shingle hash pairs: 2·NumFamilies seeded xxhash64 calls
+    * (family f seeds 2f / 2f+1; family 0's `a` stays the unseeded hash),
+    * masked to the overflow-safe ranges of the double-hashing scheme.
     */
-  private def xxhashAB(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      xxhash64(col("sg")).bitwiseAND(lit((1L << 60) - 1)).as("a"),
-      xxhash64(lit(1), col("sg")).bitwiseAND(lit((1L << 32) - 1)).as("b"),
-      xxhash64(lit(2), col("sg")).bitwiseAND(lit((1L << 60) - 1)).as("a2"),
-      xxhash64(lit(3), col("sg")).bitwiseAND(lit((1L << 32) - 1)).as("b2"))
+  private def xxhashAB(sh: DataFrame): DataFrame = {
+    val cols = (0 until NumFamilies).flatMap { f =>
+      val (an, bn) = famCols(f)
+      val ah = if (f == 0) xxhash64(col("sg")) else xxhash64(lit(2 * f), col("sg"))
+      Seq(ah.bitwiseAND(lit((1L << 60) - 1)).as(an),
+        xxhash64(lit(2 * f + 1), col("sg")).bitwiseAND(lit((1L << 32) - 1)).as(bn))
+    }
+    sh.select(col("doc_id") +: cols: _*)
+  }
 
-  /** Portable per-shingle hash pairs: family 1 from md5(sg) (a = first 15
-    * hex chars = 60 bits, b = next 8 = 32 bits), family 2 from the
-    * independent salted md5('~' || sg) — `conv` here ≡
-    * `CAST('0x'||substr(...) AS BIGINT)` in DuckDB, so the whole signature
-    * is cross-engine-checkable.
+  /** Portable per-shingle hash pairs: family f from the independent salted
+    * md5("~"·f || sg) (a = first 15 hex chars = 60 bits, b = next 8 = 32
+    * bits) — `conv` here ≡ `CAST('0x'||substr(...) AS BIGINT)` in DuckDB,
+    * so the whole signature is cross-engine-checkable.
     */
   private def md5AB(sh: DataFrame): DataFrame = {
-    val h = md5(col("sg"))
-    val h2 = md5(concat(lit("~"), col("sg")))
-    sh.select(col("doc_id"),
-      conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
-      conv(substring(h, 16, 8), 16, 10).cast("long").as("b"),
-      conv(substring(h2, 1, 15), 16, 10).cast("long").as("a2"),
-      conv(substring(h2, 16, 8), 16, 10).cast("long").as("b2"))
+    val cols = (0 until NumFamilies).flatMap { f =>
+      val (an, bn) = famCols(f)
+      val h = if (f == 0) md5(col("sg"))
+              else md5(concat(lit("~" * f), col("sg")))
+      Seq(conv(substring(h, 1, 15), 16, 10).cast("long").as(an),
+        conv(substring(h, 16, 8), 16, 10).cast("long").as(bn))
+    }
+    sh.select(col("doc_id") +: cols: _*)
   }
 
   /** MinHash signatures: one row per doc with `minhash` array(32), xxhash64
@@ -230,17 +238,17 @@ object TextOps {
     * on a live document stream.
     */
   def minHashSignatureFromShingles(sgs: Column): Column = {
-    def fam(seedA: Option[Int], seedB: Int) = {
-      val a = transform(sgs, s => seedA.fold(xxhash64(s))(sd => xxhash64(lit(sd), s))
-        .bitwiseAND(lit((1L << 60) - 1)))
+    val fams = (0 until NumFamilies).map { f =>
+      val a = transform(sgs, s =>
+        (if (f == 0) xxhash64(s) else xxhash64(lit(2 * f), s))
+          .bitwiseAND(lit((1L << 60) - 1)))
       val b = transform(sgs, s =>
-        xxhash64(lit(seedB), s).bitwiseAND(lit((1L << 32) - 1)))
+        xxhash64(lit(2 * f + 1), s).bitwiseAND(lit((1L << 32) - 1)))
       zip_with(a, b, (x, y) => struct(x.as("a"), y.as("b")))
     }
-    val p1 = fam(None, 1)
-    val p2 = fam(Some(2), 3)
     array((0 until NumPerms).map { i =>
-      val (pairs, j) = if (i < HalfPerms) (p1, i) else (p2, i - HalfPerms)
+      val pairs = fams(i / PermsPerFamily)
+      val j = i % PermsPerFamily
       array_min(transform(pairs, p =>
         p.getField("a") + lit((j + 1).toLong) * p.getField("b")))
     }: _*)
