@@ -98,20 +98,25 @@ object SparkEntry {
     * prepend `WITH ` (or `WITH RECURSIVE `) and append their final SELECT.
     */
   private lazy val MinhashPairsCtes: String = {
-    def ab(f: Int): (String, String) =
-      (if (f == 0) "a" else s"a${f + 1}", if (f == 0) "b" else s"b${f + 1}")
-    val minCols = (0 until 32).map { i =>
-      val (a, b) = ab(i / 8)
-      s"min($a + ${i % 8 + 1} * $b) AS mh_$i"
+    // every structural knob interpolated from TextOps' pinned constants
+    // (NumPerms/PermsPerFamily/NumFamilies/NumBands/BandRows, famCols,
+    // md5Salt) — the engine and this oracle move together or the diff
+    // shows the broken tie (ADVICE r16; the q234/q237 discipline)
+    import graft.operators.TextOps.{NumPerms, PermsPerFamily, NumFamilies,
+      NumBands, BandRows, famCols, md5Salt}
+    val minCols = (0 until NumPerms).map { i =>
+      val (a, b) = famCols(i / PermsPerFamily)
+      s"min($a + ${i % PermsPerFamily + 1} * $b) AS mh_$i"
     }.mkString(",\n         ")
-    val abCols = (0 until 4).map { f =>
-      val (a, b) = ab(f)
-      val h = if (f == 0) "md5(sg)" else s"md5('${"~" * f}' || sg)"
+    val abCols = (0 until NumFamilies).map { f =>
+      val (a, b) = famCols(f)
+      val h = if (f == 0) "md5(sg)" else s"md5('${md5Salt(f)}' || sg)"
       s"""CAST(('0x' || substr($h, 1, 15)) AS BIGINT) AS $a,
          CAST(('0x' || substr($h, 16, 8)) AS BIGINT) AS $b"""
     }.mkString(",\n         ")
-    val bandSelects = (0 until 8).map { b =>
-      val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandRows).map(r =>
+        s"CAST(mh_${b * BandRows + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM mins"
     }.mkString("\n  UNION ALL\n  ")
     s"""d AS (

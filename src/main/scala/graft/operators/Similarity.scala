@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Fx._
 import graft.functions.VectorFunctions.{cellRank, cosineSim, vecDot}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,13 +153,24 @@ object Similarity {
   def int8QuantizeFrom(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("scale",
-        aggregate(transform(col("e"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)) / 127.0)
-      .select(col("vec_id"),
-        when(col("scale") > 0,
-          transform(col("e"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
-          .otherwise(transform(col("e"), x => lit(0).cast("tinyint"))).as("q"),
+      .withColumn("scale", int8Scale(col("e")))
+      .select(col("vec_id"), int8Codes(col("e"), col("scale"), "tinyint").as("q"),
         col("scale"))
+
+  /** Per-vector symmetric-quantization scale: max|x_i| / 127 over a
+    * double-array column. The ONE copy of the formula — q125's stored
+    * index, q240's chain MV, and q240's probe-side codes all derive from
+    * this + [[int8Codes]], so the rule cannot drift between call sites
+    * (or out from under the oracle CTEs that replay it). */
+  private def int8Scale(e: Column): Column =
+    aggregate(transform(e, x => abs(x)), lit(0.0), (a, x) => greatest(a, x)) / 127.0
+
+  /** Half-up int8 codes under `scale` (floor(x/scale + 0.5); zero vector →
+    * zeros). `tpe` is "tinyint" where the codes are STORED (the 4× claim)
+    * and "double" where they feed arithmetic directly. */
+  private def int8Codes(e: Column, scale: Column, tpe: String): Column =
+    when(scale > 0, transform(e, x => floor(x / scale + 0.5).cast(tpe)))
+      .otherwise(transform(e, x => lit(0).cast(tpe)))
 
   /** Persist the quantized corpus — at scale this is the resident ANN index
     * (4× smaller scans than the float corpus); the float embeddings are only
@@ -262,14 +273,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = ivfCentsMv(spark, dir, nCells, iters)
     def quantized(assigned: DataFrame): DataFrame = assigned
-      .withColumn("scale",
-        aggregate(transform(col("e"), x => abs(x)), lit(0.0),
-          (a, x) => greatest(a, x)) / 127.0)
+      .withColumn("scale", int8Scale(col("e")))
       .select(col("cell"), col("vec_id"),
-        when(col("scale") > 0,
-          transform(col("e"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
-          .otherwise(transform(col("e"), x => lit(0).cast("tinyint"))).as("q"),
-        col("scale"))
+        int8Codes(col("e"), col("scale"), "tinyint").as("q"), col("scale"))
     // standing INT8 assignment MV: float-assigned, int8-stored
     val standingPath = graft.sources.Tables.bucketedMvPath(spark, src,
       s"ivf_q8_b90_${nCells}_$iters", nCells, Seq("cell"),
@@ -290,17 +296,12 @@ object Similarity {
             .union(quantized(assignCells(batch, cents)))
       }
     }
-    val latestPath = graft.sources.Tables
-      .publishedMvPath(src, s"${chain}_b1")
-      .getOrElse(sys.error("int8 IVF chain published nothing"))
+    val latestPath = latestChainPath(src, chain,
+      "int8 IVF chain published nothing")
     val probes = cellProbes(embAll, cents, nQueries, nProbe)
-      .withColumn("scale",
-        aggregate(transform(col("qe"), x => abs(x)), lit(0.0),
-          (a, x) => greatest(a, x)) / 127.0)
+      .withColumn("scale", int8Scale(col("qe")))
       .select(col("q_id"), col("cell"),
-        when(col("scale") > 0,
-          transform(col("qe"), x => floor(x / col("scale") + 0.5)))
-          .otherwise(transform(col("qe"), x => lit(0.0))).as("pq"))
+        int8Codes(col("qe"), col("scale"), "double").as("pq"))
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     // coarse: int8 cosine inside the probed cells only — the index side is
@@ -328,6 +329,17 @@ object Similarity {
 
   /** q240's coarse-cut knob, pinned with the other IVF knobs. */
   val IvfRescoreFactor = 4
+
+  /** The LATEST published step of a refresh chain, resolved from the
+    * durable listing — never a hardcoded batch id, so the probe keeps
+    * reading the newest publish if the gate's batch schedule changes. */
+  private def latestChainPath(src: java.nio.file.Path, chain: String,
+                              missing: String): java.nio.file.Path = {
+    val id = graft.sources.Tables.chainPublishedIds(src, chain).lastOption
+      .getOrElse(sys.error(missing))
+    graft.sources.Tables.publishedMvPath(src, s"${chain}_b$id")
+      .getOrElse(sys.error(missing))
+  }
 
   /** HYBRID retrieval with reciprocal-rank fusion (q128): the standard
     * two-tower retrieval stack — a LEXICAL ranking (3-shingle Jaccard
@@ -702,9 +714,8 @@ object Similarity {
               .select(col("cell"), col("vec_id"), col("e")))
       }
     }
-    val latestPath = graft.sources.Tables
-      .publishedMvPath(src, s"${chain}_b1")
-      .getOrElse(sys.error("durable IVF chain published nothing"))
+    val latestPath = latestChainPath(src, chain,
+      "durable IVF chain published nothing")
     val probes = cellProbes(embAll, cents, nQueries, nProbe)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted

@@ -141,9 +141,12 @@ object TextOps {
       .limit(k)
   }
 
-  private val NumPerms = 32
-  private val BandRows = 4
-  private val NumBands = NumPerms / BandRows // 8
+  // visible to graft (not private): SparkEntry's MinhashPairsCtes oracle
+  // interpolates the SAME structural knobs, so engine and oracle cannot
+  // drift apart silently (the q234/q237 knob-pinning discipline)
+  private[graft] val NumPerms = 32
+  private[graft] val BandRows = 4
+  private[graft] val NumBands = NumPerms / BandRows // 8
 
   /** Double-hashing MinHash core: from per-shingle base-hash pairs,
     * permutation i's value is a + (i+1)·b (Kirsch–Mitzenmacher) — base
@@ -166,10 +169,13 @@ object TextOps {
     * systematic containment mode, so the split went to 4) — at 4 base
     * hashes per shingle, still ≪ 32.
     */
-  private val NumFamilies = 4
-  private val PermsPerFamily = NumPerms / NumFamilies // 8 (2 bands each)
+  private[graft] val NumFamilies = 4
+  private[graft] val PermsPerFamily = NumPerms / NumFamilies // 8 (2 bands each)
+  /** Portable-path salt of family f: md5(md5Salt(f) || sg) — shared with
+    * the oracle CTEs so the salt rule is pinned once. */
+  private[graft] def md5Salt(f: Int): String = "~" * f
   /** Column names of family f's base-hash pair ("a"/"b", "a2"/"b2", ...). */
-  private def famCols(f: Int): (String, String) =
+  private[graft] def famCols(f: Int): (String, String) =
     (if (f == 0) "a" else s"a${f + 1}", if (f == 0) "b" else s"b${f + 1}")
   private def minHashWide(ab: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map { i =>
@@ -212,7 +218,7 @@ object TextOps {
     val cols = (0 until NumFamilies).flatMap { f =>
       val (an, bn) = famCols(f)
       val h = if (f == 0) md5(col("sg"))
-              else md5(concat(lit("~" * f), col("sg")))
+              else md5(concat(lit(md5Salt(f)), col("sg")))
       Seq(conv(substring(h, 1, 15), 16, 10).cast("long").as(an),
         conv(substring(h, 16, 8), 16, 10).cast("long").as(bn))
     }
@@ -348,6 +354,14 @@ object TextOps {
   def lshCandidateQuality(spark: SparkSession, dir: String,
                           taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
       : DataFrame = {
+    if (taus.isEmpty) {
+      // preserve the pre-single-pass contract: an empty τ list is an empty
+      // curve, not an empty-reduce crash in the bucket construction below
+      import spark.implicits._
+      return Seq.empty[(Double, Long, Long, Long, Double, Double, Double)]
+        .toDF("tau", "n_true", "n_hit", "n_candidates", "recall",
+          "candidate_precision", "expected_recall")
+    }
     val base = dedupBase(spark, dir)
     val sh = base.repSh
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -380,18 +380,38 @@ object Tables {
           case _: DirectoryNotEmptyException =>
             // NOT a race (ADVICE r15): on a host whose mvRoot spans file
             // stores, a plain move of a non-empty directory throws this
-            // even with no competitor — copy the tree instead of discarding
-            // the freshly built MV and failing the caller's publish check
-            copyRecursively(tmp, mv)
+            // even with no competitor. Copy to a STAGING sibling on the
+            // TARGET store first and rename from there — copying directly
+            // into `mv` would leave a long markerless window at the
+            // published path during which a competing JVM (mvLocks is
+            // JVM-local) could sweep the partial and interleave its own
+            // part files with ours under one eventual `_SUCCESS`. The stage
+            // name follows the `.{name}_{fp}.tmp-*` builder-temp convention
+            // so a crashed copy is vacuumed by the existing mtime-graced
+            // sweep.
+            val stage = mv.resolveSibling(
+              s".${mv.getFileName}.tmp-stage-${java.util.UUID.randomUUID()}")
+            try {
+              copyRecursively(tmp, stage)
+              try Files.move(stage, mv)
+              catch {
+                case _: FileAlreadyExistsException |
+                     _: DirectoryNotEmptyException =>
+                  // a competitor published while we staged — theirs wins
+                  deleteRecursively(stage)
+              }
+            } catch {
+              case e: Throwable => deleteRecursively(stage); throw e
+            }
             deleteRecursively(tmp)
         }
     }
   }
 
   /** Depth-first tree copy for [[publishMv]]'s cross-file-store fallback —
-    * the only publish path that cannot rename. Readers are still guarded by
-    * the MV lock plus the `_SUCCESS` re-check: the marker is copied LAST so
-    * a concurrent reader never accepts a half-copied publish. */
+    * the only publish path that cannot rename; the destination is a private
+    * staging sibling, renamed into place once the copy (marker LAST) is
+    * complete. */
   private def copyRecursively(from: java.nio.file.Path,
                               to: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}

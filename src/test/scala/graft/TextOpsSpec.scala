@@ -1221,6 +1221,13 @@ class TextOpsSpec extends SparkSpecBase {
       && one.head.getDouble(5) == 1.0, s"degenerate shard wrong: ${one.toSeq}")
   }
 
+  test("lshCandidateQuality: an empty τ list is an empty curve, not a crash") {
+    val df = TextOps.lshCandidateQuality(spark, sf, Seq.empty)
+    assert(df.columns.toSeq == Seq("tau", "n_true", "n_hit", "n_candidates",
+      "recall", "candidate_precision", "expected_recall"))
+    assert(df.count() == 0)
+  }
+
   test("lshCandidateQuality: the DEDUP_QUALITY.md contract — internal consistency, recall floor, and every banding miss containment-shaped") {
     val rows = TextOps.lshCandidateQuality(spark, sf, Seq(0.5, 0.8, 0.9))
       .collect()

@@ -27,7 +27,8 @@ adjudicated with a WHITELISTED benign verdict ('host_drift',
 — a silenced flag is still printed, marked "adjudicated", with the
 replay's own numbers. 'accepted_tradeoff' records an INTENTIONAL,
 documented cost (the note must name the change and the doc that accepts
-it) so a deliberate trade does not read as an unexplained regression. A replay verdict of "code_regression" keeps the
+it — ENFORCED: a noteless accepted_tradeoff keeps the flag and exit code
+live) so a deliberate trade does not read as an unexplained regression. A replay verdict of "code_regression" keeps the
 flag (and the exit code) alive, and so does ANY unrecognized verdict
 (ADVICE r15: a typo'd or novel verdict must not silently clear the
 tripwire).
@@ -146,7 +147,16 @@ def main():
         for k, o, n, r in flagged:
             adj = replay.get(k)
             verdict = adj.get("verdict") if adj is not None else None
-            if verdict in benign:
+            # accepted_tradeoff's contract is a note naming the change and
+            # the doc that accepts it — a bare verdict is the silent-clear
+            # class the whitelist exists to prevent
+            noteless_tradeoff = (verdict == "accepted_tradeoff" and
+                                 not str(adj.get("note") or "").strip())
+            if noteless_tradeoff:
+                print(f"  accepted_tradeoff for {k} carries NO note — "
+                      f"treating the flag as live (the note must name the "
+                      f"change and the accepting doc)")
+            elif verdict in benign:
                 if verdict == "unverified_improvement":
                     provisional.append(k)
                 print(f"  adjudicated {k}: {o:.2f}s -> {n:.2f}s (x{r:.2f} normalized) — "
@@ -154,7 +164,8 @@ def main():
                       f"vs new jar {adj.get('new_jar_sec')}s same-session"
                       + (f" ({adj.get('note')})" if adj.get("note") else ""))
                 continue
-            if adj is not None and verdict != "code_regression":
+            if adj is not None and verdict != "code_regression" and \
+                    not noteless_tradeoff:
                 print(f"  UNRECOGNIZED replay verdict '{verdict}' for {k} — "
                       f"treating the flag as live (benign verdicts: "
                       f"{', '.join(sorted(benign))})")
