@@ -2411,7 +2411,14 @@ ORDER BY r.rank DESC, partkey"""
     // scale (no floats), deltas land quantized exactly once, the probe is
     // coarse-int8-then-float-rescore over the probed bucket files only
     "q240_int8_ivf_durable" -> ((s, dir) =>
-      Similarity.int8IvfDurableRefresh(s, dir))
+      Similarity.int8IvfDurableRefresh(s, dir)),
+
+    // STREAMING QUANTIZED-INDEX MAINTENANCE: the int8 chain driven by an
+    // actual at-least-once stream (foreachBatch) — per-vector assignment
+    // makes the chain state batching-invariant, so the gate shares q240's
+    // assign-everything oracle verbatim (stream ≡ batch, hash-exactly)
+    "q241_int8_ivf_stream" -> ((s, dir) =>
+      streaming.StreamingOps.int8IvfStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5583,12 +5590,18 @@ ORDER BY p.label""",
     // (double-applied) batch would duplicate neighbors and shift ranks
     "q238_ivf_durable_refresh" -> IvfSplitProbeOracleSql,
 
-    // q240: the split-trained Lloyd replay + the q125 int8 discipline —
-    // half-up quantization of every vector, coarse int8 cosine inside the
+    // q240/q241: the split-trained Lloyd replay + the q125 int8 discipline
+    // — half-up quantization of every vector, coarse int8 cosine inside the
     // probed cells cut at rescoreFactor·k (ties on neighbor_id, the
     // TopKByScore contract), float rescore of the survivors, final top-k;
-    // every knob interpolated from the pinned Similarity vals
-    "q240_int8_ivf_durable" -> s"""
+    // every knob interpolated from the pinned Similarity vals. q241 (the
+    // STREAM-driven chain) shares it verbatim: assignment and quantization
+    // are per-vector, so the union-form chain state is batching-invariant
+    "q240_int8_ivf_durable" -> Int8IvfChainOracleSql,
+    "q241_int8_ivf_stream" -> Int8IvfChainOracleSql
+  )
+
+  private lazy val Int8IvfChainOracleSql: String = s"""
 $KmeansCellsSplitCtes, qz AS (
   SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM ea
 ), qv AS (
@@ -5626,7 +5639,6 @@ $KmeansCellsSplitCtes, qz AS (
 )
 SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 6) + 0 AS sim
 FROM r WHERE rk <= ${Similarity.IvfK} ORDER BY q_id, rk"""
-  )
 
   /** Shared q237/q238 oracle: the split-trained Lloyd replay probed at the
     * pinned knobs ([[Similarity.IvfNQueries]]/[[Similarity.IvfNProbe]]/

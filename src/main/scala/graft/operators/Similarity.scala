@@ -271,33 +271,85 @@ object Similarity {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = ivfCentsMv(spark, dir, nCells, iters)
-    def quantized(assigned: DataFrame): DataFrame = assigned
-      .withColumn("scale", int8Scale(col("e")))
-      .select(col("cell"), col("vec_id"),
-        int8Codes(col("e"), col("scale"), "tinyint").as("q"), col("scale"))
-    // standing INT8 assignment MV: float-assigned, int8-stored
-    val standingPath = graft.sources.Tables.bucketedMvPath(spark, src,
+    val chain = s"ivf_q8_d90_${nCells}_$iters"
+    graft.sources.Tables.resetChain(spark, src, chain)
+    // two arriving delta batches (the held-out decile split in two): each
+    // step is one broadcast assignment + quantize + bucketed write-back —
+    // a replayed batchId skips both
+    Seq(0L, 1L).foreach { b =>
+      applyInt8IvfBatch(spark, dir, chain, b,
+        embAll.filter(col("vec_id") % 20 === lit(b * 10)), nCells, iters)
+    }
+    int8ChainProbe(spark, dir, chain, nQueries, k, nCells, nProbe, iters,
+      rescoreFactor)
+  }
+
+  /** Quantize an assigned (cell, vec_id, e) relation into the int8 chain-MV
+    * schema (cell, vec_id, q tinyint[], scale). */
+  private def quantizeAssigned(assigned: DataFrame): DataFrame = assigned
+    .withColumn("scale", int8Scale(col("e")))
+    .select(col("cell"), col("vec_id"),
+      int8Codes(col("e"), col("scale"), "tinyint").as("q"), col("scale"))
+
+  /** The pristine standing INT8 assignment MV (float-assigned, int8-stored),
+    * cell-bucketed — built once per corpus, never mutated: maintenance
+    * chains publish their grown steps under their own chain names. */
+  private def int8StandingPath(spark: SparkSession, dir: String,
+                               cents: DataFrame, nCells: Int,
+                               iters: Int): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    graft.sources.Tables.bucketedMvPath(spark, src,
       s"ivf_q8_b90_${nCells}_$iters", nCells, Seq("cell"),
       Seq("cell", "vec_id")) {
-      quantized(assignCells(embAll.filter(col("vec_id") % 10 =!= 0), cents))
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .filter(col("vec_id") % 10 =!= 0)
+      quantizeAssigned(assignCells(base, cents))
     }
-    val chain = s"ivf_q8_d90_${nCells}_$iters"
-    val bkt = Seq("cell")
-    val srt = Seq("cell", "vec_id")
-    graft.sources.Tables.resetChain(spark, src, chain)
-    Seq(0L, 1L).foreach { b =>
-      val batch = embAll.filter(col("vec_id") % 20 === lit(b * 10))
-      graft.sources.Tables.chainStep(spark, src, chain, b, nCells, bkt, srt) {
-        prev =>
-          val standing = prev.getOrElse(
-            spark.read.parquet(standingPath.toString))
-          standing.select(col("cell"), col("vec_id"), col("q"), col("scale"))
-            .union(quantized(assignCells(batch, cents)))
-      }
+  }
+
+  /** One replay-idempotent step of an int8 assignment chain — the loop body
+    * of the batch gate (q240) and the foreachBatch body of the streaming
+    * gate (q241): broadcast-assign the (vec_id, e) batch against the FIXED
+    * centroids, quantize, and land it in `chain` exactly once (a replayed
+    * batchId finds its own publish and skips). Union is per-vector, so the
+    * final chain state is the same under ANY batching of the delta —
+    * which is why the streaming gate shares q240's oracle verbatim. */
+  private[graft] def applyInt8IvfBatch(s: SparkSession, dir: String,
+                                       chain: String, batchId: Long,
+                                       batch: DataFrame,
+                                       nCells: Int = IvfNCells,
+                                       iters: Int = IvfIters): Unit = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val cents = ivfCentsMv(s, dir, nCells, iters)
+    val standingPath = int8StandingPath(s, dir, cents, nCells, iters)
+    graft.sources.Tables.chainStep(s, src, chain, batchId, nCells,
+      Seq("cell"), Seq("cell", "vec_id")) { prev =>
+      val standing = prev.getOrElse(s.read.parquet(standingPath.toString))
+      standing.select(col("cell"), col("vec_id"), col("q"), col("scale"))
+        .union(quantizeAssigned(assignCells(batch, cents)))
     }
+  }
+
+  /** The two-stage probe of an int8 assignment chain's LATEST publish:
+    * coarse int8 cosine over the probed cells' bucket files only (scales
+    * cancel; the integer dot is exact in double, so coarse ranking is
+    * deterministic across engines), k-heap cut at rescoreFactor·k, float
+    * rescore of the survivors, final top-k. */
+  private[graft] def int8ChainProbe(spark: SparkSession, dir: String,
+                                    chain: String,
+                                    nQueries: Int = IvfNQueries,
+                                    k: Int = IvfK, nCells: Int = IvfNCells,
+                                    nProbe: Int = IvfNProbe,
+                                    iters: Int = IvfIters,
+                                    rescoreFactor: Int = IvfRescoreFactor)
+      : DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = ivfCentsMv(spark, dir, nCells, iters)
     val latestPath = latestChainPath(src, chain,
-      "int8 IVF chain published nothing")
+      s"int8 IVF chain $chain published nothing")
     val probes = cellProbes(embAll, cents, nQueries, nProbe)
       .withColumn("scale", int8Scale(col("qe")))
       .select(col("q_id"), col("cell"),

@@ -1437,6 +1437,74 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING QUANTIZED-INDEX MAINTENANCE (q241, round-16): the last cell
+    * of the maintenance-gate matrix — q236 proves the STREAMING chain on the
+    * float merge, q238 the batch chain on the float IVF, q240 the batch
+    * chain on the INT8 index; this gate drives the int8 chain from an
+    * actual at-least-once stream. Arriving embedding micro-batches are
+    * broadcast-assigned against the fixed centroids, quantized, and landed
+    * in the standing int8 assignment MV through the replay-idempotent chain
+    * ([[graft.operators.Similarity.applyInt8IvfBatch]] — the shared q240
+    * step body, batchId-guarded, so a redelivered batch can never land a
+    * vector twice); the final probe is q240's two-stage
+    * coarse-int8-then-float-rescore over the latest publish's probed bucket
+    * files. No state store — the published chain IS the state; restart
+    * recovery is the checkpoint's source offsets plus the durable listing.
+    *
+    * Batch grain: the held-out decile is range-split on vec_id into 2
+    * files consumed with maxFilesPerTrigger=1, so every vector arrives in
+    * EXACTLY one micro-batch; assignment and quantization are per-vector,
+    * so the union-form chain state — and therefore the probe — is the same
+    * under ANY batching. That is why this gate shares q240's
+    * assign-everything oracle verbatim: stream ≡ batch, hash-exactly.
+    *
+    * Scale shape: per batch one broadcast assign + quantize + an int8-sized
+    * bucketed write-back (4× smaller than a float republish), never ∝
+    * history; the probe reads only the probed cells' bucket files. */
+  def int8IvfStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    import graft.sources.{Formats, Tables}
+    val fp = Formats.fingerprintOf(dir, "embeddings")
+    val split = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_int8ivf_split", fp).toString
+    synchronized {
+      Formats.materializeAtomic(split) { tmp =>
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 10 === 0)
+          .repartitionByRange(2, col("vec_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    val srcPath = Paths.get(dir, "embeddings.parquet")
+    val chain =
+      s"ivf_q8_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}"
+    // reset any prior run's chain — the gate replays its maintenance
+    // sequence from the pristine standing MV every time
+    Tables.resetChain(spark, srcPath, chain)
+    val ckpt = Files.createTempDirectory("graft_int8ivf_ckpt")
+    try {
+      val schema = spark.read.parquet(split).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(split)
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          if (!b.isEmpty)
+            Similarity.applyInt8IvfBatch(b.sparkSession, dir, chain, batchId,
+              b.select(col("vec_id"),
+                col("embedding").cast("array<double>").as("e")))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      Similarity.int8ChainProbe(spark, dir, chain)
+    } finally {
+      deleteRecursively(ckpt)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   /** STREAMING MIXTURE-BUDGET ADMISSION (q227) — the batch q225 selection
     * (per-source token budgets executed by the quality-ranked
     * exclusive-prefix rule) as corpus INGESTION: per source, keyed state

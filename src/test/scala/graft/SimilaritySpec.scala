@@ -357,4 +357,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!schema.fieldNames.contains("e") && !schema.fieldNames.contains("embedding"),
       s"float vectors leaked into the int8 index: ${schema.fieldNames.toSeq}")
   }
+
+  test("q241 streaming int8 chain: stream-driven maintenance == the batch q240 gate, retention holds one publish") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val stream = snap(graft.streaming.StreamingOps.int8IvfStreamParity(spark, sf))
+    assert(stream.nonEmpty)
+    // per-vector assignment makes the chain state batching-invariant: the
+    // range-split stream and q240's %20 batch split land the SAME index,
+    // so the probes must agree row-for-row (the shared-oracle argument)
+    assert(stream == snap(Similarity.int8IvfDurableRefresh(spark, sf)),
+      "stream-maintained int8 index diverged from the batch chain")
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val chainIds = graft.sources.Tables.chainPublishedIds(src,
+      s"ivf_q8_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
+    assert(chainIds.length == 1,
+      s"retention should keep one stream-chain publish: $chainIds")
+  }
 }

@@ -53,6 +53,7 @@ val picks = Seq(
   ("q238_ivf_durable_refresh", "durable incremental IVF: probe reads ONLY the latest chain publish's probed bucket files — q237's plan with the per-call delta leg GONE (the deltas live in the standing MV, landed once by the batchId-guarded republish chain)"),
   ("q239_stream_multibench_decontam", "streaming multi-benchmark decontam: the emitted sink relation of the per-batch tagged probe — final read is a scan+sort of the appended parquet; the probe work lives in the foreachBatch plans (q235's shape per batch)"),
   ("q240_int8_ivf_durable", "int8 durable IVF probe: ONE pruned int8 standing scan (no floats, no delta leg), coarse k-heap at rescoreFactor*k, survivor-sized float rescore joins, final k-heap"),
+  ("q241_int8_ivf_stream", "stream-maintained int8 chain probe: q240's plan against the publish the AvailableNow lifecycle grew - same pruned scan, same two-stage ranking"),
   ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
   ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"),
   ("q221_shingle_df_incremental", "incremental shingle-df: base ∪ delta-df merged by ONE vocabulary-keyed sum aggregate — delta tokenize only, no corpus-history re-scan"),
