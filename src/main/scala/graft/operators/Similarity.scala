@@ -273,12 +273,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val chain = s"ivf_q8_d90_${nCells}_$iters"
     graft.sources.Tables.resetChain(spark, src, chain)
+    val inputs = int8ChainInputs(spark, dir, nCells, iters)
     // two arriving delta batches (the held-out decile split in two): each
     // step is one broadcast assignment + quantize + bucketed write-back —
     // a replayed batchId skips both
     Seq(0L, 1L).foreach { b =>
       applyInt8IvfBatch(spark, dir, chain, b,
-        embAll.filter(col("vec_id") % 20 === lit(b * 10)), nCells, iters)
+        embAll.filter(col("vec_id") % 20 === lit(b * 10)), inputs, nCells)
     }
     int8ChainProbe(spark, dir, chain, nQueries, k, nCells, nProbe, iters,
       rescoreFactor)
@@ -318,17 +319,30 @@ object Similarity {
   private[graft] def applyInt8IvfBatch(s: SparkSession, dir: String,
                                        chain: String, batchId: Long,
                                        batch: DataFrame,
-                                       nCells: Int = IvfNCells,
-                                       iters: Int = IvfIters): Unit = {
+                                       inputs: (DataFrame, java.nio.file.Path),
+                                       nCells: Int = IvfNCells): Unit = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val cents = ivfCentsMv(s, dir, nCells, iters)
-    val standingPath = int8StandingPath(s, dir, cents, nCells, iters)
+    val (cents, standingPath) = inputs
     graft.sources.Tables.chainStep(s, src, chain, batchId, nCells,
       Seq("cell"), Seq("cell", "vec_id")) { prev =>
       val standing = prev.getOrElse(s.read.parquet(standingPath.toString))
       standing.select(col("cell"), col("vec_id"), col("q"), col("scale"))
         .union(quantizeAssigned(assignCells(batch, cents)))
     }
+  }
+
+  /** The fixed inputs every int8 chain step shares — the centroid MV
+    * read-back and the pristine standing int8 MV path. Resolved ONCE per
+    * gate run and passed into [[applyInt8IvfBatch]]: resolving per batch
+    * would pay a redundant fingerprint walk + MV-lock round per
+    * micro-batch (both are corpus-level, batch-invariant state). Building
+    * the standing MV on first touch happens here, before any step runs. */
+  private[graft] def int8ChainInputs(s: SparkSession, dir: String,
+                                     nCells: Int = IvfNCells,
+                                     iters: Int = IvfIters)
+      : (DataFrame, java.nio.file.Path) = {
+    val cents = ivfCentsMv(s, dir, nCells, iters)
+    (cents, int8StandingPath(s, dir, cents, nCells, iters))
   }
 
   /** The two-stage probe of an int8 assignment chain's LATEST publish:

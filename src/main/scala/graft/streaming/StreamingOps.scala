@@ -1482,6 +1482,10 @@ object StreamingOps {
     // reset any prior run's chain — the gate replays its maintenance
     // sequence from the pristine standing MV every time
     Tables.resetChain(spark, srcPath, chain)
+    // centroid MV + standing int8 MV are corpus-level, batch-invariant
+    // state: resolve (and first-touch build) ONCE before the stream, not
+    // per micro-batch
+    val inputs = Similarity.int8ChainInputs(spark, dir)
     val ckpt = Files.createTempDirectory("graft_int8ivf_ckpt")
     try {
       val schema = spark.read.parquet(split).schema
@@ -1492,7 +1496,7 @@ object StreamingOps {
           if (!b.isEmpty)
             Similarity.applyInt8IvfBatch(b.sparkSession, dir, chain, batchId,
               b.select(col("vec_id"),
-                col("embedding").cast("array<double>").as("e")))
+                col("embedding").cast("array<double>").as("e")), inputs)
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
