@@ -2418,7 +2418,24 @@ ORDER BY r.rank DESC, partkey"""
     // makes the chain state batching-invariant, so the gate shares q240's
     // assign-everything oracle verbatim (stream ≡ batch, hash-exactly)
     "q241_int8_ivf_stream" -> ((s, dir) =>
-      streaming.StreamingOps.int8IvfStreamParity(s, dir))
+      streaming.StreamingOps.int8IvfStreamParity(s, dir)),
+
+    // DURABLE INCREMENTAL SemDeDup: q90's within-cell dedup maintained as
+    // delta batches land through the replay-idempotent chain — lower-id-
+    // wins preserved across batches in BOTH directions (an arrival can
+    // flip a standing vector), so the census equals the batch rule over
+    // the fully-assigned corpus under any batching
+    "q242_semantic_dedup_durable" -> ((s, dir) =>
+      Similarity.semanticDedupDurable(s, dir)),
+
+    // MIN-RUN SPAN CUT: q214's cleaner cutting only maximal covered runs
+    // of >= SpanCutMinRunTokens positions (Lee et al. 2022 cut runs >= 50
+    // tokens) — incidental shared trigrams are kept, duplicated passages
+    // still cut; probes the same standing dup-shingle MV as q214/q220
+    "q243_span_cut_min_run" -> ((s, dir) =>
+      TextOps.spanCutCleanRunsAgainst(Tables.documents(s, dir),
+        TextOps.dupShinglesMV(s, dir), TextOps.SpanCutMinRunTokens)
+        .orderBy("doc_id"))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5598,7 +5615,32 @@ ORDER BY p.label""",
     // STREAM-driven chain) shares it verbatim: assignment and quantization
     // are per-vector, so the union-form chain state is batching-invariant
     "q240_int8_ivf_durable" -> Int8IvfChainOracleSql,
-    "q241_int8_ivf_stream" -> Int8IvfChainOracleSql
+    "q241_int8_ivf_stream" -> Int8IvfChainOracleSql,
+
+    // q242: q90's drop rule over the SPLIT-trained Lloyd replay — centroids
+    // from the standing 90%, every vector assigned against them, pairwise
+    // lower-id-wins within cells at the pinned τ. The chain's incremental
+    // two-direction maintenance must land exactly this relation under any
+    // batching (each final same-cell pair is examined exactly once — at
+    // base build, in its shared batch, or when its later member arrives)
+    "q242_semantic_dedup_durable" -> s"""
+$KmeansCellsSplitCtes, asgn AS (
+  SELECT vec_id, cell, v FROM fin WHERE crk = 1
+), dropped AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(${cosSql("a.v", "b.v")}, 6) + 0 >= ${Similarity.SemDeDupTau}
+)
+SELECT CAST(g.cell AS BIGINT) AS cell,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM asgn g LEFT JOIN dropped d ON g.cell = d.cell AND g.vec_id = d.vec_id
+GROUP BY 1 ORDER BY cell""",
+
+    // q243: q214's replay with the covered positions merged into maximal
+    // islands (gaps-and-islands) and only runs >= the pinned threshold cut
+    "q243_span_cut_min_run" -> TextOps.spanCutMinRunOracleSql()
   )
 
   private lazy val Int8IvfChainOracleSql: String = s"""

@@ -1045,6 +1045,155 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("cc.cell").as("cell"))
   }
 
+  /** q90's τ knob, pinned once for the durable family (the q242 oracle and
+    * spec interpolate it — the q234/q237 knob discipline). */
+  val SemDeDupTau = 0.35
+
+  /** DURABLE INCREMENTAL SemDeDup (q242, round-17 — VERDICT r16 item 4, the
+    * one open maintenance-matrix row): q90's within-cell semantic dedup
+    * (Abbas et al. 2023, arXiv:2303.09540) maintained as arriving embedding
+    * batches land in a standing cell-bucketed state through the
+    * replay-idempotent chain ([[graft.sources.Tables.chainStep]] — the
+    * q238/q240 discipline applied to the dedup state). The standing
+    * relation holds (cell, vec_id, e, dropped) for EVERY vector — dropped
+    * ones included, because q90's rule drops b whenever ANY lower-id a in
+    * its cell is similar, dropped-or-not: survivors-only state would keep
+    * the c of an a<b<c similarity chain whose (a,c) pair is below τ, and
+    * the census would drift from the batch rule. Per batch:
+    *   1. broadcast-assign the batch against the FIXED split-trained
+    *      centroid MV (q237/q238's `ivf_cents_b90` — assignment never
+    *      retrains);
+    *   2. ONE standing×batch pair join per touched cell decides BOTH
+    *      directions at once: a new vector with a similar lower-id standing
+    *      partner arrives dropped, and a standing vector with a similar
+    *      LOWER-id arrival (the held-out decile interleaves low ids) FLIPS
+    *      to dropped — lower-id-wins preserved across batches;
+    *   3. a batch×batch join settles same-batch pairs;
+    *   4. the grown state republishes through the batchId-guarded chain (a
+    *      replayed batch finds its own publish and skips).
+    * Every final same-cell pair is examined exactly once — at base build,
+    * in the batch containing both members, or when the later member
+    * arrives — so the final state (hence the census) is IDENTICAL under
+    * ANY batching of the delta; the oracle is therefore the batch rule
+    * over the fully-assigned corpus (q90's SQL on the split-trained Lloyd
+    * replay), and the spec replays a batch and re-batches the delta.
+    *
+    * Scale shape: the paper's cell-bounded pair argument survives
+    * incrementally — per batch the pair space is |batch|·|touched cells|
+    * (batch side BROADCAST into both pair joins), never standing², and a
+    * standing vector is never re-paired against the standing set after its
+    * own arrival batch; refresh cost is one standing scan + batch-sized
+    * shuffles + the bucketed write-back, never ∝ history². Census: one
+    * exchange-free hash aggregation over the bucketed latest publish.
+    */
+  def semanticDedupDurable(spark: SparkSession, dir: String,
+                           nCells: Int = IvfNCells, iters: Int = IvfIters,
+                           tau: Double = SemDeDupTau): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val chain = s"semdedup_d90_${nCells}_$iters"
+    // gate reset: replay the delta cycles from the pristine standing state
+    graft.sources.Tables.resetChain(spark, src, chain)
+    val inputs = semDedupChainInputs(spark, dir, nCells, iters, tau)
+    // the held-out decile arrives as two batches (the q238/q240 split)
+    Seq(0L, 1L).foreach { b =>
+      applySemDedupBatch(spark, dir, chain, b,
+        embAll.filter(col("vec_id") % 20 === lit(b * 10)), inputs, tau, nCells)
+    }
+    graft.sources.Tables.chainLatest(spark, src, chain, nCells,
+        Seq("cell"), Seq("cell", "vec_id"))
+      .getOrElse(sys.error("semantic dedup chain published nothing"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("dropped"), 1L)), lit(0L)).as("n_dropped"))
+      .select(col("cell"), col("n_vecs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"))
+      .orderBy("cell")
+  }
+
+  /** Fixed inputs of the q242 chain — the split-trained centroid MV
+    * (shared with q237/q238/q240) and the pristine standing dedup state:
+    * base-split vectors assigned to cells with the base-pair drop flags,
+    * cell-bucketed. Resolved once per gate run (the [[int8ChainInputs]]
+    * discipline). */
+  private[graft] def semDedupChainInputs(s: SparkSession, dir: String,
+                                         nCells: Int = IvfNCells,
+                                         iters: Int = IvfIters,
+                                         tau: Double = SemDeDupTau)
+      : (DataFrame, java.nio.file.Path) = {
+    val cents = ivfCentsMv(s, dir, nCells, iters)
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val path = graft.sources.Tables.bucketedMvPath(s, src,
+      s"semdedup_b90_${nCells}_$iters", nCells, Seq("cell"),
+      Seq("cell", "vec_id")) {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .filter(col("vec_id") % 10 =!= 0)
+      val asg = assignCells(base, cents)
+        .select(col("cell"), col("vec_id"), col("e")).localCheckpoint(true)
+      asg.join(broadcast(semanticDroppedFrom(asg, tau)
+          .withColumn("fl", lit(true))), Seq("cell", "vec_id"), "left")
+        .select(col("cell"), col("vec_id"), col("e"),
+          coalesce(col("fl"), lit(false)).as("dropped"))
+    }
+    (cents, path)
+  }
+
+  /** One replay-idempotent step of the q242 semantic-dedup chain — the
+    * loop body of the batch gate (and the foreachBatch body of a streaming
+    * twin), factored so the spec can replay a batchId directly. The pair
+    * hits are τ-filtered BEFORE the two direction splits (one
+    * localCheckpoint pins the single standing scan); flip/drop sets are
+    * batch-bounded, so both state joins broadcast them. */
+  private[graft] def applySemDedupBatch(s: SparkSession, dir: String,
+                                        chain: String, batchId: Long,
+                                        batch: DataFrame,
+                                        inputs: (DataFrame, java.nio.file.Path),
+                                        tau: Double = SemDeDupTau,
+                                        nCells: Int = IvfNCells): Unit = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val (cents, standingPath) = inputs
+    graft.sources.Tables.chainStep(s, src, chain, batchId, nCells,
+      Seq("cell"), Seq("cell", "vec_id")) { prev =>
+      val standing = prev.getOrElse(s.read.parquet(standingPath.toString))
+      val asgB = assignCells(batch, cents)
+        .select(col("cell"), col("vec_id"), col("e")).localCheckpoint(true)
+      val bSide = asgB.select(col("cell"), col("vec_id").as("b_id"),
+        col("e").as("be"))
+      // ONE standing scan pays for both pair directions
+      val cross = standing
+        .select(col("cell"), col("vec_id").as("o_id"), col("e").as("oe"))
+        .join(broadcast(bSide), "cell")
+        .filter(rd(cosineSim(col("oe"), col("be")), 6) >= tau)
+        .select(col("cell"), col("o_id"), col("b_id"))
+        .localCheckpoint(true)
+      // same-batch pairs: lower id wins within the arriving batch too
+      val bb = asgB.select(col("cell"), col("vec_id").as("a_id"),
+          col("e").as("ae"))
+        .join(broadcast(bSide), "cell")
+        .filter(col("a_id") < col("b_id"))
+        .filter(rd(cosineSim(col("ae"), col("be")), 6) >= tau)
+        .select(col("cell"), col("b_id").as("vec_id"))
+      val arrivedDropped = cross.filter(col("o_id") < col("b_id"))
+        .select(col("cell"), col("b_id").as("vec_id"))
+        .union(bb).distinct()
+      val flipped = cross.filter(col("b_id") < col("o_id"))
+        .select(col("cell"), col("o_id").as("vec_id")).distinct()
+      val grownStanding = standing
+        .join(broadcast(flipped.withColumn("fl", lit(true))),
+          Seq("cell", "vec_id"), "left")
+        .select(col("cell"), col("vec_id"), col("e"),
+          (col("dropped") || coalesce(col("fl"), lit(false))).as("dropped"))
+      val arrived = asgB
+        .join(broadcast(arrivedDropped.withColumn("fl", lit(true))),
+          Seq("cell", "vec_id"), "left")
+        .select(col("cell"), col("vec_id"), col("e"),
+          coalesce(col("fl"), lit(false)).as("dropped"))
+      grownStanding.union(arrived)
+    }
+  }
+
   /** CELL SILHOUETTE (q229) — a pair-free clustering-quality score for the
     * SemDeDup / IVF cell structure the ANN and semantic-dedup family rests
     * on: the SIMPLIFIED silhouette (Hruschka et al.'s centroid variant of

@@ -2172,14 +2172,23 @@ FROM sh GROUP BY sg ORDER BY sg"""
     * adds the gate's doc_id ordering. */
   def spanCutCleanAgainst(docs: DataFrame, dupSgs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val base = tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    val pos = tok
-      .filter(size(col("toks")) >= 3)
+    spanCutAssemble(tok, coveredPositionsOf(tok, dupSgs))
+  }
+
+  /** The (doc_id, p) token positions covered by at least one index-matched
+    * 3-gram — q214's cut set, factored so the min-run variant (q243) can
+    * merge it into maximal runs before the cut. */
+  private def coveredPositionsOf(tok: DataFrame, dupSgs: DataFrame): DataFrame =
+    tok.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), posexplode(shingles(col("toks"))).as(Seq("pos", "sg")))
-    val coveredPos = pos
       .join(dupSgs.select("sg"), Seq("sg"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("p"))
       .distinct()
+
+  /** Rebuild the kept token stream + removal census from a cut-position
+    * set — the shared back half of q214/q222/q235/q243. */
+  private def spanCutAssemble(tok: DataFrame, coveredPos: DataFrame): DataFrame = {
+    val base = tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     val kept = tok
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
       .join(coveredPos, Seq("doc_id", "p"), "left_anti")
@@ -2195,6 +2204,47 @@ FROM sh GROUP BY sg ORDER BY sg"""
         md5(coalesce(col("kept_text"), lit(""))).as("kept_digest"),
         rd((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
           / col("n_tokens"), 6).as("cut_ratio"))
+  }
+
+  /** q243's run-length knob, pinned once (the oracle and spec interpolate
+    * it). 6 separates incidental shared trigrams (runs of 3–5 covered
+    * positions, kept) from genuine duplicated passages (≥ 6, cut) at the
+    * gate corpus; a production run raises it toward Lee et al.'s 50. */
+  val SpanCutMinRunTokens = 6
+
+  /** MIN-RUN span-cut cleaner (q243, round-17 — VERDICT r16 item 6): Lee
+    * et al. 2022 cut only duplicated runs ≥ 50 tokens, while the q214
+    * contract cuts EVERY covered 3-gram position — over-cutting documents
+    * that merely share an incidental trigram. Here adjacent covered
+    * positions merge into maximal runs (gaps-and-islands: island id =
+    * p − row_number over the doc-ordered covered positions, the q87
+    * sessionize device) and only runs of ≥ minRunTokens positions are cut.
+    * minRunTokens ≤ 3 degenerates to exactly q214 — every island is ≥ 3
+    * positions by construction, since coverage comes from 3-token
+    * shingles — so the guard short-circuits the windows (property-pinned
+    * in SpanCutPropertySpec).
+    *
+    * Scale shape: q214's linear machinery plus two windows over the
+    * covered-position stream, both PARTITIONED BY doc_id (doc-sharded,
+    * never a corpus-wide sort) and bounded by per-document coverage.
+    */
+  def spanCutCleanRunsAgainst(docs: DataFrame, dupSgs: DataFrame,
+                              minRunTokens: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val covered = coveredPositionsOf(tok, dupSgs)
+    val cut =
+      if (minRunTokens <= 3) covered
+      else {
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")
+        covered
+          .withColumn("grp", col("p") - row_number().over(byDoc))
+          .withColumn("rl", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "grp")))
+          .filter(col("rl") >= minRunTokens)
+          .select("doc_id", "p")
+      }
+    spanCutAssemble(tok, cut)
   }
 
   def spanCutCleanFrom(docs: DataFrame): DataFrame =
@@ -2221,6 +2271,57 @@ WITH d AS (
   SELECT DISTINCT doc_id, cp
   FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 3)) AS cp
         FROM sh s JOIN dup USING (sg))
+), tp AS (
+  SELECT doc_id, i, toks[i] AS tk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+), kept AS (
+  SELECT tp.doc_id, count(*) AS n_kept,
+         string_agg(tp.tk, ' ' ORDER BY tp.i) AS kept_text
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.i
+  WHERE cov.cp IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.kept_text, '')) AS kept_digest,
+       round(CAST(n.n_tokens - COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_tokens, 6) + 0 AS cut_ratio
+FROM n LEFT JOIN kept k ON k.doc_id = n.doc_id
+ORDER BY n.doc_id"""
+
+  /** The q243 oracle: q214's covered-position derivation, adjacent covered
+    * positions merged into maximal islands per document (the
+    * gaps-and-islands pattern), runs below the pinned threshold KEPT, then
+    * q214's kept-stream rebuild verbatim. */
+  def spanCutMinRunOracleSql(minRunTokens: Int = SpanCutMinRunTokens): String = s"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+), n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+), sh AS (
+  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), dup AS (
+  SELECT sg FROM (SELECT sg, count(DISTINCT doc_id) AS df FROM sh GROUP BY sg)
+  WHERE df > 1
+), cov0 AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 3)) AS cp
+        FROM sh s JOIN dup USING (sg))
+), isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+  FROM cov0
+), runs AS (
+  SELECT doc_id, grp FROM isl GROUP BY doc_id, grp
+  HAVING count(*) >= $minRunTokens
+), cov AS (
+  SELECT i.doc_id, i.cp FROM isl i JOIN runs r
+  ON r.doc_id = i.doc_id AND r.grp = i.grp
 ), tp AS (
   SELECT doc_id, i, toks[i] AS tk
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)

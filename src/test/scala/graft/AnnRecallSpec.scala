@@ -160,4 +160,32 @@ class AnnRecallSpec extends SparkSpecBase {
       .select("q_id", "neighbor_id", "rk", "sim").collect().toSeq
     assert(persisted == inSession, "persisted-index probe diverged from the in-session path")
   }
+
+  /** q240/q241 coarse-cut quality (round-17 — VERDICT r16 item 5): the
+    * DuckDB oracle proves ALGORITHM parity, not ranking quality — a
+    * too-small rescoreFactor would be replayed faithfully by the oracle
+    * while quietly shipping bad neighbors. This pins recall@3 of the
+    * coarse-int8-then-float-rescore chain probe (q240) against the FLOAT
+    * durable probe (q238 — same centroids, same probed cells, same chain
+    * state, no quantization), the q125 discipline applied to the IVF path.
+    * Measured at the registered rescoreFactor=4: int8 ≡ float recall 1.0
+    * (the rescore pool recovers every coarse-ranking perturbation the
+    * 127-level grid introduces); both share the IVF nProbe=3 envelope vs
+    * brute (0.733, the q73 number — the loss is BUCKETING, not
+    * quantization). The rescoreFactor sweep is recorded in
+    * DEDUP_QUALITY.md §int8-IVF.
+    */
+  test("q240 int8 IVF chain at sf0.1: recall vs the float durable probe ≥ 0.9 (measured 1.0); bucketing envelope shared") {
+    val brute = knnSet(Similarity.bruteKnn(spark, sf01, 5, 3))
+    val float = knnSet(Similarity.ivfDurableRefreshBucketed(spark, sf01))
+    val int8 = knnSet(Similarity.int8IvfDurableRefresh(spark, sf01))
+    val vsFloat = int8.intersect(float).size.toDouble / float.size
+    val vsBrute = int8.intersect(brute).size.toDouble / brute.size
+    val floatVsBrute = float.intersect(brute).size.toDouble / brute.size
+    info(f"int8-IVF recall@3 vs float-IVF: $vsFloat%.3f; vs brute: $vsBrute%.3f (float envelope $floatVsBrute%.3f)")
+    assert(vsFloat >= 0.9,
+      f"int8 chain recall vs the float durable probe $vsFloat%.3f < 0.9")
+    assert(vsBrute >= floatVsBrute - 0.1,
+      f"int8 end-to-end recall $vsBrute%.3f fell more than 0.1 below the float IVF envelope $floatVsBrute%.3f")
+  }
 }

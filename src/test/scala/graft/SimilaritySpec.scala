@@ -343,7 +343,10 @@ class SimilaritySpec extends SparkSpecBase {
     val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
     val chainIds = graft.sources.Tables.chainPublishedIds(src,
       s"ivf_q8_d90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
-    assert(chainIds == Seq(1L), s"retention should keep one publish: $chainIds")
+    // default retain=2 (round-17): the newest publish plus its predecessor
+    // stay live so a concurrent reader holding b0 survives b1's republish
+    assert(chainIds == Seq(0L, 1L),
+      s"retention should keep the newest publish + predecessor: $chainIds")
     val mv = graft.sources.Tables.publishedMvPath(src,
       s"ivf_q8_d90_${Similarity.IvfNCells}_${Similarity.IvfIters}_b1").get
     val schema = spark.read.parquet(mv.toString).schema
@@ -372,7 +375,44 @@ class SimilaritySpec extends SparkSpecBase {
     val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
     val chainIds = graft.sources.Tables.chainPublishedIds(src,
       s"ivf_q8_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
-    assert(chainIds.length == 1,
-      s"retention should keep one stream-chain publish: $chainIds")
+    // default retain=2 (round-17): newest publish + predecessor stay live
+    assert(chainIds.length == 2,
+      s"retention should keep the newest stream-chain publish + predecessor: $chainIds")
+  }
+
+  test("q242 durable SemDeDup: census == batch rule; replayed batch skips; batching-invariant") {
+    import graft.sources.Tables
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val gate = snap(Similarity.semanticDedupDurable(spark, sf))
+    assert(gate.nonEmpty && gate.exists(_._3 > 0), s"no drops measured: $gate")
+    // batch rule over the fully-assigned corpus with the same fixed
+    // centroids — what the DuckDB oracle states
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val inputs = Similarity.semDedupChainInputs(spark, sf)
+    val embAll = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // single-batch re-batching of the whole delta through a private chain:
+    // the final state must be identical (each pair examined exactly once)
+    val chain1 = "semdedup_test_onebatch"
+    Tables.resetChain(spark, src, chain1)
+    try {
+      Similarity.applySemDedupBatch(spark, sf, chain1, 0L,
+        embAll.filter(col("vec_id") % 10 === 0), inputs)
+      // at-least-once replay of the same batchId: chain state unchanged
+      Similarity.applySemDedupBatch(spark, sf, chain1, 0L,
+        embAll.filter(col("vec_id") % 10 === 0), inputs)
+      assert(Tables.chainPublishedIds(src, chain1) == Seq(0L))
+      val oneBatch = snap(Tables.chainLatest(spark, src, chain1,
+          Similarity.IvfNCells, Seq("cell"), Seq("cell", "vec_id")).get
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(sum(when(col("dropped"), 1L)), lit(0L)).as("n_dropped"))
+        .select(col("cell"), col("n_vecs"), col("n_dropped"),
+          (col("n_vecs") - col("n_dropped")).as("n_kept"))
+        .orderBy("cell"))
+      assert(oneBatch == gate,
+        s"one-batch chain diverged from the two-batch gate:\n$oneBatch\nvs\n$gate")
+    } finally Tables.resetChain(spark, src, chain1)
   }
 }

@@ -91,6 +91,62 @@ class SpanCutPropertySpec extends SparkSpecBase {
     labels.takeRight(keep).mkString(".")
   }
 
+  test("spanCutCleanRunsAgainst: incidental shared trigrams kept, long duplicated runs cut; minRun<=3 degenerates to q214") {
+    // planted fixture: both docs share a SHORT trigram (3 covered
+    // positions — an incidental island below the threshold) and a LONG
+    // 7-token passage (island of 7 >= 6 — a genuine duplicated run);
+    // fillers are unique per doc so nothing else is covered
+    val short = "small shared thing"
+    val long = "big copied passage of seven exact tokens"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $short u4 u5 u6 $long u7 u8 u9"),
+      (2L, s"w1 w2 w3 $short w4 w5 w6 $long w7 w8 w9")).toDF("doc_id", "text")
+    val dup = TextOps.dupShinglesFrom(docs).localCheckpoint(true)
+    val got = TextOps.spanCutCleanRunsAgainst(docs, dup, 6)
+      .select("doc_id", "n_tokens", "n_removed", "n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    got.foreach { case (id, (nt, nr)) =>
+      assert(nt == 19L, s"doc $id token count $nt")
+      assert(nr == 7L, s"doc $id: min-run cut must remove exactly the long run, removed $nr")
+    }
+    // the kept text retains the short shared trigram
+    val keptTexts = TextOps.spanCutCleanRunsAgainst(docs, dup, 6)
+    val refKept = "u1 u2 u3 small shared thing u4 u5 u6 u7 u8 u9"
+    val refDigest = md5hex(refKept)
+    val d1 = keptTexts.filter(col("doc_id") === 1L)
+      .select("kept_digest").as[String].head()
+    assert(d1 == refDigest, "short shared trigram was cut by the min-run cleaner")
+    // q214 cuts BOTH islands (10 positions)
+    val q214 = TextOps.spanCutCleanAgainst(docs, dup)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(q214.values.forall(_ == 10L), s"q214 baseline drifted: $q214")
+    // minRun <= 3 degenerates to exactly the q214 contract (every island
+    // is >= 3 positions by construction) — checked on a seeded random
+    // corpus with engineered duplication, not just the fixture
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(59)
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val template = sentence(6)
+    val rdocs = (0L until 40L).map { id =>
+      val body =
+        if (id % 7 == 6) sentence(rnd.nextInt(3))
+        else if (id % 2 == 0) s"${sentence(rnd.nextInt(5))} $template ${sentence(rnd.nextInt(5))}"
+        else sentence(6 + rnd.nextInt(8))
+      (id, body)
+    }.toDF("doc_id", "text")
+    val rdup = TextOps.dupShinglesFrom(rdocs).localCheckpoint(true)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_removed", "n_kept", "kept_digest")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap(TextOps.spanCutCleanRunsAgainst(rdocs, rdup, 3)) ==
+      snap(TextOps.spanCutCleanAgainst(rdocs, rdup)),
+      "minRun=3 diverged from the q214 cleaner on a random corpus")
+  }
+
   test("registrableDomain equals the pure-Scala rule on randomized URLs over every suffix class") {
     val rnd = new scala.util.Random(23)
     val subs = Vector("", "www.", "news.", "a.b.", "x.y.z.")
