@@ -56,6 +56,8 @@ val picks = Seq(
   ("q241_int8_ivf_stream", "stream-maintained int8 chain probe: q240's plan against the publish the AvailableNow lifecycle grew - same pruned scan, same two-stage ranking"),
   ("q218_psl_domain_quota", "full-PSL quota: staged url→labels projection, codegen'd when-chain matcher, NULL-drop FENCED above the aggregate (PushdownBarrier — see the 40s scan-inlining pathology), q213 k-heap"),
   ("q219_stream_domain_quota", "streaming domain quota: mapGroupsWithState bounded heap (cap ids + monotone counter per domain), latest-emission selection, replayed as a batch relation here"),
+  ("q242_semantic_dedup_durable", "durable SemDeDup census: ONE exchange-free hash aggregate over the latest chain publish's bucketed scan - the pair work lives in the chain steps (standing x broadcast-batch cell joins, delta-sized)"),
+  ("q243_span_cut_min_run", "min-run span cut: q214's linear machinery + two doc-sharded windows (island id + run length) on the covered-position stream - no corpus-wide sort, no pair space"),
   ("q221_shingle_df_incremental", "incremental shingle-df: base ∪ delta-df merged by ONE vocabulary-keyed sum aggregate — delta tokenize only, no corpus-history re-scan"),
   ("q222_benchmark_decontam", "benchmark decontamination: benchmark-sized distinct-shingle cut set BROADCAST into the probe, then q214's anti-join + per-doc re-collect — no product join"),
   ("q223_token_budget_select", "token-budget selection: range-partitioned (score, id) ordering materialized once, two-phase prefix sum via mapPartitions — NO single-partition window"))
