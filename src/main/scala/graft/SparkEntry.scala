@@ -2435,7 +2435,14 @@ ORDER BY r.rank DESC, partkey"""
     "q243_span_cut_min_run" -> ((s, dir) =>
       TextOps.spanCutCleanRunsAgainst(Tables.documents(s, dir),
         TextOps.dupShinglesMV(s, dir), TextOps.SpanCutMinRunTokens)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // STREAMING SEMANTIC-DEDUP MAINTENANCE: the q242 chain driven by an
+    // at-least-once stream through the shared step body — the SemDeDup
+    // column of the maintenance matrix; pair coverage is batching-
+    // invariant, so the gate shares q242's oracle verbatim
+    "q244_semantic_dedup_stream" -> ((s, dir) =>
+      streaming.StreamingOps.semDedupStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5622,8 +5629,19 @@ ORDER BY p.label""",
     // lower-id-wins within cells at the pinned τ. The chain's incremental
     // two-direction maintenance must land exactly this relation under any
     // batching (each final same-cell pair is examined exactly once — at
-    // base build, in its shared batch, or when its later member arrives)
-    "q242_semantic_dedup_durable" -> s"""
+    // base build, in its shared batch, or when its later member arrives).
+    // q244 (the STREAM-driven chain) shares it verbatim: the pair-coverage
+    // argument is batching-invariant, so the range-split stream and q242's
+    // %20 split land the same state
+    "q242_semantic_dedup_durable" -> SemDedupChainOracleSql,
+    "q244_semantic_dedup_stream" -> SemDedupChainOracleSql,
+
+    // q243: q214's replay with the covered positions merged into maximal
+    // islands (gaps-and-islands) and only runs >= the pinned threshold cut
+    "q243_span_cut_min_run" -> TextOps.spanCutMinRunOracleSql()
+  )
+
+  private lazy val SemDedupChainOracleSql: String = s"""
 $KmeansCellsSplitCtes, asgn AS (
   SELECT vec_id, cell, v FROM fin WHERE crk = 1
 ), dropped AS (
@@ -5636,12 +5654,7 @@ SELECT CAST(g.cell AS BIGINT) AS cell,
        CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
        CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
 FROM asgn g LEFT JOIN dropped d ON g.cell = d.cell AND g.vec_id = d.vec_id
-GROUP BY 1 ORDER BY cell""",
-
-    // q243: q214's replay with the covered positions merged into maximal
-    // islands (gaps-and-islands) and only runs >= the pinned threshold cut
-    "q243_span_cut_min_run" -> TextOps.spanCutMinRunOracleSql()
-  )
+GROUP BY 1 ORDER BY cell"""
 
   private lazy val Int8IvfChainOracleSql: String = s"""
 $KmeansCellsSplitCtes, qz AS (

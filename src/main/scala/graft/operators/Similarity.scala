@@ -1101,16 +1101,21 @@ object Similarity {
       applySemDedupBatch(spark, dir, chain, b,
         embAll.filter(col("vec_id") % 20 === lit(b * 10)), inputs, tau, nCells)
     }
-    graft.sources.Tables.chainLatest(spark, src, chain, nCells,
-        Seq("cell"), Seq("cell", "vec_id"))
-      .getOrElse(sys.error("semantic dedup chain published nothing"))
-      .groupBy("cell")
+    semDedupCensusOf(graft.sources.Tables.chainLatest(spark, src, chain,
+        nCells, Seq("cell"), Seq("cell", "vec_id"))
+      .getOrElse(sys.error("semantic dedup chain published nothing")))
+  }
+
+  /** The q90-shaped census over a (cell, vec_id, e, dropped) dedup state —
+    * one exchange-free hash aggregate when the state reads back bucketed.
+    * Shared by the batch (q242) and streaming (q244) maintenance gates. */
+  private[graft] def semDedupCensusOf(state: DataFrame): DataFrame =
+    state.groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         coalesce(sum(when(col("dropped"), 1L)), lit(0L)).as("n_dropped"))
       .select(col("cell"), col("n_vecs"), col("n_dropped"),
         (col("n_vecs") - col("n_dropped")).as("n_kept"))
       .orderBy("cell")
-  }
 
   /** Fixed inputs of the q242 chain — the split-trained centroid MV
     * (shared with q237/q238/q240) and the pristine standing dedup state:

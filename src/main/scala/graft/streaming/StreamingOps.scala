@@ -1545,6 +1545,61 @@ object StreamingOps {
     Similarity.int8ChainProbe(spark, dir, chain)
   }
 
+  /** STREAMING SEMANTIC-DEDUP MAINTENANCE (q244, round-17): the q242 chain
+    * driven by an actual at-least-once stream — the SemDeDup column of the
+    * maintenance-gate matrix, alongside q236 (stream × merge) and q241
+    * (stream × int8 IVF). Arriving embedding micro-batches run the shared
+    * q242 step body ([[graft.operators.Similarity.applySemDedupBatch]] —
+    * broadcast-assign, one two-direction standing×batch pair join, a
+    * batch×batch join, batchId-guarded chain landing, so a redelivered
+    * batch can never double-flip or double-drop); the final census reads
+    * the latest publish. Each final same-cell pair is examined exactly
+    * once under ANY batching (the q242 argument), so this gate shares
+    * q242's oracle verbatim: stream ≡ batch, hash-exactly — even though
+    * the stream's range split batches the delta differently from q242's
+    * %20 split.
+    *
+    * Batch grain: the held-out decile is range-split on vec_id into 2
+    * files consumed with maxFilesPerTrigger=1 — every vector arrives in
+    * exactly one micro-batch, the grain the pair-coverage argument needs.
+    * No state store — the published chain IS the state; restart recovery
+    * is the checkpoint's source offsets plus the durable listing.
+    *
+    * Scale shape: q242's — per batch one broadcast assign + |batch|·|cell|
+    * pair work + the full-state bucketed write-back (the chain family's
+    * durability floor, SCALING.md r17), never ∝ history².
+    */
+  def semDedupStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val split = materializeSplit(dir, "embeddings", "graft_semdedup_split") { tmp =>
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 === 0)
+        .repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val srcPath = Paths.get(dir, "embeddings.parquet")
+    val chain =
+      s"semdedup_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}"
+    // reset any prior run's chain — the gate replays its maintenance
+    // sequence from the pristine standing state every time
+    Tables.resetChain(spark, srcPath, chain)
+    // centroid MV + standing dedup state are corpus-level, batch-invariant
+    // inputs: resolve (and first-touch build) ONCE before the stream
+    val inputs = Similarity.semDedupChainInputs(spark, dir)
+    runSplitGate(spark, split, "graft_semdedup_ckpt") { (b, batchId) =>
+      Similarity.applySemDedupBatch(b.sparkSession, dir, chain, batchId,
+        b.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")), inputs)
+    }
+    Similarity.semDedupCensusOf(
+      Tables.chainLatest(spark, srcPath, chain, Similarity.IvfNCells,
+          Seq("cell"), Seq("cell", "vec_id"))
+        .getOrElse(sys.error("semantic dedup stream chain published nothing")))
+      .localCheckpoint(true)
+  }
+
   /** STREAMING MIXTURE-BUDGET ADMISSION (q227) — the batch q225 selection
     * (per-source token budgets executed by the quality-ranked
     * exclusive-prefix rule) as corpus INGESTION: per source, keyed state

@@ -415,4 +415,21 @@ class SimilaritySpec extends SparkSpecBase {
         s"one-batch chain diverged from the two-batch gate:\n$oneBatch\nvs\n$gate")
     } finally Tables.resetChain(spark, src, chain1)
   }
+
+  test("q244 streaming SemDeDup chain: stream-driven maintenance == the batch q242 gate") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stream = snap(graft.streaming.StreamingOps.semDedupStreamParity(spark, sf))
+    assert(stream.nonEmpty)
+    // pair coverage is batching-invariant (each final same-cell pair is
+    // examined exactly once), so the range-split stream and q242's %20
+    // split land the SAME state — census must agree row-for-row
+    assert(stream == snap(Similarity.semanticDedupDurable(spark, sf)),
+      "stream-maintained dedup state diverged from the batch chain")
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val chainIds = graft.sources.Tables.chainPublishedIds(src,
+      s"semdedup_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
+    assert(chainIds.length == 2,
+      s"retention should keep the newest stream-chain publish + predecessor: $chainIds")
+  }
 }
