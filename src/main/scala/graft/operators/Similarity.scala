@@ -1049,6 +1049,14 @@ object Similarity {
     * spec interpolate it — the q234/q237 knob discipline). */
   val SemDeDupTau = 0.35
 
+  /** Knob tag shared by the q242/q244 chain and standing-MV names. τ is
+    * INCLUDED (round-17 review): the standing state's baked-in base drop
+    * flags depend on it, so a name without it would silently reuse a
+    * τ=0.35 base under a caller's different τ — every knob that shapes the
+    * persisted relation must shape its name. */
+  private[graft] def semDedupTag(nCells: Int, iters: Int, tau: Double): String =
+    f"${nCells}_${iters}_t${tau}%.4f".replace(".", "p").replace("-", "m")
+
   /** DURABLE INCREMENTAL SemDeDup (q242, round-17 — VERDICT r16 item 4, the
     * one open maintenance-matrix row): q90's within-cell semantic dedup
     * (Abbas et al. 2023, arXiv:2303.09540) maintained as arriving embedding
@@ -1092,7 +1100,7 @@ object Similarity {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val chain = s"semdedup_d90_${nCells}_$iters"
+    val chain = s"semdedup_d90_${semDedupTag(nCells, iters, tau)}"
     // gate reset: replay the delta cycles from the pristine standing state
     graft.sources.Tables.resetChain(spark, src, chain)
     val inputs = semDedupChainInputs(spark, dir, nCells, iters, tau)
@@ -1130,7 +1138,7 @@ object Similarity {
     val cents = ivfCentsMv(s, dir, nCells, iters)
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val path = graft.sources.Tables.bucketedMvPath(s, src,
-      s"semdedup_b90_${nCells}_$iters", nCells, Seq("cell"),
+      s"semdedup_b90_${semDedupTag(nCells, iters, tau)}", nCells, Seq("cell"),
       Seq("cell", "vec_id")) {
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

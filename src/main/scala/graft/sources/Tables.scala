@@ -331,15 +331,8 @@ object Tables {
       if (published.findFirstIn(fn).isDefined && fn != s"${name}_$keepFp") {
         if (!Files.exists(p.resolve("_SUCCESS"))) {
           deleteRecursively(p); deleted += fn
-        } else {
-          val stamp = p.resolve("_SUPERSEDED")
-          if (!Files.exists(stamp))
-            Files.write(stamp, nowMs.toString.getBytes("UTF-8"))
-          else {
-            val markedAt = scala.util.Try(
-              new String(Files.readAllBytes(stamp), "UTF-8").trim.toLong).getOrElse(0L)
-            if (nowMs - markedAt >= graceMs) { deleteRecursively(p); deleted += fn }
-          }
+        } else if (supersededPastGrace(p, graceMs, nowMs)) {
+          deleteRecursively(p); deleted += fn
         }
       } else if (fn.startsWith(tmpPrefix) && fn.contains(".tmp-") &&
                  nowMs - Files.getLastModifiedTime(p).toMillis >= graceMs) {
@@ -347,6 +340,29 @@ object Tables {
       }
     } finally listing.close()
     deleted.toSeq
+  }
+
+  /** The two-phase supersession primitive shared by [[vacuumMvs]] and the
+    * gate-split sweep ([[graft.streaming.StreamingOps]]): first sighting of
+    * a superseded dir STAMPS it with `_SUPERSEDED` (returns false — a
+    * reader that resolved the path while it was current gets the grace
+    * window); a later sighting returns true once the stamp has outlived
+    * `graceMs`. One copy so the reader-safety protocol (stamp format,
+    * grace comparison) cannot diverge between its users (round-17 review).
+    */
+  private[graft] def supersededPastGrace(p: java.nio.file.Path,
+                                         graceMs: Long,
+                                         nowMs: Long): Boolean = {
+    import java.nio.file.Files
+    val stamp = p.resolve("_SUPERSEDED")
+    if (!Files.exists(stamp)) {
+      Files.write(stamp, nowMs.toString.getBytes("UTF-8"))
+      false
+    } else {
+      val markedAt = scala.util.Try(
+        new String(Files.readAllBytes(stamp), "UTF-8").trim.toLong).getOrElse(0L)
+      nowMs - markedAt >= graceMs
+    }
   }
 
   /** Publish a built MV temp directory to its final path. ATOMIC_MOVE is the
@@ -407,17 +423,30 @@ object Tables {
                   // vacuumMvs never sweeps a markerless dir of the CURRENT
                   // fingerprint, so discarding our staged copy here would
                   // permanently starve every future publish of this
-                  // name+fingerprint. Sweep the partial and retry the
-                  // rename; if a real competitor lands in that window its
-                  // `_SUCCESS`-complete publish wins, anything else
-                  // propagates.
-                  deleteRecursively(mv)
-                  try Files.move(stage, mv)
-                  catch {
-                    case _: FileAlreadyExistsException |
-                         _: DirectoryNotEmptyException
-                        if Files.exists(mv.resolve("_SUCCESS")) =>
-                      deleteRecursively(stage)
+                  // name+fingerprint. Capture the partial by ATOMIC RENAME
+                  // to a trash sibling — never delete in place (round-17
+                  // review: a competitor's complete publish landing between
+                  // the `_SUCCESS` check and an in-place recursive delete
+                  // would be half-destroyed under a live reader; the rename
+                  // either captures the whole directory or fails). If the
+                  // capture raced a competitor, the re-check sees their
+                  // marker and yields; if the capture itself grabbed a
+                  // publish that completed in the window, our identical
+                  // deterministic relation replaces it atomically below.
+                  val trash = mv.resolveSibling(
+                    s".${mv.getFileName}.tmp-trash-${java.util.UUID.randomUUID()}")
+                  scala.util.Try(Files.move(mv, trash)): Unit
+                  deleteRecursively(trash)
+                  if (Files.exists(mv.resolve("_SUCCESS")))
+                    deleteRecursively(stage) // competitor republished meanwhile
+                  else {
+                    try Files.move(stage, mv)
+                    catch {
+                      case _: FileAlreadyExistsException |
+                           _: DirectoryNotEmptyException
+                          if Files.exists(mv.resolve("_SUCCESS")) =>
+                        deleteRecursively(stage)
+                    }
                   }
               }
             } catch {

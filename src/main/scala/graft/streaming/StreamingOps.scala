@@ -781,13 +781,9 @@ object StreamingOps {
           idempotentBatchSink(nearDupStream(batchDocs, idx, threshold),
             id, matchesPath)
         }
-        // 2. upsert this batch's band entries (idempotent on replay)
-        nearDupBandIndex(batchDocs)
-          .withColumn("_batch_id", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id")
-          .parquet(indexPath)
+        // 2. upsert this batch's band entries (idempotent on replay —
+        //    the same sink discipline, one copy)
+        idempotentBatchSink(nearDupBandIndex(batchDocs), id, indexPath)
       }
 
   /** Watermarked stream-stream inner join: match rows of two live streams on
@@ -865,21 +861,28 @@ object StreamingOps {
     * behind every `*_split` gate, VERDICT r16 item 2 + ADVICE r16): the
     * deterministic file split a parity gate streams with
     * `maxFilesPerTrigger=1` is corpus-level scratch, materialized ONCE per
-    * source fingerprint under `java.io.tmpdir/<tag>/<fp>` and republished
-    * only when the corpus regenerates. Publication is
-    * [[graft.sources.Formats.materializeAtomic]]'s single atomic rename;
-    * `write` receives the private tmp dir (so callers can stamp mtimes or
-    * add markers before the rename). Superseded sibling fingerprints are
-    * SWEPT on each call with the [[graft.sources.Tables.vacuumMvs]]
-    * two-phase discipline — previously each of the five gates accumulated
-    * its own strand of dead split dirs forever.
+    * source fingerprint under `java.io.tmpdir/<tag>/<corpus-key>/<fp>` and
+    * republished only when the corpus regenerates. The corpus key (a hash
+    * of the source dir's absolute path) namespaces the sweep: two LIVE
+    * corpora sharing one JVM tmpdir (the test suite's sf0.001 next to the
+    * bench's sf0.1) can never mark each other superseded — only a
+    * regeneration of the SAME corpus path supersedes its old fingerprints
+    * (round-17 review). Publication is [[graft.sources.Formats
+    * .materializeAtomic]]'s single atomic rename; `write` receives the
+    * private tmp dir (so callers can stamp mtimes or add markers before
+    * the rename). Superseded sibling fingerprints are SWEPT on each call
+    * with [[graft.sources.Tables.supersededPastGrace]] — the same
+    * two-phase stamp/grace protocol as `vacuumMvs`, one copy.
     */
   private[graft] def materializeSplit(dir: String, table: String, tag: String)
                                      (write: String => Unit): String = {
     import java.nio.file.Paths
     import graft.sources.Formats
     val fp = Formats.fingerprintOf(dir, table)
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), tag)
+    val corpusKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), tag, corpusKey)
     val split = root.resolve(fp)
     synchronized {
       Formats.materializeAtomic(split.toString)(write)
@@ -888,35 +891,31 @@ object StreamingOps {
     split.toString
   }
 
-  /** Two-phase sweep of a split root's superseded fingerprint dirs:
-    * a complete (`_SUCCESS`-marked) sibling of a DEAD fingerprint is
-    * stamped `_SUPERSEDED` now and deleted once the stamp outlives the MV
-    * vacuum grace window (a gate mid-run against the old corpus gets the
-    * window to finish; any new run re-fingerprints and lands on the live
-    * dir); a markerless sibling (a crashed materialization, or another
-    * process's in-flight `.tmp.<pid>` build) is deleted only once its
-    * mtime outlives the same window — a LIVE concurrent build is
-    * necessarily younger. */
-  private def sweepSupersededSplits(root: java.nio.file.Path, keepFp: String,
-                                    graceMs: Long =
-                                      graft.sources.Tables.MvVacuumGraceMs,
-                                    nowMs: Long =
-                                      System.currentTimeMillis()): Unit = {
+  /** Two-phase sweep of one corpus's split root: a complete
+    * (`_SUCCESS`-marked) sibling of a DEAD fingerprint is stamped
+    * `_SUPERSEDED` now and deleted once the stamp outlives the MV vacuum
+    * grace window (a gate mid-run against the old corpus gets the window
+    * to finish; any new run re-fingerprints and lands on the live dir); a
+    * markerless sibling — a crashed materialization or a dead build's
+    * `.tmp.<pid>` dir, the CURRENT fingerprint's included (round-17
+    * review: a crashed live-fp build is the exact leak class this sweep
+    * exists for) — is deleted once its mtime outlives the same window: a
+    * LIVE in-flight build is necessarily younger. */
+  private[graft] def sweepSupersededSplits(root: java.nio.file.Path,
+                                           keepFp: String,
+                                           graceMs: Long =
+                                             graft.sources.Tables.MvVacuumGraceMs,
+                                           nowMs: Long =
+                                             System.currentTimeMillis()): Unit = {
     import java.nio.file.Files
     if (!Files.isDirectory(root)) return
     val l = Files.list(root)
     try l.forEach { p =>
       val fn = p.getFileName.toString
-      if (fn != keepFp && !fn.startsWith(s"$keepFp.tmp.")) {
+      if (fn != keepFp) {
         if (Files.exists(p.resolve("_SUCCESS"))) {
-          val stamp = p.resolve("_SUPERSEDED")
-          if (!Files.exists(stamp))
-            Files.write(stamp, nowMs.toString.getBytes("UTF-8"))
-          else {
-            val markedAt = scala.util.Try(new String(
-              Files.readAllBytes(stamp), "UTF-8").trim.toLong).getOrElse(0L)
-            if (nowMs - markedAt >= graceMs) deleteRecursively(p)
-          }
+          if (graft.sources.Tables.supersededPastGrace(p, graceMs, nowMs))
+            deleteRecursively(p)
         } else if (nowMs - Files.getLastModifiedTime(p).toMillis >= graceMs)
           deleteRecursively(p)
       }
@@ -1580,8 +1579,8 @@ object StreamingOps {
         .write.mode("overwrite").parquet(tmp)
     }
     val srcPath = Paths.get(dir, "embeddings.parquet")
-    val chain =
-      s"semdedup_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}"
+    val chain = s"semdedup_s90_${Similarity.semDedupTag(Similarity.IvfNCells,
+      Similarity.IvfIters, Similarity.SemDeDupTau)}"
     // reset any prior run's chain — the gate replays its maintenance
     // sequence from the pristine standing state every time
     Tables.resetChain(spark, srcPath, chain)

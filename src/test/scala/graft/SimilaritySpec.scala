@@ -428,7 +428,8 @@ class SimilaritySpec extends SparkSpecBase {
       "stream-maintained dedup state diverged from the batch chain")
     val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
     val chainIds = graft.sources.Tables.chainPublishedIds(src,
-      s"semdedup_s90_${Similarity.IvfNCells}_${Similarity.IvfIters}")
+      s"semdedup_s90_${Similarity.semDedupTag(Similarity.IvfNCells,
+        Similarity.IvfIters, Similarity.SemDeDupTau)}")
     assert(chainIds.length == 2,
       s"retention should keep the newest stream-chain publish + predecessor: $chainIds")
   }

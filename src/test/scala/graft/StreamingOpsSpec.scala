@@ -560,6 +560,35 @@ class StreamingOpsSpec extends SparkSpecBase {
     assert(after == before, s"replay changed the landed relation: $after vs $before")
   }
 
+  test("sweepSupersededSplits: dead fp stamped then grace-deleted; live fp kept; old crashed tmp swept, young build kept") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_sweep_test")
+    def mk(name: String, success: Boolean, mtimeMs: Long): java.nio.file.Path = {
+      val d = root.resolve(name); Files.createDirectories(d)
+      Files.write(d.resolve("part-0"), "x".getBytes("UTF-8"))
+      if (success) Files.write(d.resolve("_SUCCESS"), Array.empty[Byte])
+      Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      d
+    }
+    val t0 = 1000000000000L
+    val grace = graft.sources.Tables.MvVacuumGraceMs
+    val live = mk("fp_live", success = true, t0)
+    val dead = mk("fp_dead", success = true, t0)
+    val oldTmp = mk("fp_live.tmp.123", success = false, t0 - grace - 1)
+    val youngTmp = mk("fp_live.tmp.456", success = false, t0)
+    StreamingOps.sweepSupersededSplits(root, "fp_live", grace, t0)
+    assert(Files.exists(live) && !Files.exists(live.resolve("_SUPERSEDED")),
+      "the live fingerprint must never be marked")
+    assert(Files.exists(dead) && Files.exists(dead.resolve("_SUPERSEDED")),
+      "a dead fp is STAMPED on first sighting — a reader gets the grace window")
+    assert(!Files.exists(oldTmp),
+      "a crashed build's old tmp (current fp included) must be swept")
+    assert(Files.exists(youngTmp), "a live in-flight build's tmp must survive")
+    StreamingOps.sweepSupersededSplits(root, "fp_live", grace, t0 + grace)
+    assert(!Files.exists(dead), "a stamped dead fp is deleted once past grace")
+    assert(Files.exists(live))
+  }
+
   test("cleaner-gate body replayed at the same batchId: emitted span-cut relation unchanged") {
     import graft.operators.TextOps
     val docs = Seq(
