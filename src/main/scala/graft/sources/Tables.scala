@@ -436,9 +436,19 @@ object Tables {
                   val trash = mv.resolveSibling(
                     s".${mv.getFileName}.tmp-trash-${java.util.UUID.randomUUID()}")
                   scala.util.Try(Files.move(mv, trash)): Unit
-                  deleteRecursively(trash)
+                  if (Files.exists(trash.resolve("_SUCCESS"))) {
+                    // ADVICE r17: the capture grabbed a COMPLETE publish — a
+                    // competitor's `_SUCCESS` landed between our markerless
+                    // check and the trash rename. Deleting it would open a
+                    // no-publish window (a concurrent cross-JVM reader
+                    // mid-scan hits FileNotFound even though content would
+                    // self-heal); restore it by atomic rename instead — the
+                    // relation is deterministic, so theirs ≡ ours.
+                    scala.util.Try(Files.move(trash, mv)): Unit
+                    if (Files.exists(trash)) deleteRecursively(trash)
+                  } else deleteRecursively(trash)
                   if (Files.exists(mv.resolve("_SUCCESS")))
-                    deleteRecursively(stage) // competitor republished meanwhile
+                    deleteRecursively(stage) // competitor (re)published meanwhile
                   else {
                     try Files.move(stage, mv)
                     catch {
