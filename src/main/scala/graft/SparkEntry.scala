@@ -340,17 +340,26 @@ FROM scored GROUP BY lang ORDER BY lang"""
     */
   private def pqOracleSql(m: Int = 8, nCodes: Int = 16, iters: Int = 2,
                           nQueries: Int = 5, k: Int = 5, rescoreFactor: Int = 20,
-                          dim: Int = 64): String = {
+                          dim: Int = 64, trainSplit: Boolean = false): String = {
+    // trainSplit (q245): per-subspace Lloyd runs on the BASE split only
+    // (vec_id % 10 <> 0 — the q238 fixed-codebook contract) while code
+    // assignment, queries, and rescore still cover EVERY vector; the
+    // static q205 oracle (trainSplit = false) trains on the full corpus.
     val sub = dim / m
     def dot(a: String, b: String) = s"list_dot_product($a, $b)"
     val subCtes = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = s * sub + sub
+      val tr = if (trainSplit) s"s${s}_et" else s"s${s}_e"
+      val etCte = if (trainSplit)
+        s""", s${s}_et AS (
+  SELECT vec_id, v FROM s${s}_e WHERE vec_id % 10 <> 0
+)""" else ""
       val iterCtes = (1 to iters).map { i =>
         s""", s${s}_asg$i AS (
   SELECT e.vec_id, c.cell, e.v,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY ${cosSql("e.v", "c.cvec")} DESC, c.cell) AS crk
-  FROM s${s}_e e CROSS JOIN s${s}_cents${i - 1} c
+  FROM $tr e CROSS JOIN s${s}_cents${i - 1} c
 ), s${s}_cp$i AS (
   SELECT cell, pos, round(avg(val), 6) + 0 AS c
   FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
@@ -362,8 +371,8 @@ FROM scored GROUP BY lang ORDER BY lang"""
       }.mkString
       s""", s${s}_e AS (
   SELECT vec_id, v[$lo:$hi] AS v FROM e
-), s${s}_sd AS (
-  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM s${s}_e ORDER BY h LIMIT $nCodes
+)$etCte, s${s}_sd AS (
+  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM $tr ORDER BY h LIMIT $nCodes
 ), s${s}_cents0 AS (
   SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v AS cvec FROM s${s}_sd
 )$iterCtes, s${s}_fin AS (
@@ -2442,7 +2451,30 @@ ORDER BY r.rank DESC, partkey"""
     // column of the maintenance matrix; pair coverage is batching-
     // invariant, so the gate shares q242's oracle verbatim
     "q244_semantic_dedup_stream" -> ((s, dir) =>
-      streaming.StreamingOps.semDedupStreamParity(s, dir))
+      streaming.StreamingOps.semDedupStreamParity(s, dir)),
+
+    // DURABLE INCREMENTAL PQ: the ANN-maintenance cell the IVF family had
+    // and PQ didn't — codebooks stay split-trained and FIXED (the q238
+    // centroid discipline), arriving batches are encoded against them and
+    // land in the standing (vec_id, sub, code) table exactly once through
+    // the batchId-guarded chain; the probe is q205's ADC + exact-rescore
+    // over the LATEST publish only
+    "q245_pq_durable" -> ((s, dir) => Similarity.pqDurableRefresh(s, dir)),
+
+    // EMBEDDING-BASED BENCHMARK DECONTAMINATION: q222's eval-leak cut
+    // catches exact n-gram overlap; this catches SEMANTIC near-matches —
+    // benchmark vectors probe their nProbe nearest cells of the q238
+    // centroid space (never brute force) and flag corpus vectors at
+    // rounded cosine >= τ, the audit relation a pipeline anti-joins on
+    "q246_semantic_decontam" -> ((s, dir) => Similarity.semanticDecontam(s, dir)),
+
+    // STREAMING SEMANTIC DECONTAMINATION: q246 run where the corpus
+    // arrives — per-batch broadcast assign + probe against the standing
+    // benchmark relation, landed via the replay-idempotent sink; flagging
+    // is per-vector given the standing inputs, so the gate shares q246's
+    // oracle verbatim (stream ≡ batch, hash-exactly)
+    "q247_semantic_decontam_stream" -> ((s, dir) =>
+      streaming.StreamingOps.semanticDecontamStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5638,8 +5670,55 @@ ORDER BY p.label""",
 
     // q243: q214's replay with the covered positions merged into maximal
     // islands (gaps-and-islands) and only runs >= the pinned threshold cut
-    "q243_span_cut_min_run" -> TextOps.spanCutMinRunOracleSql()
+    "q243_span_cut_min_run" -> TextOps.spanCutMinRunOracleSql(),
+
+    // q245: the q205 ADC replay with per-subspace Lloyd TRAINING restricted
+    // to the base split (trainSplit — the fixed-codebook contract) while
+    // codes/queries/rescore cover every vector; after both chain
+    // republishes the standing code table holds exactly this assignment,
+    // so hash equality proves both deltas landed exactly once (a replayed
+    // batch would duplicate code rows and shift every ADC rank). Knobs
+    // interpolate the pinned Similarity.Pq* vals
+    "q245_pq_durable" -> pqOracleSql(m = Similarity.PqM,
+      nCodes = Similarity.PqNCodes, iters = Similarity.PqIters,
+      nQueries = Similarity.PqNQueries, k = Similarity.PqK,
+      rescoreFactor = Similarity.PqRescoreFactor, dim = Similarity.PqDim,
+      trainSplit = true),
+
+    // q246: the split-trained Lloyd replay (fixed q238 centroid space),
+    // benchmark vectors = source 'src0' via the aligned documents table
+    // (the q128 id convention) probing their nProbe nearest cells, corpus
+    // vectors in their assigned cell, rounded-cosine τ cut (the q90
+    // convention) — knobs interpolate the pinned Similarity vals.
+    // q247 (the STREAM-driven twin) shares it verbatim: flagging is
+    // per-vector given the standing benchmark relation, so the emitted
+    // relation is batching-invariant
+    "q246_semantic_decontam" -> SemDecontamOracleSql,
+    "q247_semantic_decontam_stream" -> SemDecontamOracleSql
   )
+
+  private lazy val SemDecontamOracleSql: String = s"""
+$KmeansCellsSplitCtes, asgn AS (
+  SELECT vec_id, cell, v FROM fin WHERE crk = 1
+), bench AS (
+  SELECT f.vec_id AS b_id, f.cell, f.v
+  FROM fin f JOIN documents d ON d.doc_id = f.vec_id
+  WHERE d.source = 'src0' AND f.crk <= ${Similarity.IvfNProbe}
+), corpus AS (
+  -- membership by bench-id ANTI-join (the engine's scale-safe rule): an
+  -- embedding with no aligned document row is corpus by definition
+  SELECT a.vec_id, a.cell, a.v
+  FROM asgn a
+  WHERE NOT EXISTS (SELECT 1 FROM documents d
+                    WHERE d.doc_id = a.vec_id AND d.source = 'src0')
+), hits AS (
+  SELECT c.vec_id, round(${cosSql("c.v", "b.v")}, 6) + 0 AS sim
+  FROM corpus c JOIN bench b ON b.cell = c.cell
+  WHERE round(${cosSql("c.v", "b.v")}, 6) + 0 >= ${Similarity.SemDeDupTau}
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       round(max(sim), 6) + 0 AS max_sim
+FROM hits GROUP BY 1 ORDER BY vec_id"""
 
   private lazy val SemDedupChainOracleSql: String = s"""
 $KmeansCellsSplitCtes, asgn AS (

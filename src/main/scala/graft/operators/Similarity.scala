@@ -1434,31 +1434,53 @@ object Similarity {
   def pqKnnWithCodebooks(embeddings: DataFrame, books: DataFrame, m: Int = 8,
                          nQueries: Int = 5, k: Int = 5, rescoreFactor: Int = 20,
                          dim: Int = 64): DataFrame = {
-    require(dim % m == 0, "dim must divide into m equal subspaces")
-    val sub = dim / m
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    pqAdcProbe(emb, books, pqEncode(emb, books, m, dim), m, nQueries, k,
+      rescoreFactor, dim)
+  }
 
-    // per-subspace code assignment against the supplied books; the PQ index
-    // is the LONG (vec_id, sub, code) relation — m small ints per vector
-    val parts = (0 until m).map { s =>
+  /** Encode a (vec_id, e) relation into the LONG PQ code table
+    * (vec_id, sub, code) — m small ints per vector — against supplied
+    * books: m zero-shuffle broadcast assignCells passes over the sliced
+    * relation. Factored out of [[pqKnnWithCodebooks]] (round-18) so the
+    * durable chain (q245) encodes arriving batches with the identical
+    * assignment the static probe uses. */
+  private[graft] def pqEncode(emb: DataFrame, books: DataFrame, m: Int,
+                              dim: Int): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
       val book = books.filter(col("sub") === s).select(col("cell"), col("cvec"))
       val sliced = emb.select(col("vec_id"),
         slice(col("e"), s * sub + 1, sub).as("e"))
-      val codes = assignCells(sliced, book)
+      assignCells(sliced, book)
         .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
-      (book, codes)
-    }
-    val index = parts.map(_._2).reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
+  }
+
+  /** ADC probe over a supplied (vec_id, sub, code) PQ code table: one
+    * broadcast lookup-table join, the deterministic left-associated m-term
+    * score, k-heap coarse cut, exact-cosine rescore. The code table can be
+    * freshly encoded ([[pqKnnWithCodebooks]]) or a durable chain publish
+    * (q245's [[pqChainProbe]]) — the ranking semantics are identical, so
+    * both share the Lloyd-replay oracle family. */
+  private[graft] def pqAdcProbe(emb: DataFrame, books: DataFrame,
+                                index: DataFrame, m: Int, nQueries: Int,
+                                k: Int, rescoreFactor: Int,
+                                dim: Int): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
 
     // queries: ONE lookup table (q × m × nCodes rows — broadcast)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
       .withColumn("qnorm", sqrt(vecDot(col("qe"), col("qe"))))
     val lut = (0 until m).map { s =>
+      val book = books.filter(col("sub") === s).select(col("cell"), col("cvec"))
       queries.select(col("q_id"),
           slice(col("qe"), s * sub + 1, sub).as("qs"))
-        .crossJoin(broadcast(parts(s)._1))
+        .crossJoin(broadcast(book))
         .select(col("q_id"), lit(s).as("sub"), col("cell").as("code"),
           vecDot(col("qs"), col("cvec")).as("d"),
           vecDot(col("cvec"), col("cvec")).as("sq"))
@@ -1494,5 +1516,290 @@ object Similarity {
       .select(col("q_id"), col("t.rk").as("rk"), col("t.id").as("neighbor_id"),
         rd(col("t.score"), 6).as("sim"))
       .orderBy("q_id", "rk")
+  }
+
+  /** PQ knobs pinned ONCE for the durable family (the q234/q237 knob
+    * discipline): q245's gate, its DuckDB oracle CTEs, and the recall spec
+    * all interpolate these same vals. q205 keeps its parameter defaults
+    * (same values) for API compatibility. */
+  val PqM = 8
+  val PqNCodes = 16
+  val PqIters = 2
+  val PqNQueries = 5
+  val PqK = 5
+  val PqRescoreFactor = 20
+  val PqDim = 64
+  /** Code-table chain bucket count — vec_id-bucketed (the write-back/union
+    * layout key; the ADC probe itself joins on (sub, code) against a
+    * broadcast LUT, so no layout helps it). */
+  val PqNBuckets = 8
+
+  /** DURABLE INCREMENTAL PQ (q245, round-18 — VERDICT r17 item 4: the one
+    * ANN-maintenance-matrix cell the IVF family got and PQ didn't): q205's
+    * product-quantization index maintained as arriving embedding batches
+    * land in a standing CODE TABLE through the replay-idempotent chain.
+    * The q238 centroid discipline applied to codebooks: the m per-subspace
+    * books are trained ONCE on the base split (vec_id % 10 <> 0) and never
+    * retrained — arriving vectors are ENCODED against those fixed books
+    * (m broadcast assignCells passes, zero shuffle) and unioned into the
+    * standing (vec_id, sub, code) table via the batchId-guarded
+    * [[graft.sources.Tables.chainStep]], so an at-least-once redelivery
+    * finds its own publish and can never land a vector's codes twice. The
+    * probe is q205's ADC + exact-rescore over the LATEST publish — the
+    * resident index is m bytes per vector (the 32× memory lever), and the
+    * float corpus is read only for the rescoreFactor·k survivors.
+    *
+    * Encoding is per-vector, so the chain state — and therefore the probe —
+    * is identical under ANY batching of the delta (the q240 argument);
+    * fully oracled: per-subspace split-trained Lloyd replays, the code
+    * assignment, the ADC lookup tables, and the left-associated m-term
+    * score are all portable SQL (`SparkEntry.pqSplitOracleSql`).
+    *
+    * CODEBOOK-DRIFT POLICY (the q234 discipline applied to quantization):
+    * fixed books quantize DRIFTED arrivals with growing reconstruction
+    * error — silently degrading ADC ranking long before anything fails.
+    * Production watches [[pqCodebookDrift]] per refresh: the mean exact
+    * reconstruction cosine of each batch's vectors vs the BASE split's
+    * own figure. Retrain (republish books under a new fingerprint, re-encode
+    * the corpus — a full rebuild, amortized over many refreshes) when the
+    * arrivals' figure drops materially below the base's; recall floors for
+    * the undrifted case are pinned in AnnRecallSpec.
+    *
+    * Scale shape: refresh cost ∝ batch (m broadcast assigns) + the
+    * code-table write-back (m bytes/vector — 16× smaller than the int8
+    * chain's, 64× smaller than a float republish); probe cost is one
+    * broadcast-LUT join over the code table + survivor-sized float reads.
+    */
+  def pqDurableRefresh(spark: SparkSession, dir: String,
+                       m: Int = PqM, nCodes: Int = PqNCodes,
+                       iters: Int = PqIters, nQueries: Int = PqNQueries,
+                       k: Int = PqK, rescoreFactor: Int = PqRescoreFactor,
+                       dim: Int = PqDim): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val chain = s"pq_codes_s90_${m}_${nCodes}_${iters}_$dim"
+    graft.sources.Tables.resetChain(spark, src, chain)
+    val inputs = pqChainInputs(spark, dir, m, nCodes, iters, dim)
+    // the held-out decile arrives as two batches (the q238/q240 split)
+    Seq(0L, 1L).foreach { b =>
+      applyPqBatch(spark, dir, chain, b,
+        embAll.filter(col("vec_id") % 20 === lit(b * 10)), inputs, m, dim)
+    }
+    pqChainProbe(spark, dir, chain, m, nQueries, k, rescoreFactor, dim,
+      nCodes, iters)
+  }
+
+  /** The m per-subspace codebooks trained on the BASE split only —
+    * the q238 `ivf_cents_b90` discipline applied to PQ (quantized Lloyd
+    * means round-trip parquet bit-exactly, so the MV read-back probes
+    * identically to the in-session relation). */
+  private def pqSplitBooksMv(spark: SparkSession, dir: String, m: Int,
+                             nCodes: Int, iters: Int, dim: Int): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    graft.sources.Tables.fingerprintedMv(spark, src,
+      s"pq_books_s90_${m}_${nCodes}_${iters}_$dim")(
+      pqTrainCodebooks(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0),
+        m, nCodes, iters, dim))
+      .select(col("sub"), col("cell"), col("cvec"))
+  }
+
+  /** The pristine standing code table (base split encoded against the
+    * split-trained books), vec_id-bucketed — built once per corpus, never
+    * mutated: maintenance chains publish grown steps under their own
+    * names. */
+  private def pqStandingCodesPath(spark: SparkSession, dir: String,
+                                  books: DataFrame, m: Int, nCodes: Int,
+                                  iters: Int, dim: Int): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    graft.sources.Tables.bucketedMvPath(spark, src,
+      s"pq_codes_b90_${m}_${nCodes}_${iters}_$dim", PqNBuckets,
+      Seq("vec_id"), Seq("vec_id", "sub")) {
+      pqEncode(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .filter(col("vec_id") % 10 =!= 0), books, m, dim)
+    }
+  }
+
+  /** Fixed inputs of the q245 chain — the split-trained books MV and the
+    * pristine standing code table. Resolved ONCE per gate run (the
+    * [[int8ChainInputs]] discipline). */
+  private[graft] def pqChainInputs(s: SparkSession, dir: String,
+                                   m: Int = PqM, nCodes: Int = PqNCodes,
+                                   iters: Int = PqIters, dim: Int = PqDim)
+      : (DataFrame, java.nio.file.Path) = {
+    val books = pqSplitBooksMv(s, dir, m, nCodes, iters, dim)
+    (books, pqStandingCodesPath(s, dir, books, m, nCodes, iters, dim))
+  }
+
+  /** One replay-idempotent step of the q245 PQ code-table chain — the loop
+    * body of the batch gate (and the foreachBatch body of a streaming
+    * twin), factored so the spec can replay a batchId directly. Encoding
+    * is per-vector, so union-form growth is batching-invariant. */
+  private[graft] def applyPqBatch(s: SparkSession, dir: String,
+                                  chain: String, batchId: Long,
+                                  batch: DataFrame,
+                                  inputs: (DataFrame, java.nio.file.Path),
+                                  m: Int = PqM, dim: Int = PqDim): Unit = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val (books, standingPath) = inputs
+    graft.sources.Tables.chainStep(s, src, chain, batchId, PqNBuckets,
+      Seq("vec_id"), Seq("vec_id", "sub")) { prev =>
+      val standing = prev.getOrElse(s.read.parquet(standingPath.toString))
+      standing.select(col("vec_id"), col("sub"), col("code"))
+        .union(pqEncode(batch, books, m, dim))
+    }
+  }
+
+  /** q205's ADC + exact-rescore probe over the LATEST publish of a q245
+    * code-table chain: the durable index is the only code source — no
+    * re-encode, no per-call delta job. */
+  private[graft] def pqChainProbe(spark: SparkSession, dir: String,
+                                  chain: String, m: Int = PqM,
+                                  nQueries: Int = PqNQueries, k: Int = PqK,
+                                  rescoreFactor: Int = PqRescoreFactor,
+                                  dim: Int = PqDim, nCodes: Int = PqNCodes,
+                                  iters: Int = PqIters): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val embAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val books = pqSplitBooksMv(spark, dir, m, nCodes, iters, dim)
+    val index = graft.sources.Tables.chainLatest(spark, src, chain,
+        PqNBuckets, Seq("vec_id"), Seq("vec_id", "sub"))
+      .getOrElse(sys.error(s"PQ chain $chain published nothing"))
+      .select(col("vec_id"), col("sub"), col("code"))
+    pqAdcProbe(embAll, books, index, m, nQueries, k, rescoreFactor, dim)
+  }
+
+  /** EMBEDDING-BASED BENCHMARK DECONTAMINATION (q246, round-18 — VERDICT
+    * r17 item 5): q222/q235 cut exact n-gram overlap with eval sets, but a
+    * paraphrased or reformatted eval item shares no 8-gram with its leaked
+    * twin — real pipelines ALSO drop semantic near-matches. Each benchmark
+    * vector (the eval set's embeddings — source-tagged via the aligned
+    * documents table, the q128 id convention) probes its `nProbe` nearest
+    * cells of the SAME split-trained centroid space the q238 index family
+    * uses — never brute force — and every corpus vector in a probed cell
+    * with rounded cosine ≥ τ is flagged: (vec_id, n_bench_hits, max_sim),
+    * the audit relation a pipeline anti-joins its corpus against.
+    *
+    * Determinism contract: assignment uses RAW similarities (the
+    * assignCells order), the τ cut and max_sim use 6-decimal ROUNDED
+    * cosines — the q90 convention, which is what makes this
+    * SQL-expressible and hash-oracled.
+    *
+    * Scale shape: one broadcast-centroid assignment pass over the corpus
+    * (zero exchange), the probe join is benchmark-sized BROADCAST against
+    * the cell-partitioned corpus (the q230 "benchmark MV is the small
+    * side" argument with cells instead of shingles) — pair space is
+    * |bench|·nProbe·|cell|, never |bench|·|corpus|; one hash aggregate to
+    * the flagged set. Overlap with the n-gram cut is measured in
+    * DEDUP_QUALITY.md §semantic-decontam.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String,
+                       benchSource: String = "src0",
+                       tau: Double = SemDeDupTau,
+                       nProbe: Int = IvfNProbe, nCells: Int = IvfNCells,
+                       iters: Int = IvfIters): DataFrame = {
+    val inputs = semDecontamInputs(spark, dir, benchSource, tau, nProbe,
+      nCells, iters)
+    semanticDecontamBatch(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      inputs)
+      .orderBy("vec_id")
+  }
+
+  /** The corpus-level standing inputs of the semantic-decontam probe —
+    * shared by batch q246 and the streaming twin (q247), resolved once per
+    * gate run (the [[int8ChainInputs]] discipline). All three are
+    * benchmark- or centroid-sized, hence broadcastable at any corpus
+    * scale: the fixed centroid MV, the benchmark PROBE relation (each eval
+    * vector with its nProbe nearest cells — localCheckpointed so the Lloyd
+    * lineage is paid once), and the benchmark id set (membership is
+    * decided by a bench-sized anti-join, never a corpus-documents join —
+    * an embedding with no aligned document row is corpus by definition). */
+  private[graft] case class SemDecontamInputs(cents: DataFrame,
+                                              benchProbes: DataFrame,
+                                              benchIds: DataFrame,
+                                              tau: Double)
+  private[graft] def semDecontamInputs(spark: SparkSession, dir: String,
+                                       benchSource: String = "src0",
+                                       tau: Double = SemDeDupTau,
+                                       nProbe: Int = IvfNProbe,
+                                       nCells: Int = IvfNCells,
+                                       iters: Int = IvfIters)
+      : SemDecontamInputs = {
+    val cents = ivfCentsMv(spark, dir, nCells, iters)
+    val benchIds = Tables.documents(spark, dir)
+      .filter(col("source") === benchSource)
+      .select(col("doc_id").as("vec_id")).localCheckpoint(true)
+    val rk = cellRank(col("e"), col("cents"))
+    val benchProbes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .join(broadcast(benchIds), "vec_id")
+      .crossJoin(broadcast(centsArray(cents)))
+      .select(col("vec_id").as("b_id"), col("e").as("be"),
+        explode(slice(rk, 1, nProbe)).as("cc"))
+      .select(col("b_id"), col("be"), col("cc.cell").as("cell"))
+      .localCheckpoint(true)
+    SemDecontamInputs(cents, benchProbes, benchIds, tau)
+  }
+
+  /** Flag one (vec_id, e) relation against the standing benchmark probe
+    * set — the whole q246 computation for a batch, and the foreachBatch
+    * body of q247: drop benchmark rows (bench-sized anti-join), assign to
+    * cells (broadcast centroids, zero shuffle), one broadcast cell
+    * equi-join against the probe relation, τ cut on rounded cosine, hash
+    * aggregate to (vec_id, n_bench_hits, max_sim). Per-vector given the
+    * standing inputs — hence batching-invariant, which is why the stream
+    * twin shares q246's oracle verbatim. */
+  private[graft] def semanticDecontamBatch(batch: DataFrame,
+                                           inputs: SemDecontamInputs)
+      : DataFrame = {
+    val corpus = assignCells(
+      batch.join(broadcast(inputs.benchIds), Seq("vec_id"), "left_anti"),
+      inputs.cents)
+      .select(col("cell"), col("vec_id"), col("e"))
+    corpus.join(broadcast(inputs.benchProbes), "cell")
+      .select(col("vec_id"), col("b_id"),
+        rd(cosineSim(col("e"), col("be")), 6).as("sim"))
+      .filter(col("sim") >= inputs.tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        rd(max(col("sim")), 6).as("max_sim"))
+  }
+
+  /** CODEBOOK-DRIFT DIAGNOSTIC for the q245 fixed-books policy (the q234
+    * centroid-stability discipline applied to quantization error): per
+    * split — the base the books were trained on vs the arrivals encoded
+    * against them — the mean/min 6-decimal-rounded cosine between each
+    * vector and its PQ RECONSTRUCTION (the concatenation of its m assigned
+    * codewords). A healthy refresh keeps `mean_recon` of arrivals at the
+    * base's level; a material drop means the arrivals' distribution moved
+    * and the books no longer tile it — time to retrain (new books MV
+    * fingerprint + corpus re-encode). One broadcast-books pass over the
+    * corpus, one hash aggregate to 2 rows — runnable every refresh.
+    */
+  def pqCodebookDrift(embeddings: DataFrame, m: Int = PqM,
+                      nCodes: Int = PqNCodes, iters: Int = PqIters,
+                      dim: Int = PqDim): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val books = pqTrainCodebooks(
+      embeddings.filter(col("vec_id") % 10 =!= 0), m, nCodes, iters, dim)
+    // reconstruction = sub-ordered concat of assigned codewords
+    val recon = pqEncode(emb, books, m, dim)
+      .join(broadcast(books.withColumnRenamed("cell", "code")), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cvec")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("cvec"))).as("rv"))
+    emb.join(recon, "vec_id")
+      .select(col("vec_id"), (col("vec_id") % 10 === 0).as("is_arrival"),
+        rd(cosineSim(col("e"), col("rv")), 6).as("rc"))
+      .groupBy("is_arrival")
+      .agg(count(lit(1)).as("n_vecs"), rd(avg("rc"), 6).as("mean_recon"),
+        rd(min("rc"), 6).as("min_recon"))
+      .orderBy("is_arrival")
   }
 }

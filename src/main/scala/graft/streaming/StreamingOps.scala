@@ -1656,6 +1656,54 @@ object StreamingOps {
       .localCheckpoint(true)
   }
 
+  /** STREAMING SEMANTIC DECONTAMINATION (q247, round-18) — q246's
+    * embedding-based eval-leak audit run where the corpus arrives, the
+    * q230/q239 discipline applied to the SEMANTIC cut: the benchmark-side
+    * probe relation (eval vectors with their nProbe nearest cells of the
+    * q238 centroid space — benchmark-sized, corpus-level state) is resolved
+    * ONCE before the stream; each arriving embedding micro-batch drops
+    * benchmark-source rows at the batch boundary, broadcast-assigns its
+    * vectors against the same fixed centroids, joins the probe relation on
+    * cell at rounded cosine ≥ τ, and lands its flagged vectors through the
+    * replay-idempotent [[idempotentBatchSink]]. Flagging is per-vector
+    * given the standing benchmark set, so the emitted relation is
+    * IDENTICAL to batch q246 under any arrival order, micro-batch split,
+    * or at-least-once replay — the oracle is q246's SQL verbatim.
+    *
+    * Scale shape: per batch one broadcast-centroid assignment +
+    * |batch|·nProbe·|cell-of-bench| broadcast pair join; no state store —
+    * the benchmark probe relation is the state, refreshed on the eval
+    * set's fingerprint (the q230 argument with cells for shingles).
+    */
+  def semanticDecontamStreamParity(spark: SparkSession, dir: String,
+                                   benchSource: String = "src0"): DataFrame = {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val split = materializeSplit(dir, "embeddings", "graft_semdecontam_split") { tmp =>
+      Tables.embeddings(spark, dir)
+        .repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    // corpus-level inputs, resolved once: the benchmark probe relation and
+    // the source tags (both broadcast-sized at any corpus scale)
+    val inputs = Similarity.semDecontamInputs(spark, dir, benchSource)
+    val out = java.nio.file.Files.createTempDirectory("graft_semdecontam_out")
+    try {
+      runSplitGate(spark, split, "graft_semdecontam_ckpt") { (b, id) =>
+        idempotentBatchSink(
+          Similarity.semanticDecontamBatch(
+            b.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("e")), inputs),
+          id, out.toString)
+      }
+      spark.read.parquet(out.toString).drop("_batch_id")
+        .orderBy("vec_id").localCheckpoint(true)
+    } finally {
+      deleteRecursively(out)
+      org.apache.spark.sql.graft.SqlShim.unloadAllStateStores()
+    }
+  }
+
   /** STREAMING MIXTURE-BUDGET ADMISSION (q227) — the batch q225 selection
     * (per-source token budgets executed by the quality-ranked
     * exclusive-prefix rule) as corpus INGESTION: per source, keyed state

@@ -113,6 +113,31 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(perQ == Set(5L))
   }
 
+  /** q245 durable PQ (round-18): the chain probe reads the STANDING code
+    * table (split-trained fixed books — the q238 centroid discipline), so
+    * two recall questions need pinning: (1) the absolute floor vs brute
+    * force at the registered config, and (2) the cost of training the
+    * books on the 90% split instead of the full corpus — the drift the
+    * fixed-codebook policy accepts between retrains. Both measured at
+    * sf0.1 on the uniform-regime corpus (PQ's worst case): durable 0.680,
+    * static 0.680 — the split-training loss is ZERO here (the q240
+    * int8-rescore result's analogue for codebooks).
+    */
+  test("q245 durable PQ at sf0.1: chain-probe recall@5 vs brute ≥ floor; split-trained books within margin of the static q205 probe") {
+    val emb = Tables.embeddings(spark, sf01)
+    val brute = knnSet(Similarity.bruteKnnFrom(emb, Similarity.PqNQueries,
+      Similarity.PqK))
+    val durable = knnSet(SparkEntry.queries("q245_pq_durable")(spark, sf01))
+    val static205 = knnSet(Similarity.pqKnn(emb))
+    val recallD = brute.intersect(durable).size.toDouble / brute.size
+    val recallS = brute.intersect(static205).size.toDouble / brute.size
+    info(f"durable-PQ recall@5 vs brute at sf0.1: $recallD%.3f (static q205: $recallS%.3f)")
+    assert(recallD >= 0.6,
+      f"durable PQ recall@5 $recallD%.3f fell below the pinned floor")
+    assert(recallD >= recallS - 0.1,
+      f"split-trained books lost more than the accepted margin vs full-corpus books: $recallD%.3f vs $recallS%.3f")
+  }
+
   test("q73 registered config at sf0.1: recall@3 ≥ 0.7; exhaustive probe ≡ brute force") {
     val emb = Tables.embeddings(spark, sf01)
     val brute = knnSet(Similarity.bruteKnn(spark, sf01, 5, 3))

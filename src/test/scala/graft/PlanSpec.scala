@@ -451,4 +451,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"digest df join is not a keyed equi-join:\n$plan")
   }
+
+  test("q245 durable PQ probe: LUT/rescore joins broadcast; never a sort-merge or cartesian over the code table") {
+    val df = SparkEntry.queries("q245_pq_durable")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the code-table index side must only ever meet BROADCAST relations
+    // (queries-sized LUT, survivor-sized rescore) — the q205 contract over
+    // the durable publish; the only NLJ allowed is the 1-row centroid-array
+    // crossJoin assignCells always plans
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ADC lookup table is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"PQ chain probe shuffles or cross-joins the index relation:\n$plan")
+  }
+
+  test("q246 semantic decontam: benchmark probe is a broadcast cell equi-join; no cartesian") {
+    val df = SparkEntry.queries("q246_semantic_decontam")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the benchmark-sized probe relation must build-broadcast into the
+    // cell join (the q222/q230 "eval sets are MBs" contract) — pair space
+    // |bench|·nProbe·|cell|, never a corpus product (the 1-row broadcast
+    // centroid-array crossJoin of assignCells is the only NLJ)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark cell probe is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic decontam degenerated to a cartesian:\n$plan")
+  }
 }

@@ -416,6 +416,93 @@ class SimilaritySpec extends SparkSpecBase {
     } finally Tables.resetChain(spark, src, chain1)
   }
 
+  test("q245 durable PQ chain: replayed batch skips; batching-invariant; drift diagnostic sane") {
+    import graft.sources.Tables
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val gate = snap(Similarity.pqDurableRefresh(spark, sf))
+    assert(gate.nonEmpty && gate.size == Similarity.PqNQueries * Similarity.PqK)
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    // default retain=2: newest publish + predecessor stay live
+    val chainIds = Tables.chainPublishedIds(src,
+      s"pq_codes_s90_${Similarity.PqM}_${Similarity.PqNCodes}_" +
+        s"${Similarity.PqIters}_${Similarity.PqDim}")
+    assert(chainIds.length == 2,
+      s"retention should keep the newest publish + predecessor: $chainIds")
+    // single-batch re-batching of the whole delta through a private chain:
+    // encoding is per-vector, so the probe must be identical (the shared-
+    // oracle argument); an at-least-once replay of the batchId must skip
+    val embAll = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val inputs = Similarity.pqChainInputs(spark, sf)
+    val chain1 = "pq_codes_test_onebatch"
+    Tables.resetChain(spark, src, chain1)
+    try {
+      Similarity.applyPqBatch(spark, sf, chain1, 0L,
+        embAll.filter(col("vec_id") % 10 === 0), inputs)
+      Similarity.applyPqBatch(spark, sf, chain1, 0L,
+        embAll.filter(col("vec_id") % 10 === 0), inputs) // replay: must skip
+      assert(Tables.chainPublishedIds(src, chain1) == Seq(0L))
+      val oneBatch = snap(Similarity.pqChainProbe(spark, sf, chain1))
+      assert(oneBatch == gate,
+        s"one-batch chain probe diverged from the two-batch gate:\n$oneBatch\nvs\n$gate")
+    } finally Tables.resetChain(spark, src, chain1)
+    // codebook-drift diagnostic: the undrifted corpus holds arrivals'
+    // reconstruction quality at the base's level (the retrain trigger
+    // watches exactly this gap)
+    val drift = Similarity.pqCodebookDrift(Tables.embeddings(spark, sf))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(drift.keySet == Set(false, true))
+    assert(drift(true) >= drift(false) - 0.05,
+      s"undrifted arrivals reconstruct materially worse than base: $drift")
+  }
+
+  test("q246 semantic decontam: precision 1.0 vs brute pairs; benchmark rows never flagged; probe recall measured") {
+    import graft.sources.Tables
+    val flagged = Similarity.semanticDecontam(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.forall(_._3 >= Similarity.SemDeDupTau))
+    val bench = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall(f => !bench.contains(f._1)),
+      "a benchmark vector leaked into the flagged corpus set")
+    // brute reference: EVERY (corpus, bench) pair at rounded cosine >= τ —
+    // the cell probe can only lose pairs (precision 1), never invent them
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val tagged = emb.join(srcOf, "vec_id")
+    val b = tagged.filter(col("source") === "src0")
+      .select(col("vec_id").as("b_id"), col("e").as("be"))
+    val brute = tagged.filter(col("source") =!= "src0")
+      .crossJoin(broadcast(b))
+      .filter(graft.functions.Fx.rd(
+        graft.functions.VectorFunctions.cosineSim(col("e"), col("be")), 6)
+        >= Similarity.SemDeDupTau)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    val flaggedIds = flagged.map(_._1).toSet
+    assert(flaggedIds.subsetOf(brute),
+      s"cell probe flagged pairs brute force doesn't have: ${flaggedIds -- brute}")
+    val recall = if (brute.isEmpty) 1.0
+      else flaggedIds.size.toDouble / brute.size
+    info(f"semantic-decontam doc recall vs brute at sf0.001: $recall%.3f (${flaggedIds.size}/${brute.size})")
+    assert(recall >= 0.5, f"nProbe=${Similarity.IvfNProbe} recall $recall%.3f below floor")
+  }
+
+  test("q247 streaming semantic decontam: stream-emitted flags == the batch q246 relation") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val stream = snap(
+      graft.streaming.StreamingOps.semanticDecontamStreamParity(spark, sf))
+    assert(stream.nonEmpty, "stream gate flagged nothing")
+    // flagging is per-vector given the standing benchmark relation, so the
+    // range-split stream must land exactly the batch q246 rows
+    assert(stream == snap(Similarity.semanticDecontam(spark, sf)),
+      "stream-emitted decontam flags diverged from the batch relation")
+  }
+
   test("q244 streaming SemDeDup chain: stream-driven maintenance == the batch q242 gate") {
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

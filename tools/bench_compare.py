@@ -43,8 +43,15 @@ time forward (converted into the new artifact's canary units), plus a
 side of the next round's compare until a replay confirms the speedup
 (verdict 'confirmed_improvement') or it reproduces.
 
-Exit code: 0 when no query survives the drift filter after replay
-adjudication, 1 otherwise — usable as a regression tripwire in a round's
+Exit code (round-18 — VERDICT r17 items 1/2: the improvements-only case
+needs its own documented outcome so a round note can quote the literal
+exit honestly): 0 when no query survives the drift filter after replay
+adjudication; ALSO 0 — with an explicit PROVISIONAL banner — when the
+only surviving flags are unconfirmed IMPROVEMENTS and --emit-baseline is
+carrying their old times forward (the ledger rule is satisfied, nothing
+is unexplained); 1 when any regression survives, or when unconfirmed
+improvements are live WITHOUT --emit-baseline (nothing records the honest
+pre-improvement base). Usable as a regression tripwire in a round's
 closing checklist.
 """
 import argparse
@@ -191,6 +198,17 @@ def main():
                   "can adjudicate.")
             return 1
         if live_flags:
+            # every live flag is an improvement (regressions returned above)
+            if args.emit_baseline:
+                print("\nPROVISIONAL: the only live flags are unconfirmed "
+                      "improvements, carried at their OLD times in the "
+                      "emitted baseline (--emit-baseline) per the ledger "
+                      "rule — exit 0; confirm with a replay leg or let the "
+                      "next round reproduce them.")
+                return 0
+            print("\nunconfirmed improvements are live WITHOUT "
+                  "--emit-baseline: nothing carries the honest "
+                  "pre-improvement base forward — exit 1.")
             return 1
         print("\nevery flag adjudicated by the replay artifact.")
         return 0
