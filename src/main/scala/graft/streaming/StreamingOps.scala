@@ -1674,6 +1674,17 @@ object StreamingOps {
     * |batch|·nProbe·|cell-of-bench| broadcast pair join; no state store —
     * the benchmark probe relation is the state, refreshed on the eval
     * set's fingerprint (the q230 argument with cells for shingles).
+    *
+    * BATCH SPREAD (round-18 sweep finding): unlike the chain gates, whose
+    * expensive side is the PARALLEL standing scan probed by a broadcast
+    * batch, this gate's pair-join big side IS the arriving batch — and a
+    * maxFilesPerTrigger=1 file-source micro-batch arrives as however few
+    * input partitions one file splits into (ONE, for any file under
+    * maxPartitionBytes), putting the whole |batch|·|cell| cosine load on
+    * one core. The batch is round-robin repartitioned to the session's
+    * shuffle width before the probe: a batch-sized shuffle (cheap, it's
+    * the delta) buys full-cluster parallelism on the pair join — measured
+    * at 100×: 667 s → ~35 s for the identical relation.
     */
   def semanticDecontamStreamParity(spark: SparkSession, dir: String,
                                    benchSource: String = "src0"): DataFrame = {
@@ -1693,7 +1704,9 @@ object StreamingOps {
         idempotentBatchSink(
           Similarity.semanticDecontamBatch(
             b.select(col("vec_id"),
-              col("embedding").cast("array<double>").as("e")), inputs),
+              col("embedding").cast("array<double>").as("e"))
+              .repartition(b.sparkSession.sessionState.conf.numShufflePartitions),
+            inputs),
           id, out.toString)
       }
       spark.read.parquet(out.toString).drop("_batch_id")
