@@ -1778,15 +1778,20 @@ object Similarity {
     * base's level; a material drop means the arrivals' distribution moved
     * and the books no longer tile it — time to retrain (new books MV
     * fingerprint + corpus re-encode). One broadcast-books pass over the
-    * corpus, one hash aggregate to 2 rows — runnable every refresh.
+    * corpus, one hash aggregate to 2 rows — runnable every refresh:
+    * production passes the STANDING books MV via `booksOpt` (training is
+    * the expensive part and is exactly what this monitor must NOT redo);
+    * the None default trains split-books inline for self-contained
+    * diagnostics and specs.
     */
   def pqCodebookDrift(embeddings: DataFrame, m: Int = PqM,
                       nCodes: Int = PqNCodes, iters: Int = PqIters,
-                      dim: Int = PqDim): DataFrame = {
+                      dim: Int = PqDim,
+                      booksOpt: Option[DataFrame] = None): DataFrame = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val books = pqTrainCodebooks(
-      embeddings.filter(col("vec_id") % 10 =!= 0), m, nCodes, iters, dim)
+    val books = booksOpt.getOrElse(pqTrainCodebooks(
+      embeddings.filter(col("vec_id") % 10 =!= 0), m, nCodes, iters, dim))
     // reconstruction = sub-ordered concat of assigned codewords
     val recon = pqEncode(emb, books, m, dim)
       .join(broadcast(books.withColumnRenamed("cell", "code")), Seq("sub", "code"))
