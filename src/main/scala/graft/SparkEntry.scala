@@ -2474,7 +2474,16 @@ ORDER BY r.rank DESC, partkey"""
     // is per-vector given the standing inputs, so the gate shares q246's
     // oracle verbatim (stream ≡ batch, hash-exactly)
     "q247_semantic_decontam_stream" -> ((s, dir) =>
-      streaming.StreamingOps.semanticDecontamStreamParity(s, dir))
+      streaming.StreamingOps.semanticDecontamStreamParity(s, dir)),
+
+    // STREAMING DURABLE PQ MAINTENANCE: the q245 chain driven by an
+    // at-least-once stream through the shared step body — the last cell
+    // of the stream×ANN maintenance matrix (q241 int8-IVF, q244
+    // SemDeDup); encoding against the fixed books is per-vector, so the
+    // chain state is batching-invariant and the gate shares q245's
+    // oracle verbatim (stream ≡ batch, hash-exactly)
+    "q248_pq_stream" -> ((s, dir) =>
+      streaming.StreamingOps.pqStreamParity(s, dir))
   )
 
   /** The q117 BPE training loop UNROLLED in SQL: v0 is the char-wrapped
@@ -5680,6 +5689,16 @@ ORDER BY p.label""",
     // batch would duplicate code rows and shift every ADC rank). Knobs
     // interpolate the pinned Similarity.Pq* vals
     "q245_pq_durable" -> pqOracleSql(m = Similarity.PqM,
+      nCodes = Similarity.PqNCodes, iters = Similarity.PqIters,
+      nQueries = Similarity.PqNQueries, k = Similarity.PqK,
+      rescoreFactor = Similarity.PqRescoreFactor, dim = Similarity.PqDim,
+      trainSplit = true),
+
+    // q248 (the STREAM-driven PQ chain) shares q245's oracle verbatim:
+    // encoding against the fixed split-trained books is per-vector, so the
+    // union-form code-table state — and every ADC rank derived from it —
+    // is identical under the stream's range split and q245's %20 split
+    "q248_pq_stream" -> pqOracleSql(m = Similarity.PqM,
       nCodes = Similarity.PqNCodes, iters = Similarity.PqIters,
       nQueries = Similarity.PqNQueries, k = Similarity.PqK,
       rescoreFactor = Similarity.PqRescoreFactor, dim = Similarity.PqDim,

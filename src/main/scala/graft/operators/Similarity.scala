@@ -1660,11 +1660,17 @@ object Similarity {
                                   nQueries: Int = PqNQueries, k: Int = PqK,
                                   rescoreFactor: Int = PqRescoreFactor,
                                   dim: Int = PqDim, nCodes: Int = PqNCodes,
-                                  iters: Int = PqIters): DataFrame = {
+                                  iters: Int = PqIters,
+                                  booksOpt: Option[DataFrame] = None)
+      : DataFrame = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val books = pqSplitBooksMv(spark, dir, m, nCodes, iters, dim)
+    // booksOpt (round-19): a post-retrain chain generation probes with ITS
+    // generation's books ([[retrainPqBooks]]) — ADC ranks are meaningless
+    // against books the codes were not assigned under
+    val books = booksOpt.getOrElse(
+      pqSplitBooksMv(spark, dir, m, nCodes, iters, dim))
     val index = graft.sources.Tables.chainLatest(spark, src, chain,
         PqNBuckets, Seq("vec_id"), Seq("vec_id", "sub"))
       .getOrElse(sys.error(s"PQ chain $chain published nothing"))
@@ -1783,15 +1789,25 @@ object Similarity {
     * the expensive part and is exactly what this monitor must NOT redo);
     * the None default trains split-books inline for self-contained
     * diagnostics and specs.
+    *
+    * ADVICE r18: `isArrival` — the base-vs-arrival labeling — is a
+    * PARAMETER tied to the predicate that scoped the books' training split
+    * (inline training filters on `!isArrival`), so a caller supplying
+    * books trained under a different split convention passes the matching
+    * predicate and the split labeling always reflects which rows the
+    * supplied books were actually trained on. Default: the engine-wide
+    * `vec_id % 10 === 0` held-out-decile convention.
     */
   def pqCodebookDrift(embeddings: DataFrame, m: Int = PqM,
                       nCodes: Int = PqNCodes, iters: Int = PqIters,
                       dim: Int = PqDim,
-                      booksOpt: Option[DataFrame] = None): DataFrame = {
+                      booksOpt: Option[DataFrame] = None,
+                      isArrival: org.apache.spark.sql.Column =
+                        col("vec_id") % 10 === 0): DataFrame = {
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val books = booksOpt.getOrElse(pqTrainCodebooks(
-      embeddings.filter(col("vec_id") % 10 =!= 0), m, nCodes, iters, dim))
+      embeddings.filter(!isArrival), m, nCodes, iters, dim))
     // reconstruction = sub-ordered concat of assigned codewords
     val recon = pqEncode(emb, books, m, dim)
       .join(broadcast(books.withColumnRenamed("cell", "code")), Seq("sub", "code"))
@@ -1800,11 +1816,62 @@ object Similarity {
       .select(col("vec_id"),
         flatten(transform(col("parts"), p => p.getField("cvec"))).as("rv"))
     emb.join(recon, "vec_id")
-      .select(col("vec_id"), (col("vec_id") % 10 === 0).as("is_arrival"),
+      .select(col("vec_id"), isArrival.as("is_arrival"),
         rd(cosineSim(col("e"), col("rv")), 6).as("rc"))
       .groupBy("is_arrival")
       .agg(count(lit(1)).as("n_vecs"), rd(avg("rc"), 6).as("mean_recon"),
         rd(min("rc"), 6).as("min_recon"))
       .orderBy("is_arrival")
+  }
+
+  /** RETRAIN EXECUTION for the fixed-books/fixed-centroid drift policy
+    * (round-19 — VERDICT r18 item 4): [[pqCodebookDrift]] and the q234
+    * centroid monitor end at "time to retrain"; this EXECUTES the retrain
+    * they prescribe. Train NEW per-subspace books over the CURRENT corpus
+    * — base plus the drifted arrivals the old books no longer tile — and
+    * publish them under a new GENERATION-tagged MV name (the "new books MV
+    * fingerprint" of the policy: readers pinned to the old generation keep
+    * resolving it; nothing is mutated in place); re-encode the FULL corpus
+    * against the new books into a generation-tagged standing code table
+    * (the amortized full rebuild — the one cost the fixed-books policy
+    * defers until drift makes it worth paying); and reset the named
+    * maintenance chains so the next refresh cycle's [[applyPqBatch]] grows
+    * the NEW standing table from batch 0. Returns the new
+    * (books, standingCodesPath) pair — exactly the `inputs` shape
+    * [[applyPqBatch]] consumes; probe the new generation with
+    * [[pqChainProbe]]`(booksOpt = Some(books))` or [[pqAdcProbe]].
+    *
+    * `generation` owns name uniqueness: it tags the corpus EPOCH (which
+    * retrain this is), so two retrains over the same source file land
+    * distinct MVs. `corpusOpt` must be a deterministic function of the
+    * source file (the fingerprintedMv contract) — None re-reads the file.
+    *
+    * Scale shape: m × iters Lloyd corpus scans + one full-corpus encode —
+    * a rebuild by design, amortized over the many cheap [[applyPqBatch]]
+    * refreshes between drift trips (SCALING.md's chain-vs-rebuild
+    * crossover is exactly this trade measured).
+    */
+  def retrainPqBooks(spark: SparkSession, dir: String, generation: Int,
+                     corpusOpt: Option[DataFrame] = None,
+                     m: Int = PqM, nCodes: Int = PqNCodes,
+                     iters: Int = PqIters, dim: Int = PqDim,
+                     resetChains: Seq[String] = Nil)
+      : (DataFrame, java.nio.file.Path) = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val corpus = corpusOpt.getOrElse(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val tag = s"g${generation}_${m}_${nCodes}_${iters}_$dim"
+    val books = graft.sources.Tables.fingerprintedMv(spark, src,
+      s"pq_books_$tag")(
+      pqTrainCodebooks(corpus.select(col("vec_id"), col("e").as("embedding")),
+        m, nCodes, iters, dim))
+      .select(col("sub"), col("cell"), col("cvec"))
+    val codes = graft.sources.Tables.bucketedMvPath(spark, src,
+      s"pq_codes_$tag", PqNBuckets, Seq("vec_id"), Seq("vec_id", "sub")) {
+      pqEncode(corpus, books, m, dim)
+    }
+    resetChains.foreach(c => graft.sources.Tables.resetChain(spark, src, c))
+    (books, codes)
   }
 }

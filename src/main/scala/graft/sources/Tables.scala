@@ -444,7 +444,22 @@ object Tables {
                     // mid-scan hits FileNotFound even though content would
                     // self-heal); restore it by atomic rename instead — the
                     // relation is deterministic, so theirs ≡ ours.
-                    scala.util.Try(Files.move(trash, mv)): Unit
+                    // ADVICE r18: if the restore move fails for a TRANSIENT
+                    // reason (not a competitor republish — mv still has no
+                    // _SUCCESS) while trash still holds the complete
+                    // publish, deleting trash and re-staging reopens the
+                    // no-publish window the restore exists to close. Retry
+                    // the restore once, and log if it still fails (content
+                    // is deterministic, so the subsequent own-stage publish
+                    // keeps the outcome correct either way).
+                    if (scala.util.Try(Files.move(trash, mv)).isFailure &&
+                        Files.exists(trash.resolve("_SUCCESS")) &&
+                        !Files.exists(mv.resolve("_SUCCESS")) &&
+                        scala.util.Try(Files.move(trash, mv)).isFailure)
+                      org.apache.log4j.Logger.getLogger(getClass).warn(
+                        s"publishMv: restore of captured complete publish " +
+                          s"$trash -> $mv failed twice; discarding trash and " +
+                          "republishing own stage (deterministic content)")
                     if (Files.exists(trash)) deleteRecursively(trash)
                   } else deleteRecursively(trash)
                   if (Files.exists(mv.resolve("_SUCCESS")))

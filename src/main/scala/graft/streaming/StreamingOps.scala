@@ -821,6 +821,13 @@ object StreamingOps {
     * (The alternative — Append mode — only ever emits watermark-finalized
     * windows; this sink is for the running-state shape where downstream
     * wants the current value of every key.)
+    *
+    * READER CONTRACT (ADVICE r18): because `_batch_id` is now a PARTITION
+    * column, a raw `spark.read.parquet` of the sink sees it via partition
+    * inference — an integer-typed column ORDERED LAST, where the old
+    * append-mode sink carried it as a leading LongType data column. Consume
+    * through [[latestSnapshot]] (which drops it) or cast/reorder explicitly;
+    * do not pin the raw file schema.
     */
   def parquetSink(agg: DataFrame, outPath: String, checkpoint: String) =
     agg.writeStream
@@ -925,7 +932,7 @@ object StreamingOps {
         if (Files.exists(p.resolve("_SUCCESS"))) {
           if (graft.sources.Tables.supersededPastGrace(p, graceMs, nowMs))
             deleteRecursively(p)
-        } else if (nowMs - newestMtimeMs(p) >= graceMs)
+        } else if (nowMs - newestMtimeMs(p, nowMs) >= graceMs)
           deleteRecursively(p)
       }
     } finally l.close()
@@ -935,13 +942,25 @@ object StreamingOps {
     * sweep keys liveness on the youngest CONTENT, not the top-level dir
     * mtime — a build whose part files were all created early but is still
     * writing new ones past the grace window keeps refreshing its newest
-    * file, where the dir's own mtime only moves on direct child creation. */
-  private def newestMtimeMs(p: java.nio.file.Path): Long = {
+    * file, where the dir's own mtime only moves on direct child creation.
+    *
+    * ADVICE r18: a concurrent JVM's sweep may be deleting the tree
+    * mid-walk, making Files.walk/getLastModifiedTime throw
+    * (UncheckedIOException / NoSuchFileException) out of a best-effort
+    * scratch sweep and failing the CALLING gate query. Any unreadable
+    * file or dir is treated as YOUNG (`fallbackMs`, the caller's nowMs) —
+    * the sweep skips it this pass; a genuinely dead dir is re-visited and
+    * collected on the next call once the racer is gone. */
+  private def newestMtimeMs(p: java.nio.file.Path, fallbackMs: Long): Long = {
     import java.nio.file.Files
-    val walk = Files.walk(p)
-    try walk.mapToLong(q => Files.getLastModifiedTime(q).toMillis).max
-      .orElse(Files.getLastModifiedTime(p).toMillis)
-    finally walk.close()
+    scala.util.Try {
+      val walk = Files.walk(p)
+      try walk.mapToLong(q =>
+          scala.util.Try(Files.getLastModifiedTime(q).toMillis)
+            .getOrElse(fallbackMs))
+        .max.orElse(Files.getLastModifiedTime(p).toMillis)
+      finally walk.close()
+    }.getOrElse(fallbackMs)
   }
 
   /** Two-phase sweep of one corpus's split root: a complete
@@ -969,7 +988,7 @@ object StreamingOps {
         if (Files.exists(p.resolve("_SUCCESS"))) {
           if (graft.sources.Tables.supersededPastGrace(p, graceMs, nowMs))
             deleteRecursively(p)
-        } else if (nowMs - newestMtimeMs(p) >= graceMs)
+        } else if (nowMs - newestMtimeMs(p, nowMs) >= graceMs)
           // ADVICE r17: max mtime over the dir's CONTENTS, not the dir
           // itself — a live build writing part files past the grace window
           // keeps its newest file young even when the top-level dir mtime
@@ -1654,6 +1673,67 @@ object StreamingOps {
           Seq("cell"), Seq("cell", "vec_id"))
         .getOrElse(sys.error("semantic dedup stream chain published nothing")))
       .localCheckpoint(true)
+  }
+
+  /** STREAMING DURABLE PQ MAINTENANCE (q248, round-19 — VERDICT r18
+    * item 3): the q245 code-table chain driven by an actual at-least-once
+    * stream — the LAST cell of the stream×ANN maintenance matrix (q241
+    * covered int8-IVF, q244 SemDeDup). Arriving embedding micro-batches
+    * run the shared q245 step body
+    * ([[graft.operators.Similarity.applyPqBatch]] — m broadcast
+    * assignCells encodes against the FIXED split-trained books, zero
+    * shuffle, batchId-guarded [[graft.sources.Tables.chainStep]] landing,
+    * so a redelivered batch can never land a vector's codes twice); the
+    * final probe is q205's ADC + exact-rescore over the LATEST publish.
+    * Encoding is per-vector given the fixed books, so the union-form
+    * chain state — and therefore the probe — is identical under ANY
+    * batching: this gate shares q245's `pqOracleSql` verbatim
+    * (stream ≡ batch, hash-exactly), even though the stream's range split
+    * batches the held-out decile differently from q245's %20 split.
+    *
+    * Batch grain: the held-out decile is range-split on vec_id into 2
+    * files consumed with maxFilesPerTrigger=1, so every vector arrives in
+    * exactly one micro-batch. No state store — the published chain IS the
+    * state; restart recovery is the checkpoint's source offsets plus the
+    * durable listing (crash-replay path proven by `CrashReplaySpec`'s
+    * chain case; this gate rides the same `chainStep` guard).
+    *
+    * Batch-spread audit (VERDICT r18 item 5): per-batch heavy work is m
+    * broadcast-books encodes where the batch is the PROBE side of
+    * broadcast joins — executor-parallel over however the batch is
+    * partitioned, but cost is |batch|·nCodes lookups (trivial), and the
+    * chain write-back repartitions by bucket regardless; no
+    * single-partition hazard (SCALING.md §batch-spread).
+    *
+    * Scale shape: per batch m broadcast encodes + the code-table
+    * write-back (m bytes/vector — the smallest chain unit in the engine),
+    * never ∝ history; the probe is one broadcast-LUT join over the code
+    * table + survivor-sized float reads. */
+  def pqStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val split = materializeSplit(dir, "embeddings", "graft_pqchain_split") { tmp =>
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 === 0)
+        .repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val srcPath = Paths.get(dir, "embeddings.parquet")
+    val chain = s"pq_codes_strm90_${Similarity.PqM}_${Similarity.PqNCodes}_" +
+      s"${Similarity.PqIters}_${Similarity.PqDim}"
+    // reset any prior run's chain — the gate replays its maintenance
+    // sequence from the pristine standing code table every time
+    Tables.resetChain(spark, srcPath, chain)
+    // books MV + standing code table are corpus-level, batch-invariant
+    // inputs: resolve (and first-touch build) ONCE before the stream
+    val inputs = Similarity.pqChainInputs(spark, dir)
+    runSplitGate(spark, split, "graft_pqchain_ckpt") { (b, batchId) =>
+      Similarity.applyPqBatch(b.sparkSession, dir, chain, batchId,
+        b.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")), inputs)
+    }
+    Similarity.pqChainProbe(spark, dir, chain)
   }
 
   /** STREAMING SEMANTIC DECONTAMINATION (q247, round-18) — q246's

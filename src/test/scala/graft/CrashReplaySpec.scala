@@ -171,4 +171,57 @@ class CrashReplaySpec extends SparkSpecBase {
       Tables.resetChain(spark, src, chainU)
     }
   }
+
+  test("PQ chain gate (q248): crash after the code-table landing of batch k, restart from the SAME checkpoint — ADC probe and chainPublishedIds identical to an uninterrupted run") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val delta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val split = stageSplit(delta, "vec_id")
+    val inputs = Similarity.pqChainInputs(spark, sf)
+
+    def body(chain: String)(b: DataFrame, id: Long): Unit =
+      Similarity.applyPqBatch(b.sparkSession, sf, chain, id,
+        b.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        inputs)
+    def probe(chain: String): Seq[(Long, Long, Long, Double)] =
+      Similarity.pqChainProbe(spark, sf, chain)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+
+    val chainC = "pq_crash_replay"
+    val chainU = "pq_crash_uninterrupted"
+    Tables.resetChain(spark, src, chainC)
+    Tables.resetChain(spark, src, chainU)
+    val root = Files.createTempDirectory("graft_crash_pq")
+    try {
+      // crashed lifecycle: batch 1's code-table publish is durable, the
+      // micro-batch commit is not — the exact at-least-once window
+      assert(!lifecycle(split, s"$root/ckpt_c", Some(1L))(body(chainC)),
+        "lifecycle should have died on the injected crash")
+      assert(Tables.chainPublishedIds(src, chainC) == Seq(0L, 1L),
+        "the crash window requires batch 1's publish to be durable BEFORE the death")
+      // restart from the SAME checkpoint: batch 1 replays, chainStep's
+      // batchId guard finds its own publish and skips the re-encode —
+      // a double landing would duplicate code rows and shift ADC ranks
+      assert(lifecycle(split, s"$root/ckpt_c", None)(body(chainC)))
+      // uninterrupted reference
+      assert(lifecycle(split, s"$root/ckpt_u", None)(body(chainU)))
+
+      assert(Tables.chainPublishedIds(src, chainC) ==
+        Tables.chainPublishedIds(src, chainU),
+        "replayed chain's published ids diverged from the uninterrupted run")
+      val (crashed, clean) = (probe(chainC), probe(chainU))
+      assert(crashed.nonEmpty && crashed == clean,
+        s"replayed PQ chain probe diverged:\n$crashed\nvs\n$clean")
+      // and the durable state matches the batch gate — the shared oracle
+      val gate = Similarity.pqDurableRefresh(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(crashed == gate, "crash-replayed PQ chain != batch q245 gate probe")
+    } finally {
+      Tables.resetChain(spark, src, chainC)
+      Tables.resetChain(spark, src, chainU)
+    }
+  }
 }

@@ -458,6 +458,113 @@ class SimilaritySpec extends SparkSpecBase {
       s"undrifted arrivals reconstruct materially worse than base: $drift")
   }
 
+  test("q248 streaming PQ chain: stream-driven maintenance == the batch q245 gate, retention holds one publish") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val stream = snap(graft.streaming.StreamingOps.pqStreamParity(spark, sf))
+    assert(stream.nonEmpty && stream.size == Similarity.PqNQueries * Similarity.PqK)
+    // per-vector encoding against the FIXED books makes the chain state
+    // batching-invariant: the range-split stream and q245's %20 batch
+    // split land the SAME code table, so the ADC probes must agree
+    // row-for-row (the shared-oracle argument)
+    assert(stream == snap(Similarity.pqDurableRefresh(spark, sf)),
+      "stream-maintained PQ code table diverged from the batch chain")
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val chainIds = graft.sources.Tables.chainPublishedIds(src,
+      s"pq_codes_strm90_${Similarity.PqM}_${Similarity.PqNCodes}_" +
+        s"${Similarity.PqIters}_${Similarity.PqDim}")
+    // default retain=2: newest stream-chain publish + predecessor stay live
+    assert(chainIds.length == 2,
+      s"retention should keep the newest stream-chain publish + predecessor: $chainIds")
+  }
+
+  test("retrainPqBooks (r19): spiked arrivals trip the drift diagnostic under the STANDING books, retrain restores reconstruction + probe recall, chain resets") {
+    import graft.sources.Tables
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // distribution shift with a drift story: the held-out decile arrives
+    // with its norm concentrated on ONE coordinate (an upstream embedder
+    // change) — cosine-assigned books trained on the dense base cannot
+    // tile the spiked direction (measured mean_recon 0.66 -> 0.25)
+    val spike = transform(col("e"), (x, i) =>
+      when(i === 3, lit(1.0)).otherwise(x * lit(0.02)))
+    val shifted = emb.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, spike).otherwise(col("e")).as("e"))
+
+    // gen-0 = the q245 STANDING split-trained books MV passed via booksOpt
+    // — the production monitoring arm (VERDICT r18 item 3: previously only
+    // the None self-training arm had spec coverage)
+    val (books0, _) = Similarity.pqChainInputs(spark, sf)
+    def driftMap(corpus: org.apache.spark.sql.DataFrame,
+                 books: org.apache.spark.sql.DataFrame): Map[Boolean, Double] =
+      Similarity.pqCodebookDrift(
+        corpus.select(col("vec_id"), col("e").as("embedding")),
+        booksOpt = Some(books))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+
+    // standing-books arm on the UNDRIFTED corpus reproduces the healthy
+    // self-training figures (the MV IS that training run persisted)
+    val healthy = driftMap(emb, books0)
+    assert(healthy(true) >= healthy(false) - 0.05,
+      s"undrifted arrivals should reconstruct at the base's level: $healthy")
+
+    // 1. drift TRIPS: spiked arrivals reconstruct materially below base
+    val tripped = driftMap(shifted, books0)
+    info(f"gen-0 mean_recon base=${tripped(false)}%.3f arrivals=${tripped(true)}%.3f")
+    assert(tripped(false) == healthy(false),
+      "the base split's figure must not move — only arrivals drifted")
+    assert(tripped(true) < tripped(false) - 0.2,
+      s"the spiked arrivals should trip the drift monitor: $tripped")
+
+    // 2. RETRAIN: new generation books + full re-encode + chain reset
+    val chain = "pq_codes_retrain_spec"
+    Tables.resetChain(spark, src, chain)
+    try {
+      graft.sources.Tables.chainStep(spark, src, chain, 0L,
+        Similarity.PqNBuckets, Seq("vec_id"), Seq("vec_id", "sub")) { _ =>
+        Similarity.pqEncode(shifted, books0, Similarity.PqM, Similarity.PqDim)
+      }
+      assert(Tables.chainPublishedIds(src, chain).nonEmpty)
+      val (books1, codes1) = Similarity.retrainPqBooks(spark, sf,
+        generation = 901, corpusOpt = Some(shifted), resetChains = Seq(chain))
+      // the old generation's chain is gone: the next refresh cycle grows
+      // the NEW standing table from batch 0
+      assert(Tables.chainPublishedIds(src, chain).isEmpty,
+        "retrain must reset the named maintenance chains")
+      val recovered = driftMap(shifted, books1)
+      info(f"gen-1 mean_recon base=${recovered(false)}%.3f arrivals=${recovered(true)}%.3f")
+      assert(recovered(true) >= tripped(false) - 0.05,
+        s"retrained books should restore arrivals to the base floor: $recovered")
+
+      // 3. probe recall recovers: ADC+rescore over the re-encoded corpus
+      //    vs brute force on the same shifted corpus
+      def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val withEmb = shifted.select(col("vec_id"), col("e").as("embedding"))
+      val brute = knnSet(Similarity.bruteKnnFrom(withEmb,
+        Similarity.PqNQueries, Similarity.PqK))
+      val probe0 = knnSet(Similarity.pqAdcProbe(shifted, books0,
+        Similarity.pqEncode(shifted, books0, Similarity.PqM, Similarity.PqDim),
+        Similarity.PqM, Similarity.PqNQueries, Similarity.PqK,
+        Similarity.PqRescoreFactor, Similarity.PqDim))
+      val probe1 = knnSet(Similarity.pqAdcProbe(shifted, books1,
+        spark.read.parquet(codes1.toString)
+          .select("vec_id", "sub", "code"),
+        Similarity.PqM, Similarity.PqNQueries, Similarity.PqK,
+        Similarity.PqRescoreFactor, Similarity.PqDim))
+      val (r0, r1) = (probe0.intersect(brute).size.toDouble / brute.size,
+        probe1.intersect(brute).size.toDouble / brute.size)
+      info(f"probe recall on the drifted corpus: gen-0 books $r0%.3f, retrained $r1%.3f")
+      assert(r1 >= r0,
+        f"retraining must not lose recall on the drifted corpus: $r1%.3f < $r0%.3f")
+      assert(r1 >= 0.6,
+        f"retrained probe recall $r1%.3f fell below the q205 base floor")
+    } finally Tables.resetChain(spark, src, chain)
+  }
+
   test("q246 semantic decontam: precision 1.0 vs brute pairs; benchmark rows never flagged; probe recall measured") {
     import graft.sources.Tables
     val flagged = Similarity.semanticDecontam(spark, sf)
