@@ -175,6 +175,35 @@ object Bench {
     canaryPass() // warm the canary's own codegen before timing it
     val hostCanary = Seq(canaryPass(), canaryPass(), canaryPass()).min
 
+    // SHUFFLE-SHAPED CANARY (round-19 — VERDICT r18 item 2): the CPU
+    // canary above under-captured host drift two rounds running; both
+    // times the signature was raw-parity totals with a large normalized
+    // shift, i.e. the drift lived in the shuffle/serialization path (the
+    // round-6 wide-string-key family), which an in-memory hash+agg canary
+    // cannot see. This second canary pins that shape: 2M rows forced
+    // through TWO real exchanges under unique 32-hex string keys (the
+    // first groupBy's partial aggregation reduces nothing, so the full
+    // wide rowset crosses the wire), then a narrow regroup. Host disk/
+    // serialization throughput dominates, never engine code or the SF
+    // data. bench_compare normalizes each query by whichever canary ratio
+    // better explains it and flags only what NEITHER explains; replay
+    // legs record both per leg.
+    def canaryShufflePass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 32)
+        .selectExpr("md5(cast(id as string)) AS k", "id % 1000 AS g", "id AS v")
+        .groupBy("k", "g").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .groupBy("g").agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("s").as("t"))
+        .orderBy(org.apache.spark.sql.functions.col("t").desc).limit(10)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryShufflePass() // warm its codegen + shuffle machinery
+    val hostCanaryShuffle =
+      Seq(canaryShufflePass(), canaryShufflePass(), canaryShufflePass()).min
+
     // NOTE: warmup caches are intentionally NOT cleared — the CacheManager
     // plan-matches the timed queries' internal .cache() calls onto the
     // already-materialized warmup relations, which is exactly the warm
@@ -259,7 +288,7 @@ object Bench {
     val filterField = only.fold("none")(f => f.toSeq.sorted.mkString(","))
     val sinkField = ordered.map(_._1).filter(sinkMeasured)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha","host_canary_sec":$hostCanary,"sink_measured":$sinkField,"filter":"$filterField"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","data_sha":"$dSha","host_canary_sec":$hostCanary,"host_canary_shuffle_sec":$hostCanaryShuffle,"sink_measured":$sinkField,"filter":"$filterField"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -285,7 +314,7 @@ object Bench {
     }
     val parityQs = parity.map(k => s"\"" + k + "\":" + r3(finalQueries(k)))
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_sec":${r3(pct(0.5))},"p90_sec":${r3(pct(0.9))},"max_sec":${r3(sortedVals.lastOption.getOrElse(0.0))},"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","host_canary_sec":${r3(hostCanary)},"full_artifact":"$outFile","queries":$parityQs}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"median_sec":${r3(pct(0.5))},"p90_sec":${r3(pct(0.9))},"max_sec":${r3(sortedVals.lastOption.getOrElse(0.0))},"sf":"$sfDir","protocol":"$protocol","runs":$totalRuns,"src_sha":"$sha","host_canary_sec":${r3(hostCanary)},"host_canary_shuffle_sec":${r3(hostCanaryShuffle)},"full_artifact":"$outFile","queries":$parityQs}"""
     println(compact)
     require(results.forall(_._3.isEmpty),
       s"bench had failing queries: ${results.collect { case (k, _, Some(_)) => k }.mkString(", ")}")

@@ -73,6 +73,12 @@ res = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
 canaries = [d["host_canary_sec"] for d in ds if "host_canary_sec" in d]
 if canaries:
     res["host_canary_sec"] = min(canaries)
+# shuffle-shaped canary (round-19): same min-over-passes rule; the two
+# canaries bracket CPU-bound vs shuffle/serialization-bound host drift
+shuffle_canaries = [d["host_canary_shuffle_sec"] for d in ds
+                    if "host_canary_shuffle_sec" in d]
+if shuffle_canaries:
+    res["host_canary_shuffle_sec"] = min(shuffle_canaries)
 # sink-measured set (round-14): the cleaner family is timed to a parquet
 # sink, not a count — carry the self-description into the merged artifact
 sinks = {tuple(d.get("sink_measured", [])) for d in ds}

@@ -119,6 +119,26 @@ def main():
         print(f"canary: missing in {', '.join(missing)} artifact(s) — RAW comparison only "
               f"(host drift up to ~1.8x has been measured between rounds; treat drifts as suspect)")
 
+    # Second, shuffle-shaped canary (round-19 — VERDICT r18 item 2): the CPU
+    # canary under-captured drift whose signature is raw-parity totals with a
+    # big normalized shift (shuffle/serialization-path host drift, the
+    # round-6 wide-string-key family). When BOTH artifacts carry
+    # host_canary_shuffle_sec, each query is normalized by WHICHEVER ratio
+    # better explains it (brings its drift closer to 1) and flagged only if
+    # NEITHER does — CPU-bound and shuffle-bound queries each get the host
+    # model that matches their shape.
+    os_, ns_ = old.get("host_canary_shuffle_sec"), new.get("host_canary_shuffle_sec")
+    ratios = {"cpu": ratio}
+    if os_ and ns_:
+        sratio = ns_ / os_
+        ratios["shuffle"] = sratio
+        print(f"shuffle canary: old={os_:.3f}s new={ns_:.3f}s ratio={sratio:.3f} "
+              f"(per-query normalization picks the canary that better explains each drift)")
+    else:
+        missing = [n for n, c in (("old", os_), ("new", ns_)) if not c]
+        print(f"shuffle canary: missing in {', '.join(missing)} artifact(s) — "
+              f"single-canary normalization this compare")
+
     shared = sorted(set(oq) & set(nq))
     only_old, only_new = sorted(set(oq) - set(nq)), sorted(set(nq) - set(oq))
     o_tot = sum(oq[k] for k in shared)
@@ -133,13 +153,22 @@ def main():
         print(f"only in new ({len(only_new)}): {', '.join(only_new)}")
 
     flagged = []
+    best_ratio = {}  # query -> the normalization ratio that adjudicated it
     for k in shared:
-        o, n = oq[k], nq[k] / ratio
+        o = oq[k]
         if o <= 0:
             continue
+        # normalize by each available canary; keep the one that brings the
+        # drift closest to 1 — a drift is a finding only if NO host model
+        # explains it
+        cands = [(abs((nq[k] / rr) / o - 1), rr, lbl)
+                 for lbl, rr in ratios.items()]
+        _, rr, lbl = min(cands)
+        best_ratio[k] = rr
+        n = nq[k] / rr
         r = n / o
         if (r >= args.threshold or r <= 1 / args.threshold) and abs(n - o) >= args.abs_floor:
-            flagged.append((k, o, n, r))
+            flagged.append((k, o, n, r, lbl))
     flagged.sort(key=lambda t: -abs(t[2] - t[1]))
 
     # benign replay verdicts silence a flag; 'code_regression' and anything
@@ -151,7 +180,7 @@ def main():
         print(f"\n{len(flagged)} drift(s) beyond x{args.threshold} "
               f"(normalized, abs floor {args.abs_floor}s), largest absolute first:")
         live_flags = live_regressions = 0
-        for k, o, n, r in flagged:
+        for k, o, n, r, lbl in flagged:
             adj = replay.get(k)
             verdict = adj.get("verdict") if adj is not None else None
             # accepted_tradeoff's contract is a note naming the change and
@@ -166,7 +195,7 @@ def main():
             elif verdict in benign:
                 if verdict == "unverified_improvement":
                     provisional.append(k)
-                print(f"  adjudicated {k}: {o:.2f}s -> {n:.2f}s (x{r:.2f} normalized) — "
+                print(f"  adjudicated {k}: {o:.2f}s -> {n:.2f}s (x{r:.2f} {lbl}-normalized) — "
                       f"replay verdict '{verdict}': old jar {adj.get('old_jar_sec')}s "
                       f"vs new jar {adj.get('new_jar_sec')}s same-session"
                       + (f" ({adj.get('note')})" if adj.get("note") else ""))
@@ -180,14 +209,14 @@ def main():
             if r > 1:
                 live_regressions += 1
                 print(f"  REGRESSED {k}: "
-                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s)")
+                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} {lbl}-normalized, raw {nq[k]:.2f}s)")
             else:
                 provisional.append(k)
                 print(f"  improved  {k} [PROVISIONAL — unconfirmed]: "
-                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} normalized, raw {nq[k]:.2f}s) — "
+                      f"{o:.2f}s -> {n:.2f}s (x{r:.2f} {lbl}-normalized, raw {nq[k]:.2f}s) — "
                       f"confirm with a replay leg or carry the old time forward "
                       f"(--emit-baseline)")
-        emit_baseline(args, new, oq, ratio, provisional)
+        emit_baseline(args, new, oq, ratio, provisional, best_ratio)
         if live_regressions:
             print("\nregressions survived canary normalization"
                   + (" and replay adjudication" if replay_path else "")
@@ -212,12 +241,12 @@ def main():
             return 1
         print("\nevery flag adjudicated by the replay artifact.")
         return 0
-    emit_baseline(args, new, oq, ratio, provisional)
+    emit_baseline(args, new, oq, ratio, provisional, best_ratio)
     print("\nno per-query drift beyond the threshold after normalization.")
     return 0
 
 
-def emit_baseline(args, new, oq, ratio, provisional):
+def emit_baseline(args, new, oq, ratio, provisional, best_ratio):
     """Write NEW with provisional improvements reset to the OLD time
     (denormalized into the new artifact's canary units) so the next round
     compares against the honest pre-improvement base until confirmed."""
