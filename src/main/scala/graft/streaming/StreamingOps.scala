@@ -998,6 +998,26 @@ object StreamingOps {
     } finally l.close()
   }
 
+  /** CLASS GUARD for the single-partition micro-batch hazard (round-19 —
+    * VERDICT r18 item 5, generalizing the round-18 q247 point fix): a
+    * `maxFilesPerTrigger=1` file-source micro-batch arrives as however few
+    * input partitions ONE file splits into — one, for any file under
+    * maxPartitionBytes — so any gate whose per-batch HEAVY stage consumes
+    * the batch as the STREAMED (non-broadcast) side BEFORE any exchange
+    * runs that stage's whole |batch|·X load on one core (measured at 100×:
+    * 667 s single-core vs 25–40 s spread, SCALING.md §round-18). Gates in
+    * that class spread the batch here — a round-robin repartition to the
+    * session's shuffle width: a batch-sized shuffle (cheap, it is the
+    * delta) buys full-cluster parallelism on everything downstream. Gates
+    * whose heavy stage already sits behind its own exchange (keyed merge
+    * joins) or scans the PARALLEL standing side probed by a broadcast
+    * batch do not need it — the per-gate audit table lives in SCALING.md
+    * §batch-spread. Spec: StreamingOpsSpec pins partitions(spreadBatch(b))
+    * = shuffle width ≥ min(width, rows) for a 1-partition batch.
+    */
+  private[graft] def spreadBatch(b: DataFrame): DataFrame =
+    b.repartition(b.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Shared AvailableNow maintenance-gate lifecycle (round-17 — VERDICT r16
     * item 2: this exact sequence existed in five near-identical copies):
     * stream the materialized split one file per trigger, apply `body` to
@@ -1783,9 +1803,8 @@ object StreamingOps {
       runSplitGate(spark, split, "graft_semdecontam_ckpt") { (b, id) =>
         idempotentBatchSink(
           Similarity.semanticDecontamBatch(
-            b.select(col("vec_id"),
-              col("embedding").cast("array<double>").as("e"))
-              .repartition(b.sparkSession.sessionState.conf.numShufflePartitions),
+            spreadBatch(b.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("e"))),
             inputs),
           id, out.toString)
       }

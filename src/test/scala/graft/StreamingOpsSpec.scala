@@ -935,4 +935,30 @@ class StreamingOpsSpec extends SparkSpecBase {
       spark.catalog.dropTempView("late_spec")
     }
   }
+
+  test("spreadBatch (r19): a single-partition micro-batch is spread to the shuffle width before a gate's heavy stage") {
+    // the hazard class (SCALING.md §batch-spread): a maxFilesPerTrigger=1
+    // file-source batch arrives as ONE partition, and a gate whose heavy
+    // join/map side IS the batch runs its whole load on one core unless
+    // the batch is spread first. The guard's contract: partition count
+    // after spreading >= min(shuffle width, batch rows) — repartition(n)
+    // yields exactly n slots, so every core gets work whenever the batch
+    // has it.
+    val width = spark.sessionState.conf.numShufflePartitions
+    val one = spark.range(0, 1000).toDF("vec_id").coalesce(1)
+    assert(one.rdd.getNumPartitions == 1, "precondition: a one-partition batch")
+    val spread = StreamingOps.spreadBatch(one)
+    assert(spread.rdd.getNumPartitions == width,
+      s"spreadBatch must widen to the session shuffle width ($width)")
+    assert(spread.rdd.getNumPartitions >= math.min(width, 1000))
+    // content is a pure repartition: same rows, nothing dropped or forged
+    assert(spread.agg(count(lit(1)), sum("vec_id")).collect().head ==
+      one.agg(count(lit(1)), sum("vec_id")).collect().head)
+    // round-robin spread: no partition hoards the batch (the 1-core
+    // pathology this guard exists to prevent) — with 1000 rows over the
+    // width, every partition holds some
+    val sizes = spread.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.count(_ > 0) == width,
+      s"round-robin spread should populate every partition: ${sizes.toSeq}")
+  }
 }
