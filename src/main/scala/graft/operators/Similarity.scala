@@ -1874,4 +1874,57 @@ object Similarity {
     resetChains.foreach(c => graft.sources.Tables.resetChain(spark, src, c))
     (books, codes)
   }
+
+  /** IVF-CENTROID RETRAIN EXECUTOR (round-19) — [[retrainPqBooks]] for the
+    * CELL family: the fixed coarse-centroid space every standing index
+    * assigns under (q237/q238/q240/q241 and the q246/q247 decontam probes)
+    * is the other standing model the drift policy watches, and until now
+    * only the PQ half of "time to retrain" executed. Builds the new
+    * generation's centroid MV (GENERATION-tagged fingerprint, so epochs
+    * never collide), re-ASSIGNS the full corpus into a cell-bucketed
+    * standing table (the q237/q238 layout — probes select bucket files by
+    * name), and resets the named maintenance chains so the next refresh
+    * cycle grows generation n+1 from batch 0. Returns the (cents,
+    * standingAssignPath) pair the incremental family consumes; probe the
+    * new generation with [[ivfKnnWithCentroids]].
+    *
+    * Drift trigger: the cell family's registered gate is q234
+    * ([[centroidDriftMonitor]]) — its PSI shape stat fires when arrivals
+    * concentrate where the reference window has no mass. The PQ-style
+    * per-vector reconstruction signal ([[pqCodebookDrift]] at `m = 1,
+    * booksOpt = Some(cents as sub-0 book)`) measurably does NOT trip for a
+    * coarse 8-cell space — the baseline tiling is too loose for a novel
+    * cluster to LOWER assigned cosine — but it is the right RECOVERY
+    * metric: post-retrain, a gen-n+1 centroid owns the new cluster and
+    * arrivals' assigned cosine jumps to ≈1 (both measured and spec-pinned
+    * in SimilaritySpec's lifecycle test).
+    *
+    * Scale shape: iters Lloyd corpus scans + one broadcast-centroid
+    * assignment pass + one bucketed write — a rebuild by design, amortized
+    * over the many delta-cost refreshes between drift trips (the
+    * [[retrainPqBooks]] trade, measured in SCALING.md's chain-vs-rebuild
+    * crossover).
+    */
+  def retrainIvfCents(spark: SparkSession, dir: String, generation: Int,
+                      corpusOpt: Option[DataFrame] = None,
+                      nCells: Int = IvfNCells, iters: Int = IvfIters,
+                      resetChains: Seq[String] = Nil)
+      : (DataFrame, java.nio.file.Path) = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val corpus = corpusOpt.getOrElse(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val tag = s"g${generation}_${nCells}_$iters"
+    val cents = graft.sources.Tables.fingerprintedMv(spark, src,
+      s"ivf_cents_$tag")(
+      kmeansCentroids(corpus.select(col("vec_id"), col("e").as("embedding")),
+        nCells, iters))
+      .select(col("cell"), col("cvec"))
+    val assign = graft.sources.Tables.bucketedMvPath(spark, src,
+      s"ivf_assign_$tag", nCells, Seq("cell"), Seq("cell", "vec_id")) {
+      assignCells(corpus, cents).select(col("cell"), col("vec_id"), col("e"))
+    }
+    resetChains.foreach(c => graft.sources.Tables.resetChain(spark, src, c))
+    (cents, assign)
+  }
 }

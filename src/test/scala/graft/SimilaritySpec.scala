@@ -565,6 +565,126 @@ class SimilaritySpec extends SparkSpecBase {
     } finally Tables.resetChain(spark, src, chain)
   }
 
+  test("retrainIvfCents (r19): q234's PSI trips on spiked arrivals (the m=1 recon signal measurably does NOT), retrain owns the new cluster + holds probe recall, chain resets") {
+    import graft.sources.Tables
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // the retrainPqBooks drift story verbatim: arrivals' norm concentrates
+    // on ONE coordinate — coarse centroids trained on the dense base
+    // cannot tile the spiked direction
+    val spike = transform(col("e"), (x, i) =>
+      when(i === 3, lit(1.0)).otherwise(x * lit(0.02)))
+    val shifted = emb.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, spike).otherwise(col("e")).as("e"))
+
+    // gen-0 = centroids trained on the UNDRIFTED base split under the
+    // generation machinery itself
+    val (cents0, _) = Similarity.retrainIvfCents(spark, sf, generation = 900,
+      corpusOpt = Some(emb.filter(col("vec_id") % 10 =!= 0)))
+    // cell-assignment drift IS pqCodebookDrift at m=1: reconstruction from
+    // a 1-subspace book = the assigned coarse centroid, so mean_recon is
+    // each split's mean cosine to its ASSIGNED cell centroid
+    def cellDrift(corpus: org.apache.spark.sql.DataFrame,
+                  cents: org.apache.spark.sql.DataFrame): Map[Boolean, Double] =
+      Similarity.pqCodebookDrift(
+        corpus.select(col("vec_id"), col("e").as("embedding")),
+        m = 1, nCodes = Similarity.IvfNCells, iters = Similarity.IvfIters,
+        booksOpt = Some(cents.select(lit(0).as("sub"), col("cell"), col("cvec"))))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+
+    // the healthy held-out gap is wider here than in the PQ twin (0.268 vs
+    // 0.185 measured): ONE 8-cell space tiles a 64-dim isotropic corpus far
+    // more loosely than PQ's m=8 sub-space books, so held-out assignment
+    // cosine is noisier
+    val healthy = cellDrift(emb, cents0)
+    assert(healthy(true) >= healthy(false) - 0.1,
+      s"undrifted arrivals should assign near the base's quality: $healthy")
+
+    // MEASURED NEGATIVE, kept as an assertion so the doc claim stays
+    // honest: the PQ recon trigger does NOT generalize to the coarse cell
+    // space — the baseline tiling is so loose that the axis-spike arrivals
+    // measure 0.211 assigned cosine, INSIDE the healthy held-out band
+    // (0.185), not below it. The cell family's registered drift gate is
+    // q234, asserted to trip next.
+    val reconDrift = cellDrift(shifted, cents0)
+    info(f"recon-style signal does not trip: healthy arrivals=${healthy(true)}%.3f, spiked arrivals=${reconDrift(true)}%.3f")
+    assert(reconDrift(true) >= healthy(true) - 0.05,
+      s"unexpected: the recon signal now trips at nCells=8 — revisit which monitor this family uses: $reconDrift")
+
+    // 1. the q234 centroid-drift monitor (the cell family's registered
+    //    trigger) TRIPS. At sf0.001 the per-label windows are too sparse
+    //    for the first-moment stat (≈6 arrivals/label of 64-dim noise —
+    //    healthy min centroid_cos is already −0.18), so the monitor runs
+    //    single-window (label collapsed): the PSI shape stat over each
+    //    vector's cosine to the reference centroid is what fires — the
+    //    spiked arrivals pile into one bin
+    val embL = Tables.embeddings(spark, sf).withColumn("label", lit(0L))
+    def q234Psi(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.centroidDriftMonitor(df).collect()
+        .map(_.getDouble(4)).max
+    val healthyPsi = q234Psi(embL)
+    val shiftedL = embL.select(col("vec_id"), col("label"),
+      when(col("vec_id") % 10 === 0,
+        transform(col("embedding").cast("array<double>"), (x, i) =>
+          when(i === 3, lit(1.0)).otherwise(x * lit(0.02))))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+    val trippedPsi = q234Psi(shiftedL)
+    info(f"q234 single-window psi: healthy=$healthyPsi%.4f drifted=$trippedPsi%.4f")
+    assert(trippedPsi > healthyPsi * 5,
+      f"the spiked arrivals should trip q234's PSI: $healthyPsi%.4f -> $trippedPsi%.4f")
+
+    // 2. RETRAIN: new generation centroids + full re-assignment + chain
+    //    reset (the named chain stands in for a q238/q241 maintenance chain)
+    val chain = "ivf_assign_retrain_spec"
+    Tables.resetChain(spark, src, chain)
+    try {
+      Tables.chainStep(spark, src, chain, 0L, Similarity.IvfNCells,
+        Seq("cell"), Seq("cell", "vec_id")) { _ =>
+        Similarity.assignCells(shifted, cents0)
+          .select(col("cell"), col("vec_id"), col("e"))
+      }
+      assert(Tables.chainPublishedIds(src, chain).nonEmpty)
+      val (cents1, assign1) = Similarity.retrainIvfCents(spark, sf,
+        generation = 901, corpusOpt = Some(shifted), resetChains = Seq(chain))
+      assert(Tables.chainPublishedIds(src, chain).isEmpty,
+        "retrain must reset the named maintenance chains")
+      val recovered = cellDrift(shifted, cents1)
+      info(f"gen-1 mean cell cosine base=${recovered(false)}%.3f arrivals=${recovered(true)}%.3f")
+      // the spiked arrivals share one direction — a gen-1 centroid owns it
+      // outright, so their assigned cosine jumps from ~0.21 to ~1.0
+      assert(recovered(true) >= 0.9,
+        s"retrained cells should own the arrival cluster: $recovered")
+      assert(recovered(false) >= healthy(false) - 0.1,
+        s"the base split must not pay for the new cluster's centroid: $recovered")
+      // the standing assignment table is the full corpus, cell-bucketed
+      val standing = spark.read.parquet(assign1.toString)
+      assert(standing.count() == shifted.count(),
+        "gen-1 standing assignment must cover the full corpus")
+
+      // 3. probe recall on the drifted corpus: gen-1 centroids must not
+      //    lose to the stale gen-0 space and must hold the q73 floor
+      def knnSet(cents: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        Similarity.ivfKnnWithCentroids(
+          shifted.select(col("vec_id"), col("e").as("embedding")), cents,
+          Similarity.IvfNQueries, Similarity.IvfK, Similarity.IvfNProbe)
+          .select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.bruteKnnFrom(
+        shifted.select(col("vec_id"), col("e").as("embedding")),
+        Similarity.IvfNQueries, Similarity.IvfK)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (r0, r1) = (knnSet(cents0).intersect(brute).size.toDouble / brute.size,
+        knnSet(cents1).intersect(brute).size.toDouble / brute.size)
+      info(f"probe recall on the drifted corpus: gen-0 cells $r0%.3f, retrained $r1%.3f")
+      assert(r1 >= r0,
+        f"retraining must not lose recall on the drifted corpus: $r1%.3f < $r0%.3f")
+      assert(r1 >= 0.5,
+        f"retrained probe recall $r1%.3f fell below the q73 nProbe floor")
+    } finally Tables.resetChain(spark, src, chain)
+  }
+
   test("q246 semantic decontam: precision 1.0 vs brute pairs; benchmark rows never flagged; probe recall measured") {
     import graft.sources.Tables
     val flagged = Similarity.semanticDecontam(spark, sf)
