@@ -143,6 +143,57 @@ object GraphOps {
     // overlap for free.
     val deltaAgg = symDelta.groupBy("u", "v").agg(sum(col("w")).as("dw"))
       .localCheckpoint(true)
+    val bcast = broadcastDegrees.getOrElse(true)
+    if (bcast) {
+      // BROADCAST-form merge (optimization round r19, guide §3.1/§2.4 —
+      // measured at sf0.1 against the r14 join-form below, which was still
+      // paying per merge: a 2.15M-row base.select(u,v) BROADCAST for the
+      // anti-join (the planner's pick under the 10 MB estimate — a latent
+      // scale hazard on top of the cost), a full-base two-exchange
+      // (u, deg_u) distinct, a full-outer SMJ for newDeg, and base-side
+      // sorts under the grown SMJ. Every decision in the merge depends only
+      // on DELTA-sized relations (the guide §8 rule: decide with small
+      // rows, move big rows once), so all of those collapse to delta-sized
+      // broadcasts probed INTO exchange-free base scans:
+      //   - `hit` = delta pairs already present in the base — one base scan
+      //     probed by the broadcast delta aggregate, checkpointed once
+      //     (delta-sized) so the three `fresh` consumers never re-run it;
+      //   - `fresh` = broadcast anti of two delta-sized in-memory relations
+      //     (the old form shuffled-or-broadcast the BASE for this);
+      //   - grown rows take deg' = their OWN deg_u + the broadcast fresh
+      //     census — the full-base distinct + full-outer newDeg join is
+      //     gone entirely (deg_u is constant per u on the standing
+      //     relation, so the row's copy IS baseDeg's value);
+      //   - fresh rows read deg_base for JUST their nodes via one
+      //     broadcast-semi-filtered base scan whose distinct input is
+      //     delta-neighborhood-sized, never the base.
+      // The base is scanned 3× (grown, hit, degFresh) — all scan-only under
+      // the bucketed layout — and is never shuffled, sorted, or broadcast
+      // at ANY scale; every broadcast is delta- or delta-neighborhood-
+      // sized. Callers whose delta exceeds broadcast capacity pass
+      // Some(false) for the shuffled join form below ([[pageRank]]'s
+      // `broadcastNodes` escape-hatch pattern).
+      val hit = baseSym.select(col("u"), col("v"))
+        .join(broadcast(deltaAgg.select(col("u"), col("v"))), Seq("u", "v"))
+        .localCheckpoint(true)
+      val fresh = deltaAgg.join(broadcast(hit), Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), col("dw").as("w"))
+      val freshCnt = fresh.groupBy("u").agg(count(lit(1)).as("d"))
+      val grown = baseSym.join(broadcast(deltaAgg), Seq("u", "v"), "left")
+        .join(broadcast(freshCnt), Seq("u"), "left")
+        .select(col("u"), col("v"),
+          (col("w") + coalesce(col("dw"), lit(0L))).as("w"),
+          (col("deg_u") + coalesce(col("d"), lit(0L))).as("deg_u"))
+      val degFresh = baseSym
+        .join(broadcast(fresh.select(col("u")).distinct()), Seq("u"), "left_semi")
+        .select(col("u"), col("deg_u")).distinct()
+      val freshOut = fresh
+        .join(broadcast(degFresh), Seq("u"), "left")
+        .join(broadcast(freshCnt), Seq("u"))
+        .select(col("u"), col("v"), col("w"),
+          (coalesce(col("deg_u"), lit(0L)) + col("d")).as("deg_u"))
+      grown.union(freshOut)
+    } else {
     // JOIN-form merge (round-14, VERDICT r13 item 2): the standing relation
     // is unique by (u, v), so the union-then-reaggregate form — which
     // shuffled all 239M base rows at 100× and made the merge LOSE to the
@@ -151,7 +202,8 @@ object GraphOps {
     // standing layout ([[Tables.bucketedMv]], gate q232) the base side
     // plans ZERO exchanges end-to-end: only the delta shuffles. An
     // unbucketed base degrades to one base shuffle — the old cost, never
-    // worse.
+    // worse. This is the no-broadcast escape path: nothing here ships more
+    // than the node-sized newDeg, and with Some(false) not even that.
     val grown = baseSym.join(deltaAgg, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
@@ -167,19 +219,9 @@ object GraphOps {
     val newDeg = baseDeg.join(freshCnt, Seq("u"), "full_outer")
       .select(col("u"),
         (coalesce(col("deg_u"), lit(0L)) + coalesce(col("d"), lit(0L))).as("deg_u"))
-    // newDeg is node-sized (the graph-family doctrine: nodes ≪ edges), so a
-    // broadcast keeps both edge-sized branches exchange-free; the two
-    // branches share one broadcast exchange via reuse. A forced hint is
-    // honored regardless of size (ADVICE r14), so callers whose node count
-    // exceeds broadcast capacity pass Some(false) for the safe shuffled
-    // join — the [[pageRank]] `broadcastNodes` escape-hatch pattern. An
-    // unconditional count()-based gate was MEASURED and rejected: counting
-    // newDeg forces its base-shaped derivation (scan + degree distinct) as
-    // a serialized job, costing ~1.4× merge latency to guard against a
-    // condition the caller already knows.
-    val bcast = broadcastDegrees.getOrElse(true)
-    grown.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u")
-      .union(fresh.join(maybeBroadcast(newDeg, bcast), "u").select("u", "v", "w", "deg_u"))
+    grown.join(newDeg, "u").select("u", "v", "w", "deg_u")
+      .union(fresh.join(newDeg, "u").select("u", "v", "w", "deg_u"))
+    }
   }
 
   /** Registered q217: q127's deterministic order split (delta = every 10th
