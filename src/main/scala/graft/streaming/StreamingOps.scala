@@ -39,6 +39,30 @@ object StreamingOps {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run one gate lifecycle with checkpoint-file CHECKSUMS off (optimization
+    * round r19). Spark 4.1 writes a checksum companion for every checkpoint
+    * file (`spark.sql.streaming.checkpoint.fileChecksum.enabled`, default
+    * true) — corruption detection for long-lived checkpoints on remote
+    * storage. A gate's checkpoint is EPHEMERAL scratch: created per run,
+    * read only by the run itself seconds later on a local fs, and deleted in
+    * the same `finally` — the checksum protects nothing and was measured as
+    * the dominant state-commit cost at sf0.1 (q87-shaped gate: state
+    * commitMs 15–25 s summed → 6.5–10 s; stream wall 3.4 → 2.2 s; the
+    * no-data finalization batch 1.3 → 0.7 s). Durable caller-owned
+    * checkpoints ([[parquetSink]], [[nearDupStreamWithGrowingIndex]]) keep
+    * the engine default. The previous session value is restored after the
+    * run, whatever it was.
+    */
+  private def withEphemeralCkpt[A](spark: SparkSession)(f: => A): A = {
+    val k = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -73,7 +97,7 @@ object StreamingOps {
                            (drain: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_${gateRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
-    try {
+    try withEphemeralCkpt(spark) {
       val q = agg.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .outputMode(mode)
@@ -500,7 +524,7 @@ object StreamingOps {
                                     outPath: String,
                                     windowMin: Int = 10): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fulljoin_pq")
-    try {
+    try withEphemeralCkpt(spark) {
       val q = fullJoinStream(spark, dir, windowMin).writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt.toString)
@@ -1032,7 +1056,7 @@ object StreamingOps {
                                   shape: DataFrame => DataFrame = identity)
                                  (body: (DataFrame, Long) => Unit): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory(ckptTag)
-    try {
+    try withEphemeralCkpt(spark) {
       val schema = spark.read.parquet(split).schema
       val src = shape(spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(split))
@@ -1062,7 +1086,7 @@ object StreamingOps {
                                    (clean: DataFrame => DataFrame): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out")
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag")
-    try {
+    try withEphemeralCkpt(spark) {
       val q = docStream(spark, dir).writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt.toString)
