@@ -771,7 +771,7 @@ object Tables {
   def chainStep(spark: SparkSession, srcPath: java.nio.file.Path,
                 chainName: String, batchId: Long, nBuckets: Int,
                 bucketCols: Seq[String], sortCols: Seq[String],
-                oneFilePerBucket: Boolean = false, retain: Int = 2)
+                oneFilePerBucket: Boolean = true, retain: Int = 2)
                (merge: Option[DataFrame] => DataFrame): Unit = {
     require(retain >= 1, s"chainStep retain must be >= 1, got $retain")
     val stepName = s"${chainName}_b$batchId"
