@@ -3858,12 +3858,24 @@ FROM r WHERE rk <= $cap ORDER BY domain, rk"""
     // candidate+verify work shrinks materially (cluster-size² per pair),
     // pure overhead for a handful of stray dups (sf0.1 carries 8/5000)
     val collapse = collapseSets.getOrElse {
-      val nDocs = sets.count()
-      val nSigs = sets.select(col("sig")).distinct().count()
+      // r19: one aggregate job over the checkpointed relation instead of two
+      // separate count actions (same two numbers, one job barrier fewer)
+      val r = sets.agg(count(lit(1)), countDistinct(col("sig"))).head()
+      val (nDocs, nSigs) = (r.getLong(0), r.getLong(1))
       nSigs * 10L < nDocs * 9L // >10% duplicate sets
     }
     if (!collapse) {
-      val cand = prefixCandidates(tk, tauNum, tauDen)
+      // optimization round r19: the candidate universe re-derived docShingles
+      // (normalize + explode + a corpus-wide distinct exchange) even though
+      // `sets` already holds each doc's sorted distinct shingle array —
+      // exploding the checkpointed sets IS the same (doc_id, tok) relation,
+      // one corpus scan cheaper. `sz` rides along so the per-doc set-size
+      // window inside prefixCandidates collapses to a column reference
+      // (measured on the decomposition probe: candidates+verify ~2.0 →
+      // ~1.3 s at sf0.1, full q212 3.44 → 2.6–3.0 s).
+      val cand = prefixCandidates(
+        sets.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok")),
+        tauNum, tauDen)
       cand
         .join(sets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
         .join(sets.select(col("doc_id").as("db"), col("ts").as("tb"), col("sz").as("sb")), "db")
@@ -3877,7 +3889,7 @@ FROM r WHERE rk <= $cap ORDER BY domain, rk"""
       val reps = sets.groupBy("sig").agg(min(col("doc_id")).as("rep"))
       val repSets = sets.join(reps, sets("doc_id") === reps("rep"))
         .select(col("doc_id"), col("ts"), col("sz"))
-      val tkRep = repSets.select(col("doc_id"), explode(col("ts")).as("tok"))
+      val tkRep = repSets.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok"))
       val cand = prefixCandidates(tkRep, tauNum, tauDen)
       val repPairs = cand
         .join(repSets.select(col("doc_id").as("da"), col("ts").as("ta"), col("sz").as("sa")), "da")
@@ -3934,11 +3946,17 @@ FROM r WHERE rk <= $cap ORDER BY domain, rk"""
                                       tauDen: Int,
                                       positional: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val df = tk.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tk.join(df, "tok")
+    // r19: when the caller already knows each doc's set size (an `sz`
+    // column, e.g. exploded from the aggregated sets relation), the per-doc
+    // count window collapses to that column — one Window pass saved; the
+    // row_number pass still orders the doc's tokens rarest-first.
+    val hasSz = tk.columns.contains("sz")
+    val df = tk.select("doc_id", "tok").groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked0 = tk.join(df, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))).cast("long"))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val ranked = if (hasSz) ranked0.withColumn("s", col("sz"))
+      else ranked0.withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
     // prefix length p = s - ceil(tau*s) + 1, all-integer
     val prefix = ranked
       .filter(col("rn") <= col("s") - expr(s"($tauNum * s + $tauDen - 1) div $tauDen") + 1)
